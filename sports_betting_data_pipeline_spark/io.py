@@ -1,0 +1,105 @@
+"""Table readers / writers for the engine.
+
+The reference's sources are REST scans feeding Python dicts
+(mm_calls.py:52-115, SURVEY.md §2.1 S1-S7); in the Spark engine every
+source is a DataFrame scan with an explicit schema so Catalyst gets
+predicate pushdown + column pruning for free. The driver's fixture
+tables (TESTDATA.md) are parquet files; production would be the same
+code pointed at a partitioned parquet/ORC lake.
+
+Scale notes (100 TB posture):
+- Never infer schemas on the hot path; parquet footers carry them.
+- Readers return lazy DataFrames; filters applied by callers reach the
+  scan (verify with ``df.explain`` → PushedFilters).
+- ``maxPartitionBytes`` is left at Spark's 128 MB default, which yields
+  ~800k input splits at 100 TB — reasonable for a 1000-executor
+  cluster; tune per-deployment, not in code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Driver fixture tables (TESTDATA.md): TPC-H-ish star schema + an events
+# stream table + LLM-pipeline fixtures.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _ensure_engine_confs(spark: SparkSession) -> None:
+    """Make the engine self-sufficient on a caller-provided session.
+
+    The driver (and any embedding application) hands us ITS
+    SparkSession; results must not depend on that session's ambient
+    timezone, so pin UTC here (SURVEY.md §7 step 3 gotcha) along with
+    the ns-as-long parquet read the events table needs. All of these
+    are runtime-settable SQL confs.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one fixture table.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects (Spark timestamps are µs precision —
+    SURVEY.md §1.3's ns-epoch note, reference main.py:126-128). We read
+    nanos as raw INT64 and truncate to µs with exact integer division
+    (`div`, not `/`: ns epochs exceed double's 53-bit mantissa), which
+    matches DuckDB's own ns→µs truncation bit-for-bit.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_engine_confs(spark)
+    if name == "events":
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Partition-aware parquet writer.
+
+    The 100 TB layout partitions fact tables by a date key (SURVEY.md
+    §4): pass e.g. ``partition_by=["ship_date"]`` so downstream scans
+    get partition pruning.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

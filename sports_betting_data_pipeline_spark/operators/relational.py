@@ -1,0 +1,156 @@
+"""Relational operator surface: filters, joins, aggregates, windows.
+
+Reference parity (SURVEY.md §2.3-§2.4, §2.7):
+
+- F1 tournament whitelist (mm_calls.py:81-84)   -> whitelist_filter / semi-join
+- F2 equality filter (mm_calls.py:239)          -> plain .filter
+- F4/F5 missing-side guards (mm_calls.py:90-103)-> inner-join semantics
+- F6/F7 sampling (mm_calls.py:241/309/333)      -> deterministic_sample / sample
+- J1 markets<->events enrichment hash join
+  (mm_calls.py:98-105)                          -> broadcast hash join
+- J3 wager-id lookup (mm_calls.py:307)          -> equi-join
+- A2/P5 collect-list + csv concat (mm_calls.py:94) -> csv_concat_per_group
+- top-k random pick (mm_calls.py:333)           -> orderBy(rand()).limit(k)
+
+Everything is a pure ``DataFrame -> DataFrame`` function built from
+JVM-side expressions — no Python UDFs — so whole-stage codegen covers
+the entire operator and Catalyst is free to reorder/push down.
+
+Scale notes: enrichment joins broadcast the dim side explicitly (the
+ladder, tournaments, nation/region dims are KB-MB scale even at 100 TB
+fact scale); group-bys rely on partial (map-side) aggregation which
+Spark applies automatically for all algebraic aggregates used here.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def whitelist_filter(df: DataFrame, column: str, values: Sequence[str]) -> DataFrame:
+    """F1: keep rows whose ``column`` is in a small literal whitelist.
+
+    The reference does ``name in TOURNAMENTS_INTERESTED`` per dict
+    (mm_calls.py:81-84). An IN-list compiles to an optimized membership
+    predicate pushed into the scan; for large whitelists prefer
+    :func:`semi_join` against a broadcast dim table.
+    """
+    return df.filter(F.col(column).isin(list(values)))
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """J2: EXISTS — keep left rows with a match on the right.
+
+    Right side is broadcast: whitelists/dims are small by construction.
+    """
+    return left.join(F.broadcast(right), on=on, how="left_semi")
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | list[str]) -> DataFrame:
+    """NOT EXISTS — the cancel-all/`key not in wagers` guard shape
+    (mm_calls.py:305-306) as a set operation."""
+    return left.join(F.broadcast(right), on=on, how="left_anti")
+
+
+def enrich_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """J1: hash-join enrichment of a fact table with a dim table.
+
+    The reference builds ``map_market_by_event_id`` and probes it per
+    event, skipping misses (mm_calls.py:98-105) — i.e. an inner hash
+    join with the build side held in memory. Spark's equivalent is a
+    broadcast hash join; ``broadcast_dim=False`` lets AQE/CBO choose
+    (sort-merge or shuffled hash) when the dim is genuinely large.
+    """
+    right = F.broadcast(dim) if broadcast_dim else dim
+    return fact.join(right, on=on, how=how)
+
+
+def deterministic_sample(df: DataFrame, key: str, keep: int, out_of: int) -> DataFrame:
+    """F6 analog: keep rows where ``hashable key mod out_of < keep``.
+
+    The reference samples with ``random.random() < 0.3``
+    (mm_calls.py:241). For oracle-reproducible pipelines we use a
+    key-modulo filter (deterministic, partition-independent, and
+    expressible in ANSI SQL); use :func:`bernoulli_sample` when true
+    randomness is wanted.
+    """
+    return df.filter(F.pmod(F.col(key), F.lit(out_of)) < F.lit(keep))
+
+
+def bernoulli_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """F6/F7: per-row Bernoulli sample (mm_calls.py:241, 309)."""
+    return df.sample(fraction=fraction, seed=seed)
+
+
+def random_topk(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
+    """F7: pick up to k random rows (``random.choices(k=min(4, n))``,
+    mm_calls.py:333)."""
+    return df.orderBy(F.rand(seed)).limit(k)
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per group via row_number window.
+
+    At scale this is the standard shuffle-once pattern; Spark applies a
+    per-partition partial top-k (WindowGroupLimit) before the shuffle
+    so the full sort never materializes.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
+
+
+def running_total(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    value: str,
+    out_col: str = "running_total",
+) -> DataFrame:
+    """Cumulative sum per key in event order (rows-frame window)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out_col, F.sum(value).over(w))
+
+
+def csv_concat_per_group(
+    df: DataFrame, group_by: str, id_col: str, out_col: str = "id_csv"
+) -> DataFrame:
+    """A2/P5: per-group sorted CSV of ids (mm_calls.py:94).
+
+    ``','.join(str(e['event_id']))`` per tournament becomes
+    groupBy + sort_array(collect_list) + concat_ws. Numeric sort before
+    stringification (string sort would order 10 before 2).
+    """
+    ids = F.array_sort(F.collect_list(F.col(id_col)))
+    return df.groupBy(group_by).agg(
+        F.concat_ws(",", F.transform(ids, lambda x: x.cast("string"))).alias(out_col),
+        F.count(F.lit(1)).alias("n_ids"),
+    )
+
+
+def dedupe_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
+    """Exact dedup: hash-shuffle on the subset columns, keep one row.
+
+    At 100 TB this is one shuffle on the dedup key; prefer listing the
+    minimal key subset so the shuffle payload stays narrow.
+    """
+    return df.dropDuplicates(list(subset) if subset else None)

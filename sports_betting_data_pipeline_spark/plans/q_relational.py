@@ -1,0 +1,649 @@
+"""Relational query catalog: filters, joins, aggregations, windows,
+set ops — the F/J/A surface of SURVEY.md §2.3-§2.7 exercised over the
+driver's TPC-H-ish tables, each with a DuckDB oracle.
+
+Scale posture per query is noted inline: which side broadcasts, where
+the shuffle lands, what AQE is expected to do at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sports_betting_data_pipeline_spark.io import load_table
+from sports_betting_data_pipeline_spark.operators.relational import (
+    anti_join,
+    csv_concat_per_group,
+    deterministic_sample,
+    enrich_join,
+    running_total,
+    semi_join,
+    topk_per_group,
+    whitelist_filter,
+)
+from sports_betting_data_pipeline_spark.plans.catalog import register
+
+
+# ---------------------------------------------------------------------------
+# Aggregation suite (SURVEY.md §2.7) — flagship.
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                      AS sum_qty,
+           round(sum(l_extendedprice), 2)                                 AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)              AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                      AS avg_qty,
+           round(avg(l_extendedprice), 6)                                 AS avg_price,
+           round(avg(l_discount), 6)                                      AS avg_disc,
+           count(*)                                                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H-Q1-shaped pricing summary (scan→filter→agg→sort).
+
+    Scale: partial aggregation map-side; shuffle carries only
+    2-grouping-key × 8-agg partials (a few KB per task regardless of
+    input size). Filter and 7-column projection push into the parquet
+    scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "a01_global_counts",
+    oracle="""
+    SELECT count(*)                          AS n_orders,
+           count(DISTINCT o_custkey)         AS n_customers,
+           round(sum(o_totalprice), 2)       AS total_value,
+           round(avg(o_totalprice), 6)       AS avg_value,
+           round(min(o_totalprice), 2)       AS min_value,
+           round(max(o_totalprice), 2)       AS max_value
+    FROM orders
+    """,
+)
+def a01_global_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3: global scalar aggregates (count/countDistinct/sum/avg/min/max).
+
+    The reference's `len(...)` summary counts (mm_calls.py:114-115) and
+    balance scalar (mm_calls.py:219) as one single-row aggregate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_value"),
+        F.round(F.avg("o_totalprice"), 6).alias("avg_value"),
+        F.round(F.min("o_totalprice"), 2).alias("min_value"),
+        F.round(F.max("o_totalprice"), 2).alias("max_value"),
+    )
+
+
+@register(
+    "a02_csv_concat_per_group",
+    oracle="""
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS id_csv,
+           count(*) AS n_ids
+    FROM orders
+    WHERE o_custkey % 100 = 0
+    GROUP BY o_custkey
+    """,
+)
+def a02_csv_concat_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/P5: per-group sorted CSV of ids (mm_calls.py:94's
+    ','.join(event_ids) per tournament)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_custkey"), F.lit(100)) == 0
+    )
+    return csv_concat_per_group(orders, "o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Filters (SURVEY.md §2.3).
+# ---------------------------------------------------------------------------
+@register(
+    "f01_whitelist_filter",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_acctbal
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def f01_whitelist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: IN-list whitelist (tournament whitelist, mm_calls.py:81-84).
+
+    The IN-predicate is pushed into the parquet scan (PushedFilters).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    kept = whitelist_filter(cust, "c_mktsegment", ["BUILDING", "AUTOMOBILE", "MACHINERY"])
+    return (
+        kept.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "f02_equality_filter",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS revenue
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def f02_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: equality predicate (market['type'] == 'moneyline',
+    mm_calls.py:239) + daily rollup of the event stream."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+@register(
+    "f03_json_field_existence",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def f03_json_field_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 + C6: existence predicate on a nested/JSON field
+    ('market_lines' in market.keys(), main.py:82; JSON payload decode,
+    mm_calls.py:167-174) via get_json_object."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.withColumn("k", k)
+        .filter(F.col("k").isNotNull() & (F.col("k") > 50))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "f06_deterministic_sample",
+    oracle="""
+    SELECT event_type, count(*) AS n_sampled
+    FROM events
+    WHERE event_id % 10 < 3
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def f06_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: ~30% sample, deterministic key-modulo form of the
+    reference's random.random() < 0.3 (mm_calls.py:241)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        deterministic_sample(events, "event_id", keep=3, out_of=10)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY.md §2.4).
+# ---------------------------------------------------------------------------
+@register(
+    "j01_enrichment_join",
+    oracle="""
+    SELECT r.r_name AS region,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def j01_enrichment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact->dim enrichment chain as broadcast hash joins.
+
+    The reference's map_market_by_event_id probe (mm_calls.py:98-105)
+    is a hash join with an in-memory build side; here every dim
+    (customer/nation/region) broadcasts, so the 100 TB orders fact
+    never shuffles — one scan, map-side joins, then a 5-group agg.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = enrich_join(
+        enrich_join(
+            enrich_join(orders, cust, on=[orders.o_custkey == cust.c_custkey]),
+            nation,
+            on=[F.col("c_nationkey") == nation.n_nationkey],
+        ),
+        region,
+        on=[F.col("n_regionkey") == region.r_regionkey],
+    )
+    return (
+        joined.groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("region")
+    )
+
+
+@register(
+    "j02_semi_join_whitelist",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_nationkey IN (
+        SELECT n_nationkey FROM nation n
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def j02_semi_join_whitelist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/F1: whitelist as a broadcast LEFT SEMI join (EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    euro_nations = enrich_join(
+        nation, region, on=[nation.n_regionkey == region.r_regionkey]
+    ).select(F.col("n_nationkey").alias("c_nationkey"))
+    return (
+        semi_join(cust, euro_nations, on="c_nationkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "j03_anti_join",
+    oracle="""
+    SELECT n.n_name AS nation, count(*) AS n_idle_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def j03_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (NOT EXISTS): customers with no urgent orders — the
+    `key not in wagers` guard shape (mm_calls.py:305-306) as a set op."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    order_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    idle = cust.join(order_keys, on="c_custkey", how="left_anti")
+    return (
+        enrich_join(idle, nation, on=[idle.c_nationkey == nation.n_nationkey])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_idle_customers"))
+        .orderBy("nation")
+    )
+
+
+@register(
+    "j04_lookup_join_contains",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_type LIKE '%AR%'
+    GROUP BY p.p_brand
+    ORDER BY p.p_brand
+    """,
+)
+def j04_lookup_join_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 lookup join + C9 string-contains predicate
+    ('broadcast' in channel_name, mm_calls.py:185)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type").contains("AR"))
+    joined = enrich_join(li, part, on=[li.l_partkey == part.p_partkey])
+    return (
+        joined.groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows, sort/limit, set ops, multi-dim aggregates (SURVEY.md §2.7).
+# ---------------------------------------------------------------------------
+@register(
+    "w01_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS BIGINT) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w01_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via row_number window (deterministic tiebreak).
+
+    Scale: Spark inserts WindowGroupLimit (partial top-k before the
+    shuffle), so the full per-customer sort never materializes.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ranked = topk_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+    return ranked.withColumn("rn", F.col("rn").cast("long"))
+
+
+@register(
+    "w02_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_total
+    FROM orders
+    WHERE o_custkey % 50 = 0
+    """,
+)
+def w02_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) revenue per customer in order-date order."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_custkey"), F.lit(50)) == 0
+    )
+    out = running_total(
+        orders,
+        partition_by=["o_custkey"],
+        order_by=[F.col("o_orderdate"), F.col("o_orderkey")],
+        value="o_totalprice",
+    )
+    return out.select(
+        "o_custkey", "o_orderkey", F.round("running_total", 2).alias("running_total")
+    )
+
+
+@register(
+    "t01_orderby_limit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 10
+    """,
+)
+def t01_orderby_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition heaps, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+    )
+
+
+@register(
+    "s01_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                                   AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                                   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def s01_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers active in 1995 but not 1996."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def active(year: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{year}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    return active(1995).subtract(active(1996))
+
+
+@register(
+    "s02_union_distinct",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT c_custkey AS o_custkey FROM customer WHERE c_acctbal > 9000
+    """,
+)
+def s02_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of two branches + distinct — the P1∪P2 two-branch union
+    shape (main.py:85/137) on relational data."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "s03_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW'
+    """,
+)
+def s03_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection: customers with both urgent and low orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == "5-LOW").select("o_custkey")
+    return a.intersect(b)
+
+
+@register(
+    "d01_distinct",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def d01_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT projection (dedup on all projected columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "r01_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_items,
+           round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def r01_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (subtotal + grand-total rows)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+@register(
+    "r02_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def r02_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+@register(
+    "r03_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def r03_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per l_linestatus value (explicit value list so
+    the plan needs no extra distinct-values job)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .orderBy("l_returnflag")
+    )
+    return out.select(
+        "l_returnflag", F.col("O").alias("qty_O"), F.col("F").alias("qty_F")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-function projections (SURVEY.md §2.6).
+# ---------------------------------------------------------------------------
+@register(
+    "c09_string_functions",
+    oracle="""
+    SELECT CAST(p_partkey AS VARCHAR)            AS key_str,
+           'P#' || CAST(p_partkey AS VARCHAR)    AS tagged,
+           CAST(length(p_name) AS BIGINT)        AS name_len,
+           upper(p_brand)                        AS brand_upper,
+           CASE WHEN p_type LIKE '%AR%' THEN 'large_std' ELSE 'other' END AS family
+    FROM part
+    WHERE p_size <= 10
+    """,
+)
+def c09_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9/C10: casts, concat, contains, length, case mapping —
+    the str() key coercions (mm_calls.py:94,102) and contains checks
+    (mm_calls.py:185,230) as JVM-side expressions."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10)
+    return part.select(
+        F.col("p_partkey").cast("string").alias("key_str"),
+        F.concat(F.lit("P#"), F.col("p_partkey").cast("string")).alias("tagged"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.when(F.col("p_type").contains("AR"), F.lit("large_std"))
+        .otherwise("other")
+        .alias("family"),
+    )
+
+
+@register(
+    "c05_null_defaulting",
+    oracle="""
+    SELECT o_orderkey,
+           coalesce(NULLIF(o_orderstatus, 'P'), 'NA') AS status_or_na,
+           CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0 END AS big_price
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+    """,
+)
+def c05_null_defaulting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: absent-value defaulting — the reference's .get(k, '') /
+    'NA' literals (main.py:96-125, 161-165) as coalesce/when chains."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_orderkey"), F.lit(7)) == 0
+    )
+    return orders.select(
+        "o_orderkey",
+        F.coalesce(
+            F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("NA")
+        ).alias("status_or_na"),
+        F.when(F.col("o_totalprice") > 200000, F.col("o_totalprice"))
+        .otherwise(F.lit(0.0))
+        .alias("big_price"),
+    )
