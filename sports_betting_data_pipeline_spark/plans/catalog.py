@@ -47,7 +47,9 @@ def register(name: str, oracle: str | None = None):
 def _load_query_modules() -> None:
     # Imported for their @register side effects.
     from sports_betting_data_pipeline_spark.plans import (  # noqa: F401
+        q_flatten,
         q_relational,
+        q_temporal,
     )
 
 

@@ -1,0 +1,141 @@
+"""Temporal catalog queries (SURVEY.md §2.6 C1-C4).
+
+Timezone-SENSITIVE renderings (America/New_York, US/Eastern) are
+deliberately absent here — the oracle session's timezone is not ours to
+pin, so those are verified cell-exact by tests/test_flatten.py and
+tests/test_temporal.py. These queries cover the timezone-NEUTRAL
+surface: ISO-Z parse/format roundtrips, epoch extraction, calendar
+parts, and time bucketing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sports_betting_data_pipeline_spark.io import load_table
+from sports_betting_data_pipeline_spark.operators.temporal import (
+    ISO_Z_FORMAT,
+    parse_iso_utc,
+)
+from sports_betting_data_pipeline_spark.plans.catalog import register
+
+
+@register(
+    "c01_iso_parse_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           strftime(l_shipdate, '%Y-%m-%dT%H:%M:%SZ') AS iso,
+           CAST(epoch(strptime(strftime(l_shipdate, '%Y-%m-%dT%H:%M:%SZ'),
+                               '%Y-%m-%dT%H:%M:%SZ')) AS BIGINT) AS epoch_s
+    FROM lineitem
+    WHERE l_orderkey % 200 = 0
+    """,
+)
+def c01_iso_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1 parse step: render timestamps to the reference's ISO-Z wire
+    format (main.py:89-92) and parse them back; output the epoch so the
+    comparison is timezone-neutral."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.pmod(F.col("l_orderkey"), F.lit(200)) == 0
+    )
+    iso = F.date_format("l_shipdate", ISO_Z_FORMAT)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        iso.alias("iso"),
+        F.unix_timestamp(parse_iso_utc(iso)).alias("epoch_s"),
+    )
+
+
+@register(
+    "c03_epoch_micros",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS micros,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS secs
+    FROM events
+    WHERE event_id % 25 = 0
+    """,
+)
+def c03_epoch_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3 parse step: the events table's ns-precision timestamps (read
+    via exact ns→µs truncation, io.load_table) exposed as epoch
+    micros/seconds — the inverse of updated_at/1e9 (main.py:126-128)."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.pmod(F.col("event_id"), F.lit(25)) == 0
+    )
+    return events.select(
+        "event_id",
+        F.unix_micros("ts").alias("micros"),
+        F.unix_timestamp(F.date_trunc("second", "ts")).alias("secs"),
+    )
+
+
+@register(
+    "c04_calendar_parts",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT)      AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT)   AS qtr,
+           CAST(month(o_orderdate) AS BIGINT)     AS mon,
+           count(*)                               AS n_orders,
+           round(sum(o_totalprice), 2)            AS revenue
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def c04_calendar_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-part extraction + monthly rollup (the analytic upgrade
+    of the reference's per-row strftime formatting)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.month("o_orderdate").cast("long").alias("mon"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("yr", "qtr", "mon")
+    )
+
+
+@register(
+    "c06_time_bucketing",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
+           CAST(hour(ts) AS BIGINT) AS hr,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+    """,
+)
+def c06_time_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly bucketing over a time-range scan — the batch analog of
+    the streaming tumbling window (SURVEY.md §2.8); range predicate
+    prunes partitions when the table is date-partitioned at scale."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(
+            (F.col("ts") >= F.lit("2024-01-10 00:00:00").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+        )
+        .groupBy(
+            F.to_date(F.date_trunc("hour", "ts")).alias("day"),
+            F.hour("ts").cast("long").alias("hr"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "hr", "event_type")
+    )
