@@ -1,0 +1,277 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the near-dup toolkit of a pretraining-data pipeline.
+
+Scale design (the whole point of these ops at 100 TB):
+- exact: one hash-shuffle on the dedup key; canonical-row selection via
+  min-key window so output is deterministic.
+- MinHash+LSH: signatures are computed scan-side with zero Python
+  (shingle → xxhash64(shingle, seed) → array_min per seed), then ONLY
+  the (band_id, band_hash) pairs shuffle — candidate generation is a
+  self-equi-join on band buckets, never an O(n²) cross join. Bands/rows
+  trade recall vs candidate count (b bands of r rows ≈ s-curve at
+  (1/b)^(1/r)).
+- SimHash: 64-bit signature per doc (near-dup = small Hamming
+  distance); JVM-side via bit-sign aggregation over token hashes.
+- n-gram Jaccard: exact verification measure used on LSH candidates;
+  also exposed standalone with explicit blocking for small cohorts.
+
+The signature/hash primitives are deterministic (xxhash64 with fixed
+seeds) so results are reproducible across partitionings and runs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sports_betting_data_pipeline_spark.functions.text import shingles
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+def exact_dedupe(df: DataFrame, subset: Sequence[str]) -> DataFrame:
+    """Keep one arbitrary row per distinct subset (dropDuplicates)."""
+    return df.dropDuplicates(list(subset))
+
+
+def exact_dedupe_canonical(
+    df: DataFrame, key: str, subset: Sequence[str]
+) -> DataFrame:
+    """Keep the row with the smallest ``key`` per distinct ``subset`` —
+    deterministic canonical-row selection (dropDuplicates keeps an
+    arbitrary row, which is not reproducible across partitionings)."""
+    w = Window.partitionBy(*subset).orderBy(F.col(key))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard on shingle sets
+# ---------------------------------------------------------------------------
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.2,
+    block_col: str | None = None,
+) -> DataFrame:
+    """All-pairs exact k-shingle Jaccard above ``threshold``.
+
+    WITHOUT ``block_col`` this is a cross join — only for small cohorts
+    (a sampled audit, a single bucket). At scale pass a blocking column
+    (source, length bucket, LSH band) so the join is an equi-join.
+    Output: (id_a, id_b, jaccard_sim), id_a < id_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), k).alias("_sh"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+    )
+    left = sh.select(*[F.col(c).alias(c + "_l") for c in sh.columns])
+    right = sh.select(*[F.col(c).alias(c + "_r") for c in sh.columns])
+    if block_col:
+        joined = left.join(right, on=[F.col("_blk_l") == F.col("_blk_r")])
+    else:
+        joined = left.crossJoin(right)
+    return (
+        joined.filter(F.col("_id_l") < F.col("_id_r"))
+        .select(
+            F.col("_id_l").alias("id_a"),
+            F.col("_id_r").alias("id_b"),
+            jaccard(F.col("_sh_l"), F.col("_sh_r")).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def minhash_signature(text: Column, k: int = 3, num_hashes: int = 32) -> Column:
+    """MinHash signature: array of ``num_hashes`` minima of per-seed
+    xxhash64 over the document's k-shingles. Empty shingle sets yield
+    nulls (filtered by callers)."""
+    sh = shingles(text, k)
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
+            for seed in range(num_hashes)
+        ]
+    )
+
+
+def minhash_estimated_sim(sig_a: Column, sig_b: Column) -> Column:
+    """Fraction of agreeing signature positions ≈ Jaccard."""
+    agree = F.size(F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda v: v))
+    return agree / F.size(sig_a)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.0,
+) -> DataFrame:
+    """Near-dup candidate pairs via banded MinHash LSH, verified with
+    exact shingle Jaccard.
+
+    Output: (id_a, id_b, est_sim, jaccard_sim), id_a < id_b, filtered
+    to ``jaccard_sim >= verify_threshold``.
+
+    Shuffle profile at scale: one shuffle of (band_id, band_hash, id,
+    sig, shingles) rows — ``bands`` rows per doc — then an equi-join
+    per bucket. No cross join ever happens; collision buckets are tiny
+    for honest hash functions.
+    """
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        shingles(F.col(text_col), k).alias("_sh"),
+        minhash_signature(F.col(text_col), k, num_hashes).alias("_sig"),
+    ).filter(F.size("_sh") > 0)
+
+    banded = base.select(
+        "_id",
+        "_sh",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("_sig")[b * rows_per_band + r].cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            ),
+                            F.lit(b),
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_sh", "_sig", "_band.band_id", "_band.band_hash")
+
+    left = banded.select(
+        F.col("band_id"),
+        F.col("band_hash"),
+        F.col("_id").alias("id_a"),
+        F.col("_sh").alias("sh_a"),
+        F.col("_sig").alias("sig_a"),
+    )
+    right = banded.select(
+        F.col("band_id"),
+        F.col("band_hash"),
+        F.col("_id").alias("id_b"),
+        F.col("_sh").alias("sh_b"),
+        F.col("_sig").alias("sig_b"),
+    )
+    pairs = (
+        left.join(right, on=["band_id", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])  # collapse multi-band collisions
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.round(minhash_estimated_sim(F.col("sig_a"), F.col("sig_b")), 6).alias(
+                "est_sim"
+            ),
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= verify_threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash64(text_col_name: str) -> Column:
+    """64-bit SimHash of whitespace tokens, fully JVM-side.
+
+    Each token hashes to 64 bits; every bit contributes ±1 to its
+    position's counter; the signature sets bit j where the counter is
+    positive. Near-duplicates have small Hamming distance
+    (bit_count(a XOR b)).
+
+    Takes a column NAME: the bit loop needs ``shiftright(h, j)`` with a
+    COLUMN shift amount, which only the SQL surface allows (the Python
+    ``F.shiftright`` requires a literal int), so the whole signature is
+    one SQL higher-order expression.
+    """
+    toks = f"filter(split(lower({text_col_name}), '\\\\s+'), t -> t != '')"
+    hashes = f"transform({toks}, t -> xxhash64(t))"
+    counters = (
+        f"aggregate({hashes}, array_repeat(0L, 64), (acc, h) -> "
+        "zip_with(acc, transform(sequence(0,63), "
+        "j -> IF((shiftright(h, j) & 1) = 1, 1L, -1L)), (a,b) -> a+b))"
+    )
+    packed = (
+        f"aggregate(zip_with({counters}, sequence(0,63), "
+        "(c,j) -> IF(c > 0, shiftleft(1L, j), 0L)), 0L, (acc,x) -> acc | x)"
+    )
+    return F.expr(packed)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b)).cast("long")
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-dup pairs blocked by signature prefix.
+
+    Docs sharing the top ``prefix_bits`` of their simhash land in one
+    bucket (equi-join); pairs within a bucket are verified by full
+    Hamming distance. Trades recall (near-dups differing in the prefix
+    are missed) for a shuffle-only plan — the standard multi-probe
+    variant re-runs with rotated signatures.
+    """
+    sig = df.select(
+        F.col(id_col).alias("_id"), simhash64(text_col).alias("_sig")
+    ).withColumn("_bucket", F.shiftrightunsigned("_sig", 64 - prefix_bits))
+    left = sig.select(
+        F.col("_bucket"), F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")
+    )
+    right = sig.select(
+        F.col("_bucket"), F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")
+    )
+    return (
+        left.join(right, on="_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,135 @@
+"""Text-analysis operators over document tables: tokenization, token
+counting, language ID, quality scoring, fingerprinting.
+
+Everything here is pure JVM-side column expressions (split /
+regexp_count / array_* / aggregate) — at 100 TB these run inside
+whole-stage codegen with zero Python in the hot path, embarrassingly
+parallel per partition (no shuffles except where a groupBy is the
+semantics).
+
+Design notes per operator:
+- token counts: whitespace tokens and a BPE-ish regex tokenizer
+  (`\\w+` runs or single non-space symbols) — the standard
+  pre-tokenizer shape for LLM data work.
+- language ID: marker-word overlap heuristic (per-language stopword
+  hit counts, argmax with a fixed precedence for ties). Deterministic
+  and SQL-expressible, so the DuckDB oracle can check it exactly.
+- quality score: length / stopword-ratio / uniqueness features of the
+  kind used in pretraining-corpus filtering (C4/Gopher-style rules),
+  combined into one bounded score.
+- fingerprints: 64-bit xxhash of normalized text (exact), and k-shingle
+  arrays feeding the MinHash pipeline in dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker words per language for the heuristic classifier. Precedence
+# (tie-break) order is the tuple order below.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "is", "and", "of"],
+    "es": ["el", "la", "los", "que", "y"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "les", "une", "et", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+# Small English stopword list for quality ratios.
+STOPWORDS = ["the", "a", "an", "is", "are", "of", "and", "or", "to", "in"]
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization; drops empty tokens."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def ws_token_count(text: Column) -> Column:
+    return F.size(ws_tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish pre-token count: alnum runs + individual symbols.
+
+    Explicit character classes (not ``\\w``) so Java regex (Spark) and
+    RE2 (DuckDB oracle) agree.
+    """
+    return F.regexp_count(text, F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")).cast("long")
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text).cast("long")
+
+
+def uniq_token_ratio(text: Column) -> Column:
+    """Distinct-token / token ratio — low values indicate boilerplate
+    or repetition (a Gopher-style repetition filter feature)."""
+    toks = ws_tokens(text)
+    return F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    toks = ws_tokens(text)
+    hits = F.size(
+        F.filter(toks, lambda t: F.lower(t).isin(*(stopwords or STOPWORDS)))
+    )
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(text: Column) -> Column:
+    toks = ws_tokens(text)
+    total = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Bounded [0,1] quality heuristic combining pretraining-filter
+    features: enough-but-not-degenerate length, sane mean token length,
+    some stopword mass, low repetition."""
+    n = ws_token_count(text)
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    mtl = mean_token_length(text)
+    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = stopword_ratio(text)
+    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    uniq = uniq_token_ratio(text)
+    return (len_ok + mtl_ok + sw_ok + uniq) / F.lit(4.0)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-overlap language classifier with fixed tie precedence."""
+    toks = ws_tokens(F.lower(text))
+    scores = {
+        lang: F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+        for lang, words in LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    expr = F.lit("unknown")
+    # Build the precedence chain in reverse so earlier languages win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint64(text: Column) -> Column:
+    """Exact 64-bit document fingerprint of case/whitespace-normalized
+    text (xxhash64 — stable across runs and partitionings)."""
+    normalized = F.concat_ws(" ", ws_tokens(F.lower(text)))
+    return F.xxhash64(normalized)
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (the MinHash/Jaccard input unit).
+
+    Sliding window over whitespace tokens via transform+slice; text
+    shorter than k tokens yields its single full-token join.
+    """
+    toks = ws_tokens(F.lower(text))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )

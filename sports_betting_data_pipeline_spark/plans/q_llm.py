@@ -1,0 +1,414 @@
+"""LLM-data-pipeline catalog queries (SURVEY.md §2.10): text analysis,
+dedup, similarity search, multimodal plumbing — over the documents /
+embeddings fixtures.
+
+Oracle policy: everything SQL-expressible gets a DuckDB oracle
+(token stats, word frequency, lang-ID heuristic, quality score,
+prefix/canonical dedup, n-gram Jaccard, brute-force ANN, multimodal
+metadata). Hash-based ops (MinHash/SimHash/LSH) are rows-only here —
+their recall/precision behavior is pinned by planted-duplicate unit
+tests (tests/test_llm_ops.py) since DuckDB cannot reproduce xxhash64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sports_betting_data_pipeline_spark.functions.dedup import (
+    exact_dedupe_canonical,
+    jaccard,
+    minhash_lsh_candidates,
+    simhash_neardup_pairs,
+)
+from sports_betting_data_pipeline_spark.functions.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    synthesize_assets,
+)
+from sports_betting_data_pipeline_spark.functions.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+)
+from sports_betting_data_pipeline_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    bpe_ish_token_count,
+    char_count,
+    lang_id,
+    mean_token_length,
+    quality_score,
+    shingles,
+    stopword_ratio,
+    uniq_token_ratio,
+    ws_token_count,
+    ws_tokens,
+)
+from sports_betting_data_pipeline_spark.io import load_table
+from sports_betting_data_pipeline_spark.plans.catalog import register
+
+# DuckDB fragment equal to text.ws_tokens.
+_DTOKS = "list_filter(string_split_regex({src}, '\\s+'), t -> t != '')"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "l01_text_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, n_chars, text,
+               {_DTOKS.format(src='text')} AS toks
+        FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id, n_chars,
+           CAST(length(text) AS BIGINT) AS len_chars,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpe,
+           round(list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1), 6) AS mean_tok_len,
+           round(len(list_distinct(toks)) / greatest(len(toks), 1), 6) AS uniq_ratio,
+           round(len(list_filter(toks, x -> list_contains({STOPWORDS!r}, lower(x)))) / greatest(len(toks), 1), 6) AS sw_ratio
+    FROM t
+    """,
+)
+def l01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), mean token length,
+    uniqueness and stopword ratios — per-document text statistics."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 0
+    )
+    text = F.col("text")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        char_count(text).alias("len_chars"),
+        ws_token_count(text).alias("n_tokens"),
+        bpe_ish_token_count(text).alias("n_bpe"),
+        F.round(mean_token_length(text), 6).alias("mean_tok_len"),
+        F.round(uniq_token_ratio(text), 6).alias("uniq_ratio"),
+        F.round(stopword_ratio(text), 6).alias("sw_ratio"),
+    )
+
+
+@register(
+    "l02_word_frequency",
+    oracle=f"""
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest({_DTOKS.format(src='lower(text)')}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+)
+def l02_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus word frequency: explode(tokens) → count → top-20.
+
+    Scale: partial aggregation makes the shuffle carry only per-word
+    partial counts; the limit compiles to TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
+    )
+
+
+def _lang_oracle_sql() -> str:
+    toks = _DTOKS.format(src="lower(text)")
+    scores = ", ".join(
+        f"len(list_intersect(list_distinct({toks}), {words!r})) AS s_{lang}"
+        for lang, words in LANG_MARKERS.items()
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in LANG_MARKERS) + ")"
+    case = " ".join(
+        f"WHEN s_{lang} = best AND best > 0 THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, lang, {scores} FROM documents
+    ), best AS (
+        SELECT doc_id, lang, {best} AS best, * FROM scored
+    )
+    SELECT lang AS lang_true,
+           CASE {case} ELSE 'unknown' END AS lang_pred,
+           count(*) AS n_docs
+    FROM best
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@register("l03_lang_id", oracle=_lang_oracle_sql())
+def l03_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (marker-word overlap, fixed tie
+    precedence) cross-tabulated against the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("lang_true"),
+            lang_id(F.col("text")).alias("lang_pred"),
+        )
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_true", "lang_pred")
+    )
+
+
+@register(
+    "l04_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DTOKS.format(src='text')} AS toks FROM documents
+        WHERE doc_id % 5 = 0
+    ), feats AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS mtl,
+               len(list_filter(toks, x -> list_contains({STOPWORDS!r}, lower(x)))) / greatest(len(toks), 1) AS sw,
+               len(list_distinct(toks)) / greatest(len(toks), 1) AS uniq
+        FROM t
+    )
+    SELECT doc_id,
+           round((
+             (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END) +
+             (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) +
+             (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.0 END) +
+             uniq) / 4.0, 6) AS quality
+    FROM feats
+    """,
+)
+def l04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pretraining-filter quality heuristic (length / token-shape /
+    stopword-mass / repetition), bounded [0,1]."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0
+    )
+    return docs.select(
+        "doc_id", F.round(quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+@register(
+    "l05_prefix_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DTOKS.format(src='text')} AS toks FROM documents
+    )
+    SELECT array_to_string(toks[1:2], ' ') AS prefix,
+           min(doc_id) AS keep_id,
+           count(*) AS n_docs
+    FROM t
+    GROUP BY 1
+    """,
+)
+def l05_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a prefix key: canonical min-id per group + group
+    size (the hash-groupBy exact-dedup shape, one narrow shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    prefix = F.concat_ws(" ", F.slice(ws_tokens(F.col("text")), 1, 2))
+    return docs.groupBy(prefix.alias("prefix")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "l06_canonical_dedupe",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def l06_canonical_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic exact dedup: keep the min-doc_id row per
+    (lang, source) — dropDuplicates without its partition-order
+    nondeterminism."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedupe_canonical(docs, key="doc_id", subset=["lang", "source"]).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+@register(
+    "l07_ngram_jaccard",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct({_DTOKS.format(src='lower(text)')}) AS sh
+        FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+                 greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard_sim
+    FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) /
+          greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
+    """,
+)
+def l07_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact unigram-Jaccard near-dup pairs, blocked by lang.
+
+    (k=1 shingles here because the fixture word-soup has no repeated
+    word SEQUENCES; the k=3 path is pinned by planted-duplicate unit
+    tests.) Jaccard is a ratio of two ints — bit-exact across engines,
+    so the threshold filter is stable."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(17)) == 0
+    )
+    sh = docs.select(
+        F.col("doc_id").alias("_id"),
+        F.col("lang").alias("_blk"),
+        shingles(F.col("text"), k=1).alias("_sh"),
+    )
+    left = sh.select(
+        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
+    )
+    right = sh.select(
+        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")
+    )
+    return (
+        left.join(right, on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("_j", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("_j") >= 0.5)
+        .select("id_a", "id_b", F.round("_j", 6).alias("jaccard_sim"))
+    )
+
+
+@register("l08_minhash_lsh")
+def l08_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates over documents (rows-only:
+    xxhash64 signatures are not DuckDB-reproducible; recall on planted
+    near-dups is pinned in tests/test_llm_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text", k=3, num_hashes=32, bands=8
+    )
+
+
+@register("l09_simhash_neardup")
+def l09_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, prefix-blocked (rows-only; planted-dup
+    behavior pinned in unit tests)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        docs, id_col="doc_id", text_col="text", max_hamming=16, prefix_bits=8
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+@register(
+    "l10_ann_bruteforce",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 10
+    ), sims AS (
+        SELECT q.query_id, c.vec_id,
+               list_cosine_similarity(c.embedding::DOUBLE[], q.qv) AS sim
+        FROM embeddings c, q
+    )
+    SELECT query_id, vec_id, round(sim, 6) AS cosine_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def l10_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5: broadcast query set × corpus scan, JVM-side
+    double-precision dot products, per-query top-k window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=5)
+
+
+@register("l11_ann_lsh")
+def l11_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via random-hyperplane LSH buckets + exact
+    re-rank (rows-only: recall vs brute force asserted in unit tests)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_topk(emb, queries, k=5, bits=8, dim=64)
+
+
+@register("l12_embedding_neardup")
+def l12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection with PLANTED duplicates: the
+    fixture embeddings are near-orthogonal (no natural near-dups), so
+    the corpus is unioned with slightly-perturbed copies of every
+    100th vector; the LSH self-join must recover those pairs at
+    cosine >= 0.99. Deterministic rows-only check."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.pmod(F.col("vec_id"), F.lit(100)) == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x),
+        ).cast("array<float>").alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(planted)
+    return embedding_neardup_pairs(corpus, threshold=0.99, bits=8, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+@register(
+    "m01_multimodal_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents WHERE doc_id % 11 = 0
+    """,
+)
+def m01_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column plumbing end-to-end: synthesize binary
+    assets, run the Arrow-batched mapInPandas feature extractor, and
+    surface metadata the oracle can check (payload byte counts).
+
+    The float features (byte_mean/entropy/projection) are exercised in
+    tests; this oracle pins the schema/partition/batch plumbing."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(11)) == 0
+    )
+    feats = extract_features(synthesize_assets(docs))
+    return feats.select("asset_id", "media_type", "n_bytes")
+
+
+@register(
+    "m02_frame_sample_plan",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(floor(greatest(CAST(doc_id % 120 AS BIGINT) * 1000 - 1, 0) / 10000) + 1 AS BIGINT) AS n_frames
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def m02_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan from duration metadata (JVM-side; the
+    frame decode itself is the stubbed codec step)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = frame_sample_plan(synthesize_assets(docs))
+    return plan.select(
+        "asset_id", F.size("frame_offsets_ms").cast("long").alias("n_frames")
+    )

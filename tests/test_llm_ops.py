@@ -1,0 +1,154 @@
+"""Planted-duplicate tests for the hash-based LLM ops (MinHash+LSH,
+SimHash, embedding LSH) whose signatures DuckDB cannot reproduce —
+recall/precision behavior is pinned here instead (SURVEY.md §2.10)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sports_betting_data_pipeline_spark.functions.dedup import (
+    minhash_lsh_candidates,
+    simhash_neardup_pairs,
+)
+from sports_betting_data_pipeline_spark.functions.multimodal import (
+    extract_features,
+    synthesize_assets,
+)
+from sports_betting_data_pipeline_spark.functions.similarity import (
+    brute_force_topk,
+    lsh_topk,
+)
+
+WORDS = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
+).split()
+
+
+def _doc(rng: np.random.Generator, n: int = 60) -> str:
+    return " ".join(rng.choice(WORDS, size=n))
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    """40 random docs + 5 near-duplicate pairs (one word changed) + one
+    exact duplicate pair."""
+    rng = np.random.default_rng(123)
+    rows = [(i, _doc(rng)) for i in range(40)]
+    pairs = []
+    for j in range(5):
+        base = _doc(rng)
+        toks = base.split()
+        toks[7] = "zulu"  # one-token perturbation -> high Jaccard
+        rows.append((100 + j, base))
+        rows.append((200 + j, " ".join(toks)))
+        pairs.append((100 + j, 200 + j))
+    rows.append((300, rows[0][1]))  # exact dup of doc 0
+    pairs.append((0, 300))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return df, pairs
+
+
+def test_minhash_lsh_recovers_planted_pairs(planted_docs):
+    df, pairs = planted_docs
+    found = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            df, "doc_id", "text", k=3, num_hashes=32, bands=8, verify_threshold=0.5
+        ).collect()
+    }
+    for pair in pairs:
+        assert pair in found, f"planted pair {pair} not recovered"
+    # No random-doc pair should survive the 0.5 Jaccard verification.
+    random_pairs = {p for p in found if p[0] < 100 and p[1] < 100}
+    assert not random_pairs
+
+
+def test_minhash_exact_dup_estimated_sim_is_one(planted_docs):
+    df, _ = planted_docs
+    row = (
+        minhash_lsh_candidates(df, "doc_id", "text")
+        .filter((F.col("id_a") == 0) & (F.col("id_b") == 300))
+        .collect()
+    )
+    assert len(row) == 1
+    assert row[0].est_sim == 1.0
+    assert row[0].jaccard_sim == 1.0
+
+
+def test_simhash_finds_exact_and_near_dups(planted_docs):
+    df, pairs = planted_docs
+    found = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_neardup_pairs(
+            df, "doc_id", "text", max_hamming=16, prefix_bits=4
+        ).collect()
+    }
+    assert found.get((0, 300)) == 0  # exact dup -> identical signature
+    # At least half the one-word-perturbed pairs should land within
+    # hamming<=16 AND share the 4-bit prefix (recall is probabilistic
+    # by design; planted perturbation is tiny so expect most).
+    recovered = [p for p in pairs[:5] if p in found]
+    assert len(recovered) >= 3
+
+
+@pytest.fixture(scope="module")
+def embedding_fixture(spark):
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    return df
+
+
+def test_brute_force_topk_matches_numpy(embedding_fixture):
+    df = embedding_fixture
+    queries = df.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = brute_force_topk(df, queries, k=4)
+    got_map = {
+        (r.query_id, r.rank): r.vec_id for r in got.collect()
+    }
+    pdf = df.toPandas().sort_values("vec_id")
+    mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    for q in range(3):
+        sims = (mat @ mat[q]) / (norms * norms[q])
+        order = sorted(range(100), key=lambda i: (-sims[i], i))[:4]
+        for rank, vid in enumerate(order, start=1):
+            assert got_map[(q, rank)] == vid
+    # self-match is always rank 1 with sim 1.0
+    top1 = {r.query_id: (r.vec_id, r.cosine_sim) for r in got.collect() if r.rank == 1}
+    for q, (vid, sim) in top1.items():
+        assert vid == q and sim == pytest.approx(1.0, abs=1e-6)
+
+
+def test_lsh_topk_subset_of_bucket_and_self_found(embedding_fixture):
+    df = embedding_fixture
+    queries = df.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = lsh_topk(df, queries, k=4, bits=6, dim=16)
+    rows = got.collect()
+    assert rows, "LSH returned nothing (every query shares its own bucket)"
+    top1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    for q, vid in top1.items():
+        assert vid == q  # the query itself is in its own bucket at sim 1.0
+
+
+def test_multimodal_features_deterministic(spark, sf_dir):
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 31 == 0)
+    )
+    feats = extract_features(synthesize_assets(docs))
+    a = {r.asset_id: (r.n_bytes, r.byte_mean, r.byte_entropy, tuple(r.feature)) for r in feats.collect()}
+    b = {r.asset_id: (r.n_bytes, r.byte_mean, r.byte_entropy, tuple(r.feature)) for r in feats.collect()}
+    assert a == b and len(a) > 0
+    for asset_id, (n_bytes, byte_mean, entropy, feature) in a.items():
+        assert n_bytes > 0 and 0 < byte_mean < 255
+        assert 0 < entropy <= 8.0
+        assert len(feature) == 8
