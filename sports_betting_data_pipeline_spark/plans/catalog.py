@@ -50,6 +50,7 @@ def _load_query_modules() -> None:
         q_flatten,
         q_llm,
         q_relational,
+        q_streaming,
         q_temporal,
     )
 

@@ -1,0 +1,178 @@
+"""Streaming catalog queries (SURVEY.md §2.8): real readStream
+pipelines drained deterministically with availableNow, whose FINAL
+results over the finite fixture equal a batch computation — so DuckDB
+can still oracle them (tumbling = date_trunc, sliding = offset union,
+session = gaps-and-islands, upsert = latest-per-key).
+
+Timestamps are exported as epoch seconds/micros so the comparison is
+timezone-neutral.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sports_betting_data_pipeline_spark.io import load_table
+from sports_betting_data_pipeline_spark.plans.catalog import register
+from sports_betting_data_pipeline_spark.streaming.jobs import (
+    decode_pusher_envelope,
+    encode_pusher_envelope,
+    latest_per_key_upsert,
+    read_events_stream,
+    run_stream_to_table,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+@register(
+    "st01_tumbling_window",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start_s,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1h tumbling-window aggregation over the event
+    stream; drained with availableNow, the final windows equal the
+    batch hourly rollup."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(
+        tumbling_counts(stream, "1 hour"), "st01_tumbling", output_mode="complete"
+    )
+
+
+@register(
+    "st02_sliding_window",
+    oracle="""
+    SELECT CAST(epoch(time_bucket(INTERVAL '30 minutes', ts)
+                      - g.o * INTERVAL '30 minutes') AS BIGINT) AS window_start_s,
+           event_type, count(*) AS n
+    FROM events, (SELECT unnest([0, 1]) AS o) g
+    GROUP BY 1, 2
+    """,
+)
+def st02_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked sliding windows (1h wide, 30min slide): every event
+    lands in exactly two windows. The oracle enumerates both container
+    windows per event (start = 30min-truncation, minus one extra
+    slide)."""
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(
+        sliding_counts(stream, "1 hour", "30 minutes"),
+        "st02_sliding",
+        output_mode="complete",
+    )
+
+
+@register(
+    "st03_session_window",
+    oracle="""
+    WITH src AS (
+        SELECT user_id, ts FROM events WHERE user_id % 10 = 0
+    ), wm AS (
+        SELECT max(ts) - INTERVAL '10 minutes' AS w FROM src
+    ), flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL '2 days'
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM src
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS session_id
+        FROM flagged
+    ), sess AS (
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) AS session_last,
+               count(*) AS n_events
+        FROM islands GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(floor(epoch(session_start)) AS BIGINT) AS session_start_s,
+           n_events
+    FROM sess, wm
+    WHERE session_last + INTERVAL '2 days' <= wm.w
+    """,
+)
+def st03_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (2-day gap) per user over the stream, append
+    mode (the only mode session windows support): the final watermark
+    (max event time - 10 min) withholds sessions whose end is still
+    open, so the gaps-and-islands oracle applies the same eviction
+    predicate (session_end <= watermark)."""
+    stream = read_events_stream(spark, sf_dir).filter(
+        F.pmod(F.col("user_id"), F.lit(10)) == 0
+    )
+    return run_stream_to_table(
+        session_counts(stream, "2 days"), "st03_session", output_mode="append"
+    )
+
+
+@register(
+    "st04_stream_upsert",
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           epoch_us(ts) AS last_ts_us,
+           event_type AS last_type,
+           round(value, 6) AS last_value
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def st04_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 keyed upsert: foreachBatch MERGE keeping the newest row per
+    user — the wagers/sport_events dict upsert (mm_calls.py:105/261/325)
+    as durable latest-row-wins state. Final state must equal the batch
+    latest-per-key query."""
+    stream = read_events_stream(spark, sf_dir)
+    state = latest_per_key_upsert(stream)
+    return state.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.unix_micros("ts").alias("last_ts_us"),
+        F.col("event_type").alias("last_type"),
+        F.round("value", 6).alias("last_value"),
+    )
+
+
+@register(
+    "st05_pusher_decode",
+    oracle="""
+    SELECT 'tournament_' || CAST(user_id % 10 AS VARCHAR) AS channel,
+           count(*) AS n_msgs,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def st05_pusher_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6/T1: full Pusher wire roundtrip — wrap props in a JSON
+    envelope with base64(JSON) payload, then from_json → unbase64 →
+    from_json back, route by tournament channel (mm_calls.py:164-204).
+    The roundtrip is the identity, so the oracle computes the same
+    aggregate straight from props."""
+    events = load_table(spark, sf_dir, "events")
+    decoded = decode_pusher_envelope(encode_pusher_envelope(events))
+    return (
+        decoded.groupBy("channel")
+        .agg(F.count(F.lit(1)).alias("n_msgs"), F.sum("k").alias("sum_k"))
+        .orderBy("channel")
+    )

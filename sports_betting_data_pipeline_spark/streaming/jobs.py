@@ -1,0 +1,228 @@
+"""Structured Streaming jobs: the engine-native upgrade of the
+reference's Pusher-WebSocket thread (SURVEY.md §2.8).
+
+Reference → Spark mapping:
+- S6 websocket source (mm_calls.py:143-162)  → ``readStream`` file
+  source over the events fixture (production: Kafka source, same
+  downstream code — the transformations are source-agnostic).
+- T1 channel routing (mm_calls.py:176-204)   → filter/groupBy on the
+  decoded channel columns.
+- T2 stateless handlers (mm_calls.py:164-174)→ ``foreachBatch`` /
+  select transforms; C6 payload decode is ``from_json`` → ``unbase64``.
+- T3 keyed upsert state (mm_calls.py:105/261/325) → ``foreachBatch``
+  MERGE into a keyed state table (latest-row-wins), the Delta-style
+  upsert pattern.
+- T4 periodic triggers (mm_calls.py:386-389) → ``trigger(...)``;
+  tests use ``availableNow`` to drain the fixture deterministically.
+
+The reference had NO watermarks/windows/late-data policy (state lost
+on crash, at-most-once); the engine adds watermarked tumbling /
+sliding / session windows as the idiomatic upgrade, with checkpointed
+exactly-once state.
+
+Scale notes: windowed aggregations shuffle once on (window, key);
+watermarks bound state size (without one, complete-mode state grows
+unboundedly — only used here for finite fixture drains). The upsert
+state table is partitioned by key hash; at 100 TB stream history the
+state holds only one row per key.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from sports_betting_data_pipeline_spark.io import table_path
+from sports_betting_data_pipeline_spark.schemas import PUSHER_MESSAGE
+
+# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader
+# (like io.load_table) reads it as raw int64 and truncates to µs.
+EVENTS_RAW = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: file-source readStream over the events fixture with the
+    ns→µs timestamp conversion applied scan-side."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The file source needs a DIRECTORY; pathGlobFilter narrows the
+    # fixture dir to the events table only.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_table(
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str = "complete",
+) -> DataFrame:
+    """Drain a finite stream into an in-memory sink synchronously and
+    return the result table (the deterministic test/drain harness —
+    production uses a real sink + processingTime trigger, T4)."""
+    spark = stream_df.sparkSession
+    query = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Watermarked tumbling-window counts per event_type (the windowed
+    upgrade of T2's per-message handling)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "1 hour", slide: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked sliding-window counts (each event lands in
+    width/slide overlapping windows)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_s"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "2 days") -> DataFrame:
+    """Session windows per user: events closer than ``gap`` merge into
+    one session (no session concept exists in the reference; this is
+    the engine-native sessionization)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.unix_timestamp(F.col("w.start")).alias("session_start_s"),
+            "n_events",
+        )
+    )
+
+
+def latest_per_key_upsert(
+    events: DataFrame, state_dir: str | None = None
+) -> DataFrame:
+    """T3: keyed latest-row-wins upsert via foreachBatch MERGE.
+
+    Each microbatch merges into a parquet state table: union existing
+    state with the batch, keep the newest row per user_id
+    (ts desc, event_id desc tiebreak). This is the engine's version of
+    ``sport_events[event_id] = event`` / wagers-dict upsert-delete
+    (mm_calls.py:105, 261, 325) — durable, exactly-once per batch, and
+    expressible as a batch MERGE so the oracle can check the final
+    state.
+    """
+    spark = events.sparkSession
+    state_dir = state_dir or tempfile.mkdtemp(prefix="upsert_state_")
+    state_path = os.path.join(state_dir, "state")
+    checkpoint = os.path.join(state_dir, "checkpoint")
+
+    def merge_batch(batch: DataFrame, _epoch: int) -> None:
+        latest = _latest_per_user(batch)
+        try:
+            existing = batch.sparkSession.read.parquet(state_path)
+            merged = _latest_per_user(existing.unionByName(latest))
+        except Exception:  # noqa: BLE001 - first batch: no state yet
+            merged = latest
+        merged.write.mode("overwrite").parquet(state_path + "_next")
+        batch.sparkSession.read.parquet(state_path + "_next").write.mode(
+            "overwrite"
+        ).parquet(state_path)
+
+    query = (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(state_path)
+
+
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C6: Pusher envelope encode/decode (mm_calls.py:164-174).
+# ---------------------------------------------------------------------------
+PAYLOAD_SCHEMA = T.StructType([T.StructField("k", T.LongType())])
+
+
+def encode_pusher_envelope(events: DataFrame) -> DataFrame:
+    """Wrap event props as a Pusher-style wire message: JSON envelope
+    with a base64(JSON) payload and a tournament channel name
+    (mm_calls.py:192-204's per-tournament event binding)."""
+    return events.select(
+        F.to_json(
+            F.struct(
+                F.concat(
+                    F.lit("tournament_"), F.pmod(F.col("user_id"), F.lit(10))
+                ).alias("channel"),
+                F.col("event_type").alias("event"),
+                F.base64(F.col("props").cast("binary")).alias("payload"),
+            )
+        ).alias("msg")
+    )
+
+
+def decode_pusher_envelope(messages: DataFrame) -> DataFrame:
+    """C6: json.loads(msg) → b64decode(payload) → json.loads —
+    as from_json → unbase64 → from_json, fully JVM-side."""
+    env = messages.select(
+        F.from_json(F.col("msg"), PUSHER_MESSAGE).alias("env")
+    ).select("env.channel", "env.event", "env.payload")
+    return env.select(
+        "channel",
+        "event",
+        F.from_json(F.unbase64(F.col("payload")).cast("string"), PAYLOAD_SCHEMA)
+        .getField("k")
+        .alias("k"),
+    )
