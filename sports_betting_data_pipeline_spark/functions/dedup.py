@@ -102,17 +102,41 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
-def minhash_signature(text: Column, k: int = 3, num_hashes: int = 32) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima of per-seed
-    xxhash64 over the document's k-shingles. Empty shingle sets yield
-    nulls (filtered by callers)."""
-    sh = shingles(text, k)
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed))))
-            for seed in range(num_hashes)
-        ]
+_LONG_MAX = (1 << 63) - 1
+
+
+def minhash_signature_from_shingles(sh: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature from a shingle array, in ONE pass.
+
+    Each shingle string is xxhash64'd exactly once; the ``num_hashes``
+    per-seed hash family is derived by rehashing that fixed-width
+    64-bit value with the seed (cheap long ops, no string re-hash).
+    A single ``aggregate`` fold keeps the running minima — the naive
+    form (one ``transform`` + ``array_min`` per seed) re-walks the
+    shingle array ``num_hashes`` times and, worse, lets Catalyst's
+    projection collapse inline the whole tokenize→shingle pipeline
+    into every one of those expressions.
+
+    Empty shingle sets yield an all-``_LONG_MAX`` signature (callers
+    filter on ``size(sh) > 0``).
+    """
+    base_hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    return F.aggregate(
+        base_hashes,
+        F.array_repeat(F.lit(_LONG_MAX), num_hashes),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(seeds, lambda i: F.xxhash64(h, i)),
+            lambda a, b: F.least(a, b),
+        ),
     )
+
+
+def minhash_signature(text: Column, k: int = 3, num_hashes: int = 32) -> Column:
+    """MinHash signature of a text column's k-shingles (one-pass fold,
+    see :func:`minhash_signature_from_shingles`)."""
+    return minhash_signature_from_shingles(shingles(text, k), num_hashes)
 
 
 def minhash_estimated_sim(sig_a: Column, sig_b: Column) -> Column:
@@ -136,66 +160,78 @@ def minhash_lsh_candidates(
     Output: (id_a, id_b, est_sim, jaccard_sim), id_a < id_b, filtered
     to ``jaccard_sim >= verify_threshold``.
 
-    Shuffle profile at scale: one shuffle of (band_id, band_hash, id,
-    sig, shingles) rows — ``bands`` rows per doc — then an equi-join
-    per bucket. No cross join ever happens; collision buckets are tiny
-    for honest hash functions.
+    Shuffle profile at scale: the band join shuffles ONLY (band_id,
+    band_hash, id) — ``bands`` narrow rows per doc; shingle/signature
+    arrays never ride the candidate-generation shuffle. Deduped
+    candidate pairs then join back to the signatures for verification
+    (tiny vs the corpus for honest thresholds). The ``repartition``
+    after signature computation is a materialization barrier: without
+    it, projection collapse would inline the signature fold into every
+    band-hash expression (``bands``× recompute per row). No cross join
+    ever happens; collision buckets are tiny for honest hash functions.
     """
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        shingles(F.col(text_col), k).alias("_sh"),
-        minhash_signature(F.col(text_col), k, num_hashes).alias("_sig"),
-    ).filter(F.size("_sh") > 0)
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            shingles(F.col(text_col), k).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .withColumn(
+            "_sig", minhash_signature_from_shingles(F.col("_sh"), num_hashes)
+        )
+        .repartition(F.col("_id"))  # compute _sh/_sig once, below the exchange
+    )
 
-    banded = base.select(
+    buckets = base.select(
         "_id",
-        "_sh",
-        "_sig",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("_sig")[b * rows_per_band + r].cast("string")
-                                    for r in range(rows_per_band)
-                                ],
-                            ),
                             F.lit(b),
+                            *[
+                                F.col("_sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
                 ]
             )
         ).alias("_band"),
-    ).select("_id", "_sh", "_sig", "_band.band_id", "_band.band_hash")
+    ).select("_id", "_band.band_id", "_band.band_hash")
 
-    left = banded.select(
-        F.col("band_id"),
-        F.col("band_hash"),
+    pairs = (
+        buckets.select(
+            F.col("band_id"), F.col("band_hash"), F.col("_id").alias("id_a")
+        )
+        .join(
+            buckets.select(
+                F.col("band_id"), F.col("band_hash"), F.col("_id").alias("id_b")
+            ),
+            on=["band_id", "band_hash"],
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])  # collapse multi-band collisions
+    )
+    sig_a = base.select(
         F.col("_id").alias("id_a"),
         F.col("_sh").alias("sh_a"),
         F.col("_sig").alias("sig_a"),
     )
-    right = banded.select(
-        F.col("band_id"),
-        F.col("band_hash"),
+    sig_b = base.select(
         F.col("_id").alias("id_b"),
         F.col("_sh").alias("sh_b"),
         F.col("_sig").alias("sig_b"),
     )
-    pairs = (
-        left.join(right, on=["band_id", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b", "sig_a", "sig_b")
-        .dropDuplicates(["id_a", "id_b"])  # collapse multi-band collisions
-    )
     return (
-        pairs.select(
+        pairs.join(sig_a, on="id_a")
+        .join(sig_b, on="id_b")
+        .select(
             "id_a",
             "id_b",
             F.round(minhash_estimated_sim(F.col("sig_a"), F.col("sig_b")), 6).alias(
