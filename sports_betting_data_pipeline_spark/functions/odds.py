@@ -1,0 +1,112 @@
+"""American-odds ladder kit: ladder generation, snap-to-rung,
+odds <-> probability <-> decimal conversions, and the reference's
+deterministic "random" ladder draw.
+
+Reference parity (SURVEY.md §2.6 C8, §2.4 J4):
+- the odds ladder is the `VALID_ODDS_BACKUP` table
+  (src/constants.py:1-291): 291 rungs, magnitudes 100..10000 on a
+  piecewise step grid, symmetric except that -100 is excluded
+  (American odds skip the (-100, 100) interior; -100 itself is
+  remapped to +100, src/mm_calls.py:416-417).
+- the bot draws a uniform rung, flips its sign 50% of the time, and
+  remaps -100 -> 100 (src/mm_calls.py:410-418). The engine's
+  oracle-checkable analog keys the draw on a row id instead of
+  ``random.random()``.
+
+The ladder is regenerated from its step grid rather than stored as a
+literal (291 ints, KB-scale) and used as either a broadcast literal
+array column (per-row snap/draw: 291 JVM-side comparisons, no
+shuffle) or a broadcast dim table (membership semi-join).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# (magnitude_start_inclusive, magnitude_end_exclusive, step)
+_LADDER_GRID = [
+    (100, 120, 1),
+    (120, 200, 2),
+    (200, 300, 5),
+    (300, 500, 10),
+    (500, 1000, 20),
+    (1000, 2000, 100),
+    (2000, 3000, 250),
+    (3000, 5000, 500),
+    (5000, 10000, 2500),
+]
+
+
+@lru_cache(maxsize=1)
+def odds_ladder() -> tuple[int, ...]:
+    """The 291-rung American odds ladder, ascending: -10000..-101,
+    100..10000 (no -100 rung)."""
+    mags = [m for lo, hi, step in _LADDER_GRID for m in range(lo, hi, step)]
+    mags.append(10000)
+    return tuple(sorted(-m for m in mags if m != 100) + sorted(mags))
+
+
+def ladder_array() -> Column:
+    """The ladder as a literal array column (broadcast to every task
+    as part of the serialized plan — no shuffle, no join)."""
+    return F.array(*[F.lit(v) for v in odds_ladder()])
+
+
+def snap_to_ladder(value: Column) -> Column:
+    """Nearest ladder rung to ``value`` (long); ties break to the
+    SMALLER rung. One aggregate fold over the 291-element literal —
+    per-row JVM work, whole-stage-codegen friendly."""
+    v = value.cast("long")
+    return F.aggregate(
+        ladder_array(),
+        F.struct(
+            F.lit(None).cast("long").alias("d"), F.lit(None).cast("long").alias("rung")
+        ),
+        lambda acc, r: F.when(
+            acc["d"].isNull()
+            | (F.abs(r - v) < acc["d"]),
+            F.struct(F.abs(r - v).cast("long").alias("d"), r.cast("long").alias("rung")),
+        ).otherwise(acc),
+    )["rung"]
+
+
+def drawn_odds(row_id: Column) -> Column:
+    """C8 as a deterministic function of a row id: rung =
+    ladder[id mod 291], sign flips when (id div 291) is odd, and
+    -100 maps to +100 (src/mm_calls.py:410-418 with the RNG replaced
+    by key arithmetic so a SQL oracle can reproduce it)."""
+    n = len(odds_ladder())
+    rung = F.element_at(ladder_array(), (F.pmod(row_id, F.lit(n)) + 1).cast("int"))
+    flipped = F.when(F.pmod(F.floor(row_id / n), F.lit(2)) == 1, -rung).otherwise(rung)
+    return F.when(flipped == -100, F.lit(100)).otherwise(flipped)
+
+
+def implied_probability(odds: Column) -> Column:
+    """American odds -> implied win probability (with the bookmaker's
+    vig still in): +a pays a per 100 staked, -a stakes a per 100 won."""
+    a = odds.cast("double")
+    return F.when(a > 0, 100.0 / (a + 100.0)).otherwise(-a / (-a + 100.0))
+
+
+def decimal_odds(odds: Column) -> Column:
+    """American -> European decimal odds (total return per unit stake)."""
+    a = odds.cast("double")
+    return F.when(a > 0, 1.0 + a / 100.0).otherwise(1.0 + 100.0 / -a)
+
+
+def ladder_sql_list() -> str:
+    """The ladder as a SQL list literal, for DuckDB oracle queries
+    (kept in one place so Spark and oracle share a single source)."""
+    return "[" + ", ".join(str(v) for v in odds_ladder()) + "]"
+
+
+def drawn_odds_sql(row_id: str) -> str:
+    """ANSI/DuckDB expression mirroring :func:`drawn_odds` exactly,
+    built from the same ladder source."""
+    n = len(odds_ladder())
+    rung = f"list_extract({ladder_sql_list()}, CAST({row_id} % {n} AS INT) + 1)"
+    flipped = f"(CASE WHEN ({row_id} // {n}) % 2 = 1 THEN -({rung}) ELSE {rung} END)"
+    return f"(CASE WHEN {flipped} = -100 THEN 100 ELSE {flipped} END)"

@@ -48,10 +48,13 @@ def _load_query_modules() -> None:
     # Imported for their @register side effects.
     from sports_betting_data_pipeline_spark.plans import (  # noqa: F401
         q_flatten,
+        q_joins,
         q_llm,
+        q_odds,
         q_relational,
         q_streaming,
         q_temporal,
+        q_wagers,
     )
 
 

@@ -1,0 +1,111 @@
+"""Odds-ladder catalog queries (SURVEY.md §2.6 C8, §2.4 J4): the
+ladder kit exercised end-to-end, with the ladder literal shared
+between the Spark plan and the DuckDB oracle from one Python source
+(functions/odds.py regenerates src/constants.py's table from its step
+grid)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sports_betting_data_pipeline_spark.functions.odds import (
+    decimal_odds,
+    drawn_odds,
+    drawn_odds_sql,
+    implied_probability,
+    ladder_sql_list,
+    snap_to_ladder,
+)
+from sports_betting_data_pipeline_spark.io import load_table
+from sports_betting_data_pipeline_spark.plans.catalog import register
+
+_RAW_ODDS = "(event_id * 7919) % 20001 - 10000"
+
+
+@register(
+    "o01_ladder_snap",
+    oracle=f"""
+    WITH raw AS (
+        SELECT event_id, {_RAW_ODDS} AS r FROM events
+    ), best AS (
+        SELECT raw.event_id, l.rung,
+               row_number() OVER (
+                   PARTITION BY raw.event_id ORDER BY abs(l.rung - raw.r), l.rung
+               ) AS rn
+        FROM raw CROSS JOIN (SELECT unnest({ladder_sql_list()}) AS rung) l
+    )
+    SELECT CAST(rung AS BIGINT) AS snapped, CAST(count(*) AS BIGINT) AS n
+    FROM best WHERE rn = 1 GROUP BY 1
+    """,
+)
+def o01_ladder_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 validation variant: snap synthetic raw odds in [-10000,
+    10000] to the nearest ladder rung (ties to the smaller rung) and
+    histogram the rungs. Spark side is one aggregate fold over the
+    291-rung literal per row — no join, no shuffle until the final
+    small groupBy; the oracle does the argmin via cross join +
+    row_number."""
+    events = load_table(spark, sf_dir, "events")
+    raw = events.select(
+        (F.pmod(F.col("event_id") * 7919, F.lit(20001)) - 10000).alias("r")
+    )
+    # Snap AFTER aggregating to distinct raw values: the 291-rung fold
+    # is interpreted (higher-order aggregate has no codegen), so run it
+    # once per distinct value (<=20001) instead of once per row.
+    per_raw = raw.groupBy("r").agg(F.count(F.lit(1)).alias("n_raw"))
+    return (
+        per_raw.select(snap_to_ladder(F.col("r")).alias("snapped"), "n_raw")
+        .groupBy("snapped")
+        .agg(F.sum("n_raw").alias("n"))
+    )
+
+
+@register(
+    "o02_drawn_odds_histogram",
+    oracle=f"""
+    SELECT CAST({drawn_odds_sql('event_id')} AS BIGINT) AS odds,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def o02_drawn_odds_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: the reference's random ladder draw + 50% sign flip +
+    -100→100 remap (mm_calls.py:410-418), keyed on event_id so both
+    engines reproduce it bit-for-bit."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(drawn_odds(F.col("event_id")).cast("long").alias("odds"))
+        .groupBy("odds")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "o03_implied_probability",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_type, {drawn_odds_sql('event_id')} AS odds FROM events
+    )
+    SELECT event_type,
+           round(avg(CASE WHEN odds > 0 THEN 100.0 / (odds + 100.0)
+                          ELSE -odds / (-odds + 100.0) END), 6) AS avg_prob,
+           round(avg(CASE WHEN odds > 0 THEN 1.0 + odds / 100.0
+                          ELSE 1.0 + 100.0 / (-odds) END), 6) AS avg_decimal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY 1
+    """,
+)
+def o03_implied_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American odds → implied probability and decimal odds, averaged
+    per event_type (the odds math the reference leaves implicit in its
+    ladder semantics)."""
+    events = load_table(spark, sf_dir, "events")
+    odds = events.select(
+        "event_type", drawn_odds(F.col("event_id")).alias("odds")
+    )
+    return odds.groupBy("event_type").agg(
+        F.round(F.avg(implied_probability(F.col("odds"))), 6).alias("avg_prob"),
+        F.round(F.avg(decimal_odds(F.col("odds"))), 6).alias("avg_decimal"),
+        F.count(F.lit(1)).alias("n"),
+    )
