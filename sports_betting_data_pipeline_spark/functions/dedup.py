@@ -22,6 +22,7 @@ seeds) so results are reproducible across partitionings and runs.
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -277,6 +278,50 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b)).cast("long")
 
 
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash) via explode + columnar aggregation — the scale
+    path for :func:`simhash64`.
+
+    The single-expression form folds 64 bit-tests per token inside an
+    interpreted higher-order aggregate (no codegen). Here tokens are
+    exploded to rows, hashed once, and the 64 bit counters become 64
+    plain SUM aggregates — whole-stage codegen'd hash aggregation, one
+    shuffle on id. Docs with no tokens keep signature 0 (matching the
+    empty-fold result of ``simhash64``).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+            )
+        ).alias("_tok"),
+    ).withColumn("_h", F.xxhash64("_tok"))
+    counters = toks.groupBy("_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+            ).alias(f"_c{j}")
+            for j in range(64)
+        ]
+    )
+    packed = reduce(
+        lambda a, b: a.bitwiseOR(b),
+        [
+            F.when(F.col(f"_c{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
+            .otherwise(F.lit(0).cast("long"))
+            for j in range(64)
+        ],
+    )
+    sigs = counters.select("_id", packed.alias("_sig"))
+    return (
+        df.select(F.col(id_col).alias("_id"))
+        .join(sigs, on="_id", how="left")
+        .withColumn("_sig", F.coalesce(F.col("_sig"), F.lit(0).cast("long")))
+    )
+
+
 def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str,
@@ -292,9 +337,9 @@ def simhash_neardup_pairs(
     are missed) for a shuffle-only plan — the standard multi-probe
     variant re-runs with rotated signatures.
     """
-    sig = df.select(
-        F.col(id_col).alias("_id"), simhash64(text_col).alias("_sig")
-    ).withColumn("_bucket", F.shiftrightunsigned("_sig", 64 - prefix_bits))
+    sig = simhash_signatures(df, id_col, text_col).withColumn(
+        "_bucket", F.shiftrightunsigned("_sig", 64 - prefix_bits)
+    )
     left = sig.select(
         F.col("_bucket"), F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")
     )

@@ -194,39 +194,5 @@ MEDIA_ASSET = T.StructType(
     ]
 )
 
-# ---------------------------------------------------------------------------
-# Odds ladder (constants.py:1-291; fetched at mm_calls.py:59-66).
-#
-# The ladder is an American-odds price grid: a tiered step ladder on the
-# positive side, mirrored on the negative side, with no ±100-interior
-# values and no -100 (odds of -100 are remapped to 100 at
-# mm_calls.py:416-417). Generated from the tier structure rather than
-# stored as 291 literals.
-# ---------------------------------------------------------------------------
-
-_LADDER_TIERS = (
-    # (start, stop_exclusive, step)
-    (100, 120, 1),
-    (120, 200, 2),
-    (200, 300, 5),
-    (300, 500, 10),
-    (500, 1000, 20),
-    (1000, 2000, 100),
-    (2000, 3000, 250),
-    (3000, 5000, 500),
-    (5000, 10000, 2500),
-)
-
-
-def odds_ladder() -> list[int]:
-    """The 291-value sorted American-odds ladder.
-
-    Positive side: 100..10000 over the tier steps above (146 values).
-    Negative side: the mirror image excluding -100 (145 values).
-    """
-    pos: list[int] = []
-    for lo, hi, step in _LADDER_TIERS:
-        pos.extend(range(lo, hi, step))
-    pos.append(10000)
-    neg = sorted(-v for v in pos if v != 100)
-    return neg + pos
+# The odds ladder (src/constants.py:1-291) lives in functions/odds.py
+# with the full snap/draw/conversion kit.
