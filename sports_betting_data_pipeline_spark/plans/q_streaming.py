@@ -176,3 +176,28 @@ def st05_pusher_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_msgs"), F.sum("k").alias("sum_k"))
         .orderBy("channel")
     )
+
+
+@register(
+    "st06_stateful_user_stats",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(coalesce(value, 0.0)), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def st06_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: applyInPandasWithState keyed on
+    user_id (arbitrary-Python state updates, Arrow-batched). Drained
+    with availableNow the emitted running totals equal the batch
+    per-user aggregate."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        stateful_user_stats,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(
+        stateful_user_stats(stream), "st06_stateful", output_mode="update"
+    )

@@ -74,19 +74,33 @@ def run_stream_to_table(
     stream_df: DataFrame,
     name: str,
     output_mode: str = "complete",
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain a finite stream into an in-memory sink synchronously and
     return the result table (the deterministic test/drain harness —
-    production uses a real sink + processingTime trigger, T4)."""
+    production uses a real sink + processingTime trigger, T4).
+
+    ``state_partitions`` pins the stateful-operator partition count
+    for this query (a streaming query fixes it at first start and
+    keeps it for the checkpoint's lifetime — size it to key
+    cardinality, NOT to the session's relational shuffle setting;
+    every state partition costs a state-store instance + a Python
+    worker for Arrow-stateful ops)."""
     spark = stream_df.sparkSession
-    query = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
@@ -225,4 +239,60 @@ def decode_pusher_envelope(messages: DataFrame) -> DataFrame:
         F.from_json(F.unbase64(F.col("payload")).cast("string"), PAYLOAD_SCHEMA)
         .getField("k")
         .alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: applyInPandasWithState (the engine-native
+# version of T3's keyed dict state when the update logic is arbitrary
+# Python, not a MERGE).
+# ---------------------------------------------------------------------------
+def stateful_user_stats(events: DataFrame) -> DataFrame:
+    """Per-user running (count, value-sum) kept in explicit group
+    state — ``applyInPandasWithState`` with Arrow-batched update
+    functions. This is the reference's in-memory keyed dict
+    (mm_calls.py:23-24) upgraded to checkpointable, partitioned,
+    exactly-once state.
+
+    Emits the running totals on every update; over a single
+    availableNow microbatch (the fixture is one parquet file) each key
+    emits exactly once, so the drained table equals the batch
+    aggregate — which is what the oracle checks. State is (long,
+    double) per user: at 100 TB of history the store holds one tiny
+    row per key, hash-partitioned with the shuffle.
+    """
+    import pandas as pd  # executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_value", T.DoubleType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("s", T.DoubleType())]
+    )
+
+    def update(key, pdf_iter, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(s, 2)],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

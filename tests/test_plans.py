@@ -1,0 +1,81 @@
+"""Plan-quality regression tests: the physical plans the engine is
+DESIGNED to produce (SURVEY.md §4) — pushdown reaching the scan,
+broadcast joins for dims, whole-stage codegen on the hot path, no
+Python row UDFs in relational queries. A correctness-green query with
+a degraded plan fails HERE instead of at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from sports_betting_data_pipeline_spark.io import load_table
+from sports_betting_data_pipeline_spark.plans.catalog import QUERIES
+
+
+def plan_text(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_and_pruning_reach_parquet_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") < 5).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = plan_text(df)
+    assert "PushedFilters" in plan and "LessThan(l_quantity" in plan
+    # column pruning: the 16-col table scans only the 2 needed columns
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_text(QUERIES["j01_enrichment_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_flagship_fully_codegenerated(spark, sf_dir):
+    # AQE defers the final plan, hiding codegen spans from explain —
+    # disable it just to inspect the static physical plan.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = plan_text(QUERIES["q01_pricing_summary"](spark, sf_dir), "codegen")
+        assert "WholeStageCodegen" in plan
+        simple = plan_text(QUERIES["q01_pricing_summary"](spark, sf_dir), "simple")
+        # partial (map-side) aggregation must precede the shuffle
+        assert "partial_sum" in simple
+        # no Python evaluation anywhere in the relational flagship
+        assert "BatchEvalPython" not in simple and "ArrowEvalPython" not in simple
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_pricing_summary", "j01_enrichment_join", "w01_topk_per_group",
+     "r01_rollup", "f01_whitelist_filter", "t01_orderby_limit"],
+)
+def test_relational_surface_has_no_python_udfs(spark, sf_dir, name):
+    plan = plan_text(QUERIES[name](spark, sf_dir), "simple")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    # the partial top-k optimization must kick in before the shuffle
+    plan = plan_text(QUERIES["w01_topk_per_group"](spark, sf_dir), "simple")
+    assert "WindowGroupLimit" in plan
+
+
+def test_orderby_limit_is_takeordered(spark, sf_dir):
+    # global sort + limit must collapse to TakeOrderedAndProject —
+    # no full sort of the table
+    plan = plan_text(QUERIES["t01_orderby_limit"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
