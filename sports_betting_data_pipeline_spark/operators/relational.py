@@ -147,6 +147,39 @@ def csv_concat_per_group(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    buckets: int = 16,
+    how: str = "inner",
+    seed: int = 42,
+) -> DataFrame:
+    """Skew-mitigated equi-join: spread a hot key across ``buckets``
+    shuffle partitions.
+
+    The skewed side gets a random salt in [0, buckets); the other side
+    is replicated once per salt value; the join key becomes
+    (key, salt). A key holding 30% of 100 TB then lands on ``buckets``
+    reducers instead of one. Complements AQE's skew-join splitting
+    (which only helps sort-merge joins after the fact) — use this when
+    the skew is known ahead of time and the other side is small enough
+    to replicate.
+
+    Only ``inner``/``left`` (skewed-side-preserving) joins are valid:
+    replication would duplicate unmatched right rows for other types.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salted_l = skewed.withColumn(
+        "_salt", (F.rand(seed) * buckets).cast("int")
+    )
+    salted_r = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+    )
+    return salted_l.join(salted_r, on=[on, "_salt"], how=how).drop("_salt")
+
+
 def dedupe_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFrame:
     """Exact dedup: hash-shuffle on the subset columns, keep one row.
 

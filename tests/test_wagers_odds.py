@@ -192,3 +192,32 @@ def test_foreach_partition_batched_sizes(spark, tmp_path):
         len(open(p).read().splitlines()) for p in glob.glob(os.path.join(spool, "*.jsonl"))
     )
     assert sizes == [1, 3, 3]  # 7 rows -> 3+3+1, short final batch flushes
+
+
+# ---------------------------------------------------------------------------
+# Skew salting
+# ---------------------------------------------------------------------------
+def test_salted_join_equals_plain_join(spark):
+    from sports_betting_data_pipeline_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame(
+        [(k, i) for i in range(50) for k in ("hot", f"cold{i % 3}")], ["k", "n"]
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("cold0", 2.0), ("cold1", 3.0), ("missing", 9.0)], ["k", "v"]
+    )
+    plain = {(r.k, r.n, r.v) for r in left.join(right, on="k").collect()}
+    salted = {
+        (r.k, r.n, r.v)
+        for r in salted_join(left, right, on="k", buckets=4).collect()
+    }
+    assert salted == plain
+    # left join preserves unmatched skewed-side rows exactly once
+    lp = left.join(right, on="k", how="left").count()
+    ls = salted_join(left, right, on="k", buckets=4, how="left").count()
+    assert lp == ls
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, on="k", how="right")
