@@ -1,0 +1,119 @@
+"""Property-based tests (hypothesis): the composed operators against
+naive Python reference implementations on random inputs — catches
+edge-cases example tests miss (empty groups, duplicate timestamps,
+single-token docs, boundary odds)."""
+
+from __future__ import annotations
+
+import datetime
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sports_betting_data_pipeline_spark.functions.odds import (
+    odds_ladder,
+    snap_to_ladder,
+)
+from sports_betting_data_pipeline_spark.functions.text import shingles
+from sports_betting_data_pipeline_spark.operators.asof import asof_join
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(vals=st.lists(st.integers(-20000, 20000), min_size=1, max_size=30))
+@settings(**_SETTINGS)
+def test_snap_always_nearest_rung(spark, vals):
+    lad = odds_ladder()
+    df = spark.createDataFrame([(v,) for v in vals], ["v"])
+    got = df.select("v", snap_to_ladder(F.col("v")).alias("s")).collect()
+    for row in got:
+        assert row.s in lad
+        best = min(lad, key=lambda r: (abs(r - row.v), r))
+        assert row.s == best, f"v={row.v}: got {row.s}, want {best}"
+
+
+def _py_shingles(text: str, k: int = 3) -> list[str]:
+    toks = [t for t in text.lower().split() if t]
+    if not toks:
+        return []
+    if len(toks) < k:
+        return [" ".join(toks)]
+    seen, out = set(), []
+    for i in range(len(toks) - k + 1):
+        s = " ".join(toks[i : i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab c"),  # forces token collisions
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_shingles_match_python_reference(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], ["t"])
+    got = [r.s for r in df.select(shingles(F.col("t"), 3).alias("s")).collect()]
+    want = [_py_shingles(t, 3) for t in texts]
+    # Spark's regex split of "" yields [""] -> filtered -> [] joined to [""];
+    # normalize the all-whitespace case the same way on both sides.
+    norm = lambda xs: [x for x in xs if x != ""]
+    assert [norm(g) for g in got] == [norm(w) for w in want]
+
+
+def _py_asof(left, right):
+    out = {}
+    for lk, lts in left:
+        cands = [(rts, rv) for rk, rts, rv in right if rk == lk and rts <= lts]
+        out[(lk, lts)] = max(cands)[1] if cands else None
+    return out
+
+
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)),
+        min_size=0,
+        max_size=12,
+        unique=True,
+    ),
+)
+@settings(**_SETTINGS)
+def test_asof_join_matches_naive(spark, left, right):
+    base = datetime.datetime(2024, 1, 1)
+    mk = lambda m: base + datetime.timedelta(minutes=m)
+    ldf = spark.createDataFrame([(k, mk(m)) for k, m in left], ["k", "ts"])
+    # unique (k, ts) on the right: determinism precondition of asof_join
+    rrows = {(k, m): f"v{k}_{m}" for k, m in right}
+    rdf = spark.createDataFrame(
+        [(k, mk(m), v) for (k, m), v in rrows.items()] or [(99, mk(0), "x")],
+        ["k", "ts", "rv"],
+    )
+    got = {
+        (r.k, r.ts): (r.asof.rv if r.asof is not None else None)
+        for r in asof_join(ldf, rdf, key="k", ts="ts", payload_cols=["rv"]).collect()
+    }
+    want = _py_asof(
+        [(k, mk(m)) for k, m in left],
+        [(k, mk(m), v) for (k, m), v in rrows.items()]
+        if right
+        else [(99, mk(0), "x")],
+    )
+    assert got == want
