@@ -175,3 +175,73 @@ def embedding_neardup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize the corpus into
+    centroid cells, probe only the ``nprobe`` cells nearest each
+    query, exact-rank the candidates.
+
+    The coarse quantizer here is the first ``n_centroids`` corpus
+    vectors (deterministic, so the DuckDB oracle can reproduce cell
+    assignment bit-for-bit); production would swap in k-means
+    centroids — every plan shape below is identical.
+
+    Scale: assignment is a broadcast of C centroid vectors + C
+    cosine evaluations per corpus row (map-side, one pass); the
+    search join touches ~(nprobe/C) of the corpus per query instead
+    of all of it — the whole point of IVF at 10^9+ vectors. Shuffles:
+    one hash join on cent_id + the final per-query top-k window.
+    """
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+
+    def nearest_cells(df: DataFrame, df_id: str, df_vec: str, n: int) -> DataFrame:
+        sims = df.crossJoin(F.broadcast(cents)).select(
+            F.col(df_id),
+            F.col(df_vec),
+            F.col("cent_id"),
+            cosine(F.col(df_vec), F.col("cv")).alias("_csim"),
+        )
+        w = Window.partitionBy(df_id).orderBy(
+            F.col("_csim").desc(), F.col("cent_id")
+        )
+        return (
+            sims.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .drop("_csim", "_rn")
+        )
+
+    assigned = nearest_cells(corpus, id_col, vec_col, 1)
+    probes = nearest_cells(queries, query_id_col, query_vec_col, nprobe)
+
+    cands = probes.join(assigned, on="cent_id").select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        F.col(id_col),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col)
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id_col,
+            id_col,
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

@@ -29,6 +29,7 @@ from sports_betting_data_pipeline_spark.functions.multimodal import (
 from sports_betting_data_pipeline_spark.functions.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_topk,
     lsh_topk,
 )
 from sports_betting_data_pipeline_spark.functions.text import (
@@ -412,3 +413,61 @@ def m02_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return plan.select(
         "asset_id", F.size("frame_offsets_ms").cast("long").alias("n_frames")
     )
+
+
+@register(
+    "l13_ann_ivf",
+    oracle="""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id < 8
+    ), corpus AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), assigned AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT c.vec_id, ct.cent_id,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ct
+        ) WHERE rn = 1
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 10
+    ), probes AS (
+        SELECT query_id, cent_id FROM (
+            SELECT q.query_id, ct.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(q.qv, ct.cv) DESC, ct.cent_id
+                   ) AS rn
+            FROM q CROSS JOIN cents ct
+        ) WHERE rn <= 2
+    ), sims AS (
+        SELECT p.query_id, a.vec_id,
+               list_cosine_similarity(co.v, q2.qv) AS sim
+        FROM probes p
+        JOIN assigned a USING (cent_id)
+        JOIN corpus co ON co.vec_id = a.vec_id
+        JOIN q q2 ON q2.query_id = p.query_id
+    )
+    SELECT query_id, vec_id, round(sim, 6) AS cosine_sim,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, vec_id) AS rnk
+        FROM sims
+    ) WHERE rnk <= 5
+    """,
+)
+def l13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse quantizer (first 8 corpus
+    vectors as cells), nprobe=2 probed cells per query, exact re-rank
+    of candidates — the inverted-file scale path next to l10's exact
+    baseline and l11's LSH variant, fully oracle-checkable because
+    cell assignment is reproducible in SQL."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
