@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sports_betting_data_pipeline_spark.io import load_table
 from sports_betting_data_pipeline_spark.operators.relational import (
@@ -673,4 +674,86 @@ def r04_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
+    )
+
+
+@register(
+    "a03_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(median(value), 6) AS med_value,
+           round(quantile_cont(value, 0.9), 6) AS p90_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def a03_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median + p90).
+
+    Scale note: exact percentiles buffer each group's values — at
+    100 TB switch to ``percentile_approx`` (t-digest, mergeable
+    map-side); exact is used here because the oracle comparison needs
+    bit-equal interpolation."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med_value"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_value"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a04_argmax_countif",
+    oracle="""
+    SELECT user_id,
+           arg_max(value, event_id) AS latest_value,
+           arg_min(event_type, event_id) AS first_type,
+           CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_big,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def a04_argmax_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument aggregates + filtered counts: max_by/min_by keyed on
+    the unique event_id (deterministic ties) and count_if — all
+    algebraic, all partial-aggregated map-side."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.max_by("value", "event_id").alias("latest_value"),
+        F.min_by("event_type", "event_id").alias("first_type"),
+        F.count_if(F.col("value") > 50).alias("n_big"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "w03_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS delta_us,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events WHERE user_id % 7 = 0
+    """,
+)
+def w03_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead windows: inter-event gaps and next-event lookahead per
+    user (the sessionization building block) — one shuffle on
+    user_id, both windows share the same sort."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.pmod(F.col("user_id"), F.lit(7)) == 0
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    return events.select(
+        "user_id",
+        "event_id",
+        (us - F.lag(us).over(w)).alias("delta_us"),
+        F.lead("event_type").over(w).alias("next_type"),
     )
