@@ -141,5 +141,17 @@ def betting_tree_rows() -> list[dict]:
     ]
 
 
+_TREE_CACHE: dict[int, DataFrame] = {}
+
+
 def betting_tree_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(betting_tree_rows(), schema=SPORT_EVENT)
+    """Nested fixture as a DataFrame, memoized per session: the
+    Python→JVM conversion of deeply nested rows costs ~1s and the
+    fixture is immutable, so repeated queries (bench, parity, goldens)
+    reuse one converted copy."""
+    key = id(spark)
+    if key not in _TREE_CACHE:
+        _TREE_CACHE[key] = spark.createDataFrame(
+            betting_tree_rows(), schema=SPORT_EVENT
+        ).cache()
+    return _TREE_CACHE[key]

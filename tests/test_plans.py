@@ -98,3 +98,31 @@ def test_partitioned_write_gets_partition_pruning(spark, sf_dir, tmp_path):
     part_line = [ln for ln in plan.splitlines() if "PartitionFilters" in ln][0]
     assert "day" in part_line
     assert scan.count() > 0
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    # Bucketing both join sides on the key pre-partitions the data so
+    # the join needs NO Exchange — the 100 TB co-located-join layout
+    # (SCALE.md "fact-fact joins").
+    from sports_betting_data_pipeline_spark.io import load_table
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    load_table(spark, sf_dir, "orders").write.bucketBy(4, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("b_orders")
+    load_table(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey", "l_quantity"
+    ).write.bucketBy(4, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+
+    joined = spark.table("b_orders").join(
+        spark.table("b_lineitem"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_text(joined, "simple")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    assert "Exchange" not in plan, plan
+    assert joined.count() > 0

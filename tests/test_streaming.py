@@ -1,0 +1,87 @@
+"""Streaming semantics tests: watermark advancement and append-mode
+window finalization across microbatches — behavior the finite
+single-batch drains in the catalog can't exercise.
+
+Spark's watermark contract is one-directional: data within the delay
+is GUARANTEED to aggregate; data later than the watermark MAY be
+dropped (in practice Spark 4.1 still processes a straggler whose
+state was already emitted, re-emitting its window). We therefore pin
+the guaranteed side — per-batch watermark progression and the
+append-mode rule that a window emits only once its end is behind the
+watermark — not the non-guaranteed drop.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def test_watermark_advances_and_append_finalizes_windows(spark, tmp_path):
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("k", T.StringType()),
+        ]
+    )
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    t = lambda h, m=0: datetime.datetime(2024, 1, 1, h, m)
+
+    def data_files() -> set[str]:
+        return {f for f in os.listdir(src) if f.endswith(".parquet")}
+
+    # batch 0: events to 12:00 -> watermark (10 min delay) becomes 11:50
+    spark.createDataFrame(
+        [(t(10, 5), "a"), (t(10, 20), "a"), (t(11, 5), "a"), (t(12, 0), "a")],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+    first = data_files()
+    # batch 1: advances the watermark to 12:00; 12:10 stays open
+    spark.createDataFrame([(t(12, 10), "a")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # the file source batches oldest-modification-first and both writes
+    # can land in the same clock tick — pin the intended order
+    for f in first:
+        os.utime(os.path.join(src, f), (1700000000, 1700000000))
+    for f in data_files() - first:
+        os.utime(os.path.join(src, f), (1700000060, 1700000060))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "k", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_final")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # watermark progressed 0 -> 11:50 -> 12:00 across the batches
+    wms = [
+        p["eventTime"].get("watermark")
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    assert wms == ["1970-01-01T00:00:00.000Z", "2024-01-01T11:50:00.000Z"]
+
+    rows = sorted((r.ws, r.n) for r in spark.table("wm_final").collect())
+    # closed windows (end <= final 12:00 watermark) emitted exactly
+    # once, with cross-row accumulation inside the 10:00 window;
+    # the 12:00 window is still open and MUST be withheld
+    assert rows == [(t(10), 2), (t(11), 1)], rows
