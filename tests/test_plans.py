@@ -126,3 +126,29 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
     assert "Exchange" not in plan, plan
     assert joined.count() > 0
+
+
+def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
+    # Every catalog query's plan, audited: no cartesian products, no
+    # row-at-a-time Python, nested-loop broadcast joins only where the
+    # algorithm IS broadcast-side-times-corpus (ANN brute force / IVF
+    # centroid assignment), Arrow-Python only in the multimodal
+    # queries whose whole point is a pandas UDF.
+    BNLJ_OK = {"l10_ann_bruteforce", "l13_ann_ivf"}
+    PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
+                 "st06_stateful_user_stats"}
+    problems = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = plan_text(fn(spark, sf_dir), "simple")
+        if "CartesianProduct" in plan:
+            problems.append((name, "CartesianProduct"))
+        if "BatchEvalPython" in plan:
+            problems.append((name, "BatchEvalPython"))
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            problems.append((name, "BroadcastNestedLoopJoin"))
+        if (
+            ("ArrowEvalPython" in plan or "MapInPandas" in plan)
+            and name not in PYTHON_OK
+        ):
+            problems.append((name, "python-eval"))
+    assert not problems, problems
