@@ -930,3 +930,85 @@ def q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+@register(
+    "d02_count_distinct",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT user_id % 10) AS BIGINT) AS n_cohorts,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def d02_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT per group (Spark expands to
+    an Expand + two-phase aggregate — one extra shuffle per distinct
+    column set; at 100 TB prefer approx_count_distinct, whose HLL
+    sketches merge map-side, pinned for accuracy in unit tests)."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.pmod(F.col("user_id"), F.lit(10))).alias("n_cohorts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "a05_statistical_aggregates",
+    oracle="""
+    SELECT event_type,
+           round(stddev_samp(value), 6) AS sd_value,
+           round(var_samp(value), 6) AS var_value,
+           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+           round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov_vu
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def a05_statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (stddev/variance/correlation/
+    covariance): all algebraic — partial (sum, sum², sum×y) merges
+    map-side, so one shuffle regardless of group size."""
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    u = F.col("user_id").cast("double")
+    return events.groupBy("event_type").agg(
+        F.round(F.stddev_samp("value"), 6).alias("sd_value"),
+        F.round(F.var_samp("value"), 6).alias("var_value"),
+        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        F.round(F.covar_samp(F.col("value"), u), 6).alias("cov_vu"),
+    )
+
+
+@register(
+    "c08_date_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(last_day(o_orderdate) AS DATE) AS month_end,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start,
+           CAST(date_diff('day', o_orderdate, DATE '2000-01-01') AS BIGINT)
+               AS days_to_y2k
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+)
+def c08_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic kit: offset, month-end, quarter truncation,
+    day difference — completing the C-family temporal surface with
+    calendar (not instant) math."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.pmod(F.col("o_orderkey"), F.lit(100)) == 0
+    )
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_add(d, 30).alias("due_date"),
+        F.last_day(d).alias("month_end"),
+        F.to_date(F.date_trunc("quarter", d)).alias("quarter_start"),
+        F.datediff(F.to_date(F.lit("2000-01-01")), d).cast("long").alias(
+            "days_to_y2k"
+        ),
+    )

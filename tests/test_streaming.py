@@ -85,3 +85,38 @@ def test_watermark_advances_and_append_finalizes_windows(spark, tmp_path):
     # once, with cross-row accumulation inside the 10:00 window;
     # the 12:00 window is still open and MUST be withheld
     assert rows == [(t(10), 2), (t(11), 1)], rows
+
+
+def test_rate_source_processing_time_trigger(spark):
+    # T4 production path: a live source + processingTime trigger (the
+    # catalog drains use availableNow; this pins that the same
+    # transformations run on a continuous trigger and checkpointed
+    # state accumulates across microbatches).
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", "50")
+        .load()
+        .withColumn("bucket", F.pmod(F.col("value"), F.lit(5)))
+    )
+    agg = stream.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("complete")
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        import time
+
+        deadline = time.time() + 20
+        while time.time() < deadline:
+            rows = spark.table("rate_smoke").collect()
+            if sum(r.n for r in rows) >= 50 and len(rows) == 5:
+                break
+            time.sleep(0.5)
+        rows = spark.table("rate_smoke").collect()
+        assert len(rows) == 5
+        assert sum(r.n for r in rows) >= 50
+    finally:
+        q.stop()

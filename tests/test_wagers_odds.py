@@ -221,3 +221,15 @@ def test_salted_join_equals_plain_join(spark):
 
     with _pytest.raises(ValueError):
         salted_join(left, right, on="k", how="right")
+
+
+def test_approx_count_distinct_within_tolerance(spark):
+    # the 100 TB path for d02: HLL sketches merge map-side; pin the
+    # accuracy contract (default rsd 5%) on a known cardinality
+    df = spark.range(0, 20000).select((F.col("id") % 1997).alias("k"))
+    [row] = df.agg(
+        F.approx_count_distinct("k").alias("approx"),
+        F.countDistinct("k").alias("exact"),
+    ).collect()
+    assert row.exact == 1997
+    assert abs(row.approx - row.exact) / row.exact < 0.05
