@@ -471,3 +471,79 @@ def l13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
+
+
+@register(
+    "l14_normalize_fingerprint",
+    oracle=r"""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(norm) AS BIGINT) AS n_chars_norm,
+           md5(norm) AS fp
+    FROM n
+    """,
+)
+def l14_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (lowercase, whitespace collapse, trim) with
+    an md5 content fingerprint — the canonicalization step that runs
+    before any dedup pass; the cross-engine md5 makes the oracle a
+    byte-exact check of the normalized text itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.md5(norm).alias("fp"),
+    )
+
+
+@register(
+    "l15_token_chunking",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        FROM documents
+    ), nz AS (
+        SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), st AS (
+        SELECT doc_id, toks, n, unnest(range(0, n, 40)) AS s FROM nz
+    )
+    SELECT doc_id,
+           CAST(s // 40 AS BIGINT) AS chunk_idx,
+           CAST(least(50, n - s) AS BIGINT) AS n_tokens_chunk,
+           md5(array_to_string(toks[s+1:s+50], ' ')) AS fp
+    FROM st
+    """,
+)
+def l15_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (50-token chunks, stride 40 =
+    10-token overlap) — the context-window packing step of a
+    pretraining pipeline. Explode is shuffle-free; the md5 per chunk
+    makes the oracle byte-exact. The token array is let-bound through
+    the explode so tokenization runs once per doc, not per chunk."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks_df = docs.select(
+        "doc_id", ws_tokens(F.col("text")).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    st = toks_df.select(
+        "doc_id",
+        "_toks",
+        F.size("_toks").alias("_n"),
+        F.explode(
+            F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(40))
+        ).alias("_s"),
+    )
+    chunk = F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_s") + 1, 50))
+    return st.select(
+        "doc_id",
+        (F.col("_s") / 40).cast("long").alias("chunk_idx"),
+        F.least(F.lit(50), F.col("_n") - F.col("_s")).cast("long").alias(
+            "n_tokens_chunk"
+        ),
+        F.md5(chunk).alias("fp"),
+    )
