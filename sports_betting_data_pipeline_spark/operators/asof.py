@@ -52,6 +52,8 @@ def asof_join(
     (key, ts), pre-aggregate it to one — the window tie-break among
     equal timestamps is otherwise partition-order dependent.
     """
+    if how not in ("left", "inner"):
+        raise ValueError(f"asof_join supports left/inner, got {how!r}")
     payload_t = F.struct(F.col(ts), *[F.col(c) for c in payload_cols])
     # At equal ts the right row must sort BEFORE the left row for <=
     # semantics (the left row sees it) and AFTER for strict <.
