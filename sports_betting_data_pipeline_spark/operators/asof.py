@@ -54,6 +54,9 @@ def asof_join(
     """
     if how not in ("left", "inner"):
         raise ValueError(f"asof_join supports left/inner, got {how!r}")
+    for reserved in ("_asof_p", "_ord", payload_name):
+        if reserved in left.columns:
+            raise ValueError(f"left side may not contain column {reserved!r}")
     payload_t = F.struct(F.col(ts), *[F.col(c) for c in payload_cols])
     # At equal ts the right row must sort BEFORE the left row for <=
     # semantics (the left row sees it) and AFTER for strict <.
