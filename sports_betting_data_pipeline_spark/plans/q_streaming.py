@@ -201,3 +201,37 @@ def st06_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         stateful_user_stats(stream), "st06_stateful", output_mode="update"
     )
+
+
+@register(
+    "st07_stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(v.ts) AS view_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id % 5 = 0) p
+    JOIN (SELECT * FROM events WHERE event_type = 'view' AND user_id % 5 = 0) v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    """,
+)
+def st07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (views within the hour
+    before each purchase, same user): the time bound lets Spark evict
+    join state as the watermark advances; drained with availableNow
+    the matches equal the batch inequality join."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        stream_stream_join,
+    )
+
+    purchases = read_events_stream(spark, sf_dir).filter(
+        (F.col("event_type") == "purchase") & (F.pmod("user_id", F.lit(5)) == 0)
+    )
+    views = read_events_stream(spark, sf_dir).filter(
+        (F.col("event_type") == "view") & (F.pmod("user_id", F.lit(5)) == 0)
+    )
+    joined = stream_stream_join(purchases, views, key="user_id", window_seconds=3600)
+    return run_stream_to_table(joined, "st07_ssj", output_mode="append")

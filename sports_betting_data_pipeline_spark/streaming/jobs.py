@@ -296,3 +296,43 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Watermarked stream-stream inner join: right rows within
+    ``window_seconds`` BEFORE each left row, same key (the "views
+    leading up to this purchase" shape).
+
+    Both sides carry watermarks and the join condition bounds right.ts
+    to [left.ts - window, left.ts], so Spark can evict right-side
+    state once the watermark passes the window — without the bound,
+    stream-stream join state grows forever. Over a finite availableNow
+    drain the emitted matches equal the batch inequality join.
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_id"),
+    ).withWatermark("l_ts", "10 minutes")
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    ).withWatermark("r_ts", "10 minutes")
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") <= F.col("l_ts"))
+        & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {window_seconds} SECOND"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias("user_id"),
+        F.col("l_id").alias("purchase_id"),
+        F.col("r_id").alias("view_id"),
+        F.unix_micros("l_ts").alias("purchase_ts_us"),
+        F.unix_micros("r_ts").alias("view_ts_us"),
+    )
