@@ -103,3 +103,32 @@ def write_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def read_json_table(
+    spark: SparkSession, path: str, schema, multiline: bool = False
+) -> DataFrame:
+    """JSON-lines scan with a DECLARED schema — the reference's
+    json.loads ingest (mm_calls.py:74, SURVEY.md §1.1) as a proper
+    source. Never infer on the hot path: inference is a second full
+    read, and a schema drift silently becomes a null column instead
+    of an error surfaced at the boundary."""
+    _ensure_engine_confs(spark)
+    return (
+        spark.read.schema(schema)
+        .option("multiLine", "true" if multiline else "false")
+        .json(path)
+    )
+
+
+def read_csv_table(
+    spark: SparkSession, path: str, schema, header: bool = True
+) -> DataFrame:
+    """CSV scan with a declared schema (the sheet-shaped interchange
+    format, SURVEY.md §2.2 K1 read back)."""
+    _ensure_engine_confs(spark)
+    return (
+        spark.read.schema(schema)
+        .option("header", "true" if header else "false")
+        .csv(path)
+    )

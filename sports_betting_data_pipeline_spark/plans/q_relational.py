@@ -1012,3 +1012,29 @@ def c08_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "days_to_y2k"
         ),
     )
+
+
+# ANSI text valid in BOTH Spark SQL and DuckDB: the same string is the
+# query and its oracle, demonstrating the spark.sql surface end-to-end.
+_SQL01 = """
+    SELECT n.n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_balance,
+           round(avg(CASE WHEN c.c_acctbal > 0 THEN c.c_acctbal END), 6)
+               AS avg_positive_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+
+@register("sql01_pure_sql", oracle=_SQL01)
+def sql01_pure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL string surface: fixture tables registered as views and
+    ONE dialect-shared ANSI string executed by both engines — Catalyst
+    plans it identically to the DataFrame form (broadcast dim join +
+    partial aggregation)."""
+    from sports_betting_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL01)

@@ -43,3 +43,38 @@ def test_balance_scalar_and_missing_fallback(spark):
     assert row.balance == 250.0
     with pytest.raises(ValueError):
         snapshot_source(spark, None, TOURNAMENT, fallback_records=None)
+
+
+def test_json_and_csv_roundtrip_match_parquet(spark, sf_dir, tmp_path):
+    """Source-format parity: the same rows through parquet, JSON-lines,
+    and CSV scans with the declared schema produce identical frames."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from sports_betting_data_pipeline_spark.io import (
+        load_table,
+        read_csv_table,
+        read_json_table,
+    )
+
+    base = load_table(spark, sf_dir, "nation")
+    jdir, cdir = str(tmp_path / "j"), str(tmp_path / "c")
+    base.write.json(jdir)
+    base.write.option("header", "true").csv(cdir)
+
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.LongType()),
+        ]
+    )
+    want = sorted(map(tuple, base.select(*[f.name for f in schema]).collect()))
+    got_j = sorted(
+        map(tuple, read_json_table(spark, jdir, schema).select(*[f.name for f in schema]).collect())
+    )
+    got_c = sorted(
+        map(tuple, read_csv_table(spark, cdir, schema).select(*[f.name for f in schema]).collect())
+    )
+    assert got_j == want
+    assert got_c == want
