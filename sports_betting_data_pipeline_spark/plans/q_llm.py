@@ -547,3 +547,57 @@ def l15_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(chunk).alias("fp"),
     )
+
+
+@register(
+    "l16_grouped_zscore",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_id, value,
+               avg(value) OVER (PARTITION BY user_id) AS mu,
+               stddev_samp(value) OVER (PARTITION BY user_id) AS sd,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+        WHERE value IS NOT NULL AND user_id % 11 = 0
+    )
+    SELECT user_id, event_id,
+           round(CASE WHEN n > 1 AND sd > 0 THEN (value - mu) / sd
+                      ELSE 0.0 END, 6) AS zscore
+    FROM s
+    """,
+)
+def l16_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map Arrow UDF (applyInPandas): per-user z-score
+    normalization — each group arrives as ONE pandas frame, the
+    feature-normalization shape of a training-data pipeline. The
+    oracle is the equivalent window computation; for built-in math
+    like this the window form is what production should use (see
+    SCALE.md "Python boundary") — the query exists to pin the
+    grouped-map plumbing against it.
+    """
+    import pandas as pd
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .filter(F.pmod(F.col("user_id"), F.lit(11)) == 0)
+        .select("user_id", "event_id", "value")
+    )
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        if len(pdf) > 1 and sd > 0:
+            z = (pdf["value"] - pdf["value"].mean()) / sd
+        else:
+            z = pdf["value"] * 0.0
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "event_id": pdf["event_id"],
+                "zscore": z.round(6),
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandas(
+        zscore, "user_id long, event_id long, zscore double"
+    )

@@ -136,7 +136,7 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
     # queries whose whole point is a pandas UDF.
     BNLJ_OK = {"l10_ann_bruteforce", "l13_ann_ivf"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
-                 "st06_stateful_user_stats"}
+                 "st06_stateful_user_stats", "l16_grouped_zscore"}
     problems = []
     for name, fn in sorted(QUERIES.items()):
         plan = plan_text(fn(spark, sf_dir), "simple")
@@ -147,7 +147,11 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             problems.append((name, "BroadcastNestedLoopJoin"))
         if (
-            ("ArrowEvalPython" in plan or "MapInPandas" in plan)
+            (
+                "ArrowEvalPython" in plan
+                or "MapInPandas" in plan
+                or "FlatMapGroupsInPandas" in plan
+            )
             and name not in PYTHON_OK
         ):
             problems.append((name, "python-eval"))
