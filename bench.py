@@ -43,11 +43,20 @@ def main() -> None:
     # Warm up the JVM/codegen on the flagship before timing.
     _consume(QUERIES["q01_pricing_summary"](spark, sf_dir))
 
+    # Best-of-N per query (default 2): single-shot numbers on a shared
+    # box fold GC pauses and first-use warmup (state stores, Python
+    # workers) into whichever query hits them; the min is the honest
+    # operator cost.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
-        start = time.perf_counter()
-        _consume(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - start, 4)
+        best = None
+        for _ in range(runs):
+            start = time.perf_counter()
+            _consume(QUERIES[name](spark, sf_dir))
+            elapsed = time.perf_counter() - start
+            best = elapsed if best is None else min(best, elapsed)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     print(
