@@ -601,3 +601,109 @@ def l16_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.groupBy("user_id").applyInPandas(
         zscore, "user_id long, event_id long, zscore double"
     )
+
+
+# Regex patterns restricted to syntax Java (Spark) and RE2 (DuckDB)
+# evaluate identically: no backreferences, no lookaround.
+_URL_RE = r"https?://[^\s]+"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "l17_scrub_urls_emails",
+    oracle=rf"""
+    WITH s AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+               trim(regexp_replace(regexp_replace(regexp_replace(text,
+                   '{_URL_RE}', ' ', 'g'),
+                   '{_EMAIL_RE}', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS clean
+        FROM documents
+    )
+    SELECT doc_id, n_urls, n_emails, md5(clean) AS fp FROM s
+    """,
+)
+def l17_scrub_urls_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/boilerplate scrubbing: count and strip URLs and emails,
+    re-collapse whitespace — the C4-style cleaning pass. Patterns are
+    dialect-shared so the md5 of the cleaned text is byte-exact
+    against the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    text = F.col("text")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(text, _URL_RE, " "), _EMAIL_RE, " "
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(text, F.lit(_URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(text, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.md5(clean).alias("fp"),
+    )
+
+
+@register(
+    "l18_bigram_repetition",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+                   AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, len(toks) AS n,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END AS grams
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_bigrams,
+           round(CASE WHEN len(grams) > 0
+                      THEN 1.0 - len(list_distinct(grams)) / len(grams)
+                      ELSE 0.0 END, 6) AS dup_bigram_ratio
+    FROM g
+    """,
+)
+def l18_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition scoring (Gopher-style quality signal): fraction of
+    duplicate 2-grams per document. Non-distinct n-grams built with
+    the same let-binding discipline as shingles (tokenize once per
+    row)."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(toks):
+        n = F.size(toks)
+        grams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.struct(
+            F.size(grams).cast("long").alias("n_bigrams"),
+            F.when(
+                F.size(grams) > 0,
+                1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ratio"),
+        )
+
+    stats = F.transform(
+        F.array(ws_tokens(F.lower(F.col("text")))), build
+    )[0]
+    return docs.select(
+        "doc_id",
+        stats["n_bigrams"].alias("n_bigrams"),
+        F.round(stats["ratio"], 6).alias("dup_bigram_ratio"),
+    )

@@ -152,3 +152,40 @@ def test_multimodal_features_deterministic(spark, sf_dir):
         assert n_bytes > 0 and 0 < byte_mean < 255
         assert 0 < entropy <= 8.0
         assert len(feature) == 8
+
+
+def test_scrub_counts_and_cleans_planted_urls_emails(spark):
+    from sports_betting_data_pipeline_spark.plans.q_llm import (
+        _EMAIL_RE,
+        _URL_RE,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "visit https://example.com/x?q=1 or mail bob@test.org now"),
+            (2, "no contacts here"),
+            (3, "a@b.io c@d.co http://e.f/g"),
+        ],
+        ["doc_id", "text"],
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("text"), _URL_RE, " "), _EMAIL_RE, " "
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    got = {
+        r.doc_id: (r.u, r.e, r.c)
+        for r in df.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(_URL_RE)).alias("u"),
+            F.regexp_count("text", F.lit(_EMAIL_RE)).alias("e"),
+            clean.alias("c"),
+        ).collect()
+    }
+    assert got[1] == (1, 1, "visit or mail now")
+    assert got[2] == (0, 0, "no contacts here")
+    assert got[3] == (1, 2, "")
