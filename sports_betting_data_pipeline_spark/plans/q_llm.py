@@ -707,3 +707,85 @@ def l18_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats["n_bigrams"].alias("n_bigrams"),
         F.round(stats["ratio"], 6).alias("dup_bigram_ratio"),
     )
+
+
+@register(
+    "pl01_pretraining_pipeline",
+    oracle=rf"""
+    WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, norm,
+               list_filter(string_split_regex(norm, '\s+'), x -> x != '') AS t
+        FROM norm
+    ), feats AS (
+        SELECT doc_id, norm, t, len(t) AS n,
+               list_sum(list_transform(t, x -> length(x))) / greatest(len(t), 1) AS mtl,
+               len(list_filter(t, x -> list_contains({{STOPWORDS}}, x))) / greatest(len(t), 1) AS sw,
+               len(list_distinct(t)) / greatest(len(t), 1) AS uniq
+        FROM toks
+    ), scored AS (
+        SELECT *, ((CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END) +
+                   (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                   (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.0 END) + uniq) / 4.0 AS q
+        FROM feats
+    ), kept AS (
+        SELECT * FROM scored WHERE q >= 0.75 AND n > 0
+    ), deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(norm) ORDER BY doc_id
+            ) AS rn FROM kept
+        ) WHERE rn = 1
+    ), chunked AS (
+        SELECT doc_id, t, n, unnest(range(0, n, 40)) AS s FROM deduped
+    )
+    SELECT doc_id,
+           CAST(s // 40 AS BIGINT) AS chunk_idx,
+           CAST(least(50, n - s) AS BIGINT) AS n_tokens,
+           md5(array_to_string(t[s+1:s+50], ' ')) AS fp
+    FROM chunked
+    """.replace("{STOPWORDS}", repr(
+        __import__(
+            "sports_betting_data_pipeline_spark.functions.text",
+            fromlist=["STOPWORDS"],
+        ).STOPWORDS
+    )),
+)
+def pl01_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data pipeline: normalize → quality
+    filter (>=0.75, calibrated so the fixture actually drops docs) → exact dedup on the canonical fingerprint (min
+    doc_id wins) → 50-token/stride-40 chunking. Every stage is an
+    operator proven individually (l14, l04, l06, l15); this query pins
+    that they compose — one scan, narrow shuffles only at the dedup
+    window and nothing else."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    normed = docs.select("doc_id", norm.alias("norm"))
+    scored = normed.withColumn("q", quality_score(F.col("norm"))).filter(
+        (F.col("q") >= 0.75) & (F.size(ws_tokens(F.col("norm"))) > 0)
+    )
+    deduped = exact_dedupe_canonical(
+        scored.withColumn("fp", F.md5("norm")), key="doc_id", subset=["fp"]
+    )
+    toks = deduped.select(
+        "doc_id", ws_tokens(F.col("norm")).alias("_t")
+    ).withColumn("_n", F.size("_t"))
+    st = toks.select(
+        "doc_id",
+        "_t",
+        "_n",
+        F.explode(F.sequence(F.lit(0), F.col("_n") - 1, F.lit(40))).alias("_s"),
+    )
+    return st.select(
+        "doc_id",
+        (F.col("_s") / 40).cast("long").alias("chunk_idx"),
+        F.least(F.lit(50), F.col("_n") - F.col("_s")).cast("long").alias(
+            "n_tokens"
+        ),
+        F.md5(F.concat_ws(" ", F.slice(F.col("_t"), F.col("_s") + 1, 50))).alias(
+            "fp"
+        ),
+    )
