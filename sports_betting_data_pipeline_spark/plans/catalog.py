@@ -54,6 +54,7 @@ def _load_query_modules() -> None:
         q_relational,
         q_streaming,
         q_temporal,
+        q_tpch_extra,
         q_wagers,
     )
 

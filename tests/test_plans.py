@@ -156,3 +156,29 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
         ):
             problems.append((name, "python-eval"))
     assert not problems, problems
+
+
+def test_q05_filteronly_agg_full_pushdown(spark, sf_dir):
+    # TPC-H-Q6 shape: every predicate must reach the parquet scan so
+    # the query is pure scan bandwidth at scale.
+    plan = plan_text(QUERIES["q05_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    for frag in ("GreaterThanOrEqual(l_shipdate", "LessThan(l_quantity"):
+        assert frag in plan, frag
+    assert "partial_sum" in plan_text(
+        QUERIES["q05_forecast_revenue"](spark, sf_dir), "simple"
+    )
+
+
+def test_q09_disjunction_pushes_common_bounds(spark, sf_dir):
+    # Catalyst must extract the common l_quantity / p_brand+p_size
+    # conjuncts from the OR-of-ANDs and push them into BOTH scans.
+    plan = plan_text(QUERIES["q09_disjunctive_revenue"](spark, sf_dir))
+    assert plan.count("Or(") >= 2  # disjunction reached the scans
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_q11_topn_is_takeordered_not_global_sort(spark, sf_dir):
+    plan = plan_text(QUERIES["q11_returned_items"](spark, sf_dir), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
