@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sports_betting_data_pipeline_spark.functions.dedup import (
     exact_dedupe_canonical,
@@ -788,4 +789,55 @@ def pl01_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.slice(F.col("_t"), F.col("_s") + 1, 50))).alias(
             "fp"
         ),
+    )
+
+
+@register(
+    "l19_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_DTOKS.format(src='lower(text)')}) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+    ), idf AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY 1
+    ), n AS (
+        SELECT count(*) AS n_docs FROM documents
+    )
+    SELECT doc_id, term, tf, round(tf * ln(n_docs / df), 6) AS tfidf
+    FROM tf JOIN idf USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (
+        PARTITION BY doc_id ORDER BY tf * ln(n_docs / df) DESC, term
+    ) <= 3
+    """,
+)
+def l19_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 most distinctive terms per document — the classic
+    distributed IR aggregation (tokenize → per-doc term counts →
+    corpus document frequencies → score → per-doc top-k).
+
+    Scale: two shuffles total — (doc_id, term) partial-agg and the
+    term-keyed df agg (whose output is vocabulary-sized, so it
+    broadcasts back). The corpus size N attaches as a 1-row broadcast
+    scalar (the physical form of an uncorrelated scalar subquery).
+    Top-k per doc rides WindowGroupLimit, so only ~3 rows per doc
+    survive to the final shuffle. Ranking ties break on the term so
+    the top-3 set is engine-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(ws_tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    idf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf") * F.log(F.col("n_docs") / F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(score.desc(), "term")
+    return (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 3)
+        .select("doc_id", "term", "tf", F.round(score, 6).alias("tfidf"))
     )

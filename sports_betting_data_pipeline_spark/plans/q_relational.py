@@ -1038,3 +1038,33 @@ def sql01_pure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL01)
+
+
+@register("a06_approx_count_distinct")
+def a06_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts per market segment —
+    the sketch that replaces exact count-distinct at 100 TB (exact
+    needs a full shuffle of every distinct key; the sketch is a fixed
+    few-KB buffer per group, mergeable map-side).
+
+    Rows-only oracle: DuckDB's approx_count_distinct uses a different
+    sketch, so cross-engine values legitimately differ. The ≤2%
+    relative-error bound vs the exact count is pinned in
+    tests/test_plans.py instead.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        orders.join(
+            F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias(
+                "approx_customers"
+            ),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )

@@ -134,7 +134,10 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
     # algorithm IS broadcast-side-times-corpus (ANN brute force / IVF
     # centroid assignment), Arrow-Python only in the multimodal
     # queries whose whole point is a pandas UDF.
-    BNLJ_OK = {"l10_ann_bruteforce", "l13_ann_ivf"}
+    BNLJ_OK = {"l10_ann_bruteforce", "l13_ann_ivf",
+               # 1-row broadcast scalar (corpus size N) — the physical
+               # form of an uncorrelated scalar subquery
+               "l19_tfidf_top_terms"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  "st06_stateful_user_stats", "l16_grouped_zscore"}
     problems = []
@@ -182,3 +185,29 @@ def test_q11_topn_is_takeordered_not_global_sort(spark, sf_dir):
     plan = plan_text(QUERIES["q11_returned_items"](spark, sf_dir), "simple")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_a06_hll_sketch_error_bound(spark, sf_dir):
+    # The HLL++ sketch (rsd=1%) must land within 2% of the exact
+    # per-group distinct count — the contract that justifies replacing
+    # exact count-distinct with the mergeable sketch at scale.
+    from sports_betting_data_pipeline_spark.io import load_table as _lt
+
+    approx = {
+        r["c_mktsegment"]: r["approx_customers"]
+        for r in QUERIES["a06_approx_count_distinct"](spark, sf_dir).collect()
+    }
+    orders = _lt(spark, sf_dir, "orders")
+    customer = _lt(spark, sf_dir, "customer")
+    exact = {
+        r["c_mktsegment"]: r["exact"]
+        for r in orders.join(
+            customer, F.col("o_custkey") == F.col("c_custkey")
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.countDistinct("o_custkey").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for seg, ex in exact.items():
+        assert abs(approx[seg] - ex) <= max(1, 0.02 * ex), (seg, approx[seg], ex)
