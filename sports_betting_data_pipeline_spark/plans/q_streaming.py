@@ -235,3 +235,37 @@ def st07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = stream_stream_join(purchases, views, key="user_id", window_seconds=3600)
     return run_stream_to_table(joined, "st07_ssj", output_mode="append")
+
+
+@register(
+    "st08_stream_dedup",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           event_type AS etype, round(value, 6) AS value_r
+    FROM events
+    """,
+)
+def st08_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup: the events stream unioned with
+    itself (every row delivered twice — the at-least-once failure mode)
+    must come out of dropDuplicatesWithinWatermark as exactly the
+    original row set.
+
+    Scale: dedup state is keyed on event_id and evicted at
+    watermark + 1 day, so memory is bounded by a day of arrivals, not
+    the stream's lifetime; the key-hash shuffle is the only exchange.
+    """
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        watermarked_dedup,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    redelivered = stream.unionByName(read_events_stream(spark, sf_dir))
+    deduped = watermarked_dedup(redelivered, ["event_id"], "1 day").select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.col("event_type").alias("etype"),
+        F.round("value", 6).alias("value_r"),
+    )
+    return run_stream_to_table(deduped, "st08_dedup", output_mode="append")

@@ -336,3 +336,20 @@ def stream_stream_join(
         F.unix_micros("l_ts").alias("purchase_ts_us"),
         F.unix_micros("r_ts").alias("view_ts_us"),
     )
+
+
+def watermarked_dedup(
+    events: DataFrame, subset: list[str] | None = None, delay: str = "1 day"
+) -> DataFrame:
+    """Exactly-once ingest dedup: drop re-deliveries of the same key
+    arriving within the watermark delay (``dropDuplicatesWithinWatermark``).
+
+    The upgrade of the reference's at-most-once in-memory keyed dicts
+    (mm_calls.py:23-26) for at-least-once sources: state per key is
+    retained only until the watermark passes key_ts + delay, so state
+    size is bounded by the duplicate-arrival horizon instead of the
+    whole stream history (plain streaming ``dropDuplicates`` state
+    grows forever)."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        subset or ["event_id"]
+    )

@@ -120,3 +120,31 @@ def test_rate_source_processing_time_trigger(spark):
         assert sum(r.n for r in rows) >= 50
     finally:
         q.stop()
+
+
+def test_watermarked_dedup_collapses_redeliveries(spark, sf_dir):
+    # Triple-delivery of every event must collapse to one row per
+    # event_id, and the dedup state operator must appear in the plan.
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_table,
+        watermarked_dedup,
+    )
+
+    one = read_events_stream(spark, sf_dir)
+    tripled = one.unionByName(read_events_stream(spark, sf_dir)).unionByName(
+        read_events_stream(spark, sf_dir)
+    )
+    out = run_stream_to_table(
+        watermarked_dedup(tripled, ["event_id"], "1 day").select("event_id"),
+        "dedup_triple",
+        output_mode="append",
+    )
+    n_distinct = (
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        .select("event_id")
+        .distinct()
+        .count()
+    )
+    assert out.count() == n_distinct
+    assert out.distinct().count() == n_distinct
