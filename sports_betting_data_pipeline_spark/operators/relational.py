@@ -187,3 +187,27 @@ def dedupe_exact(df: DataFrame, subset: Sequence[str] | None = None) -> DataFram
     minimal key subset so the shuffle payload stays narrow.
     """
     return df.dropDuplicates(list(subset) if subset else None)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata_col: str,
+    rates: dict[str, tuple[int, int]],
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep rows of stratum ``s``
+    where ``key mod out_of < keep`` for ``rates[s] = (keep, out_of)``;
+    strata without an entry are kept whole.
+
+    The oracle-reproducible form of ``df.sampleBy`` (whose RNG is not
+    cross-engine comparable). Partition-independent — no shuffle, the
+    predicate evaluates scan-side.
+    """
+    cond = None
+    for stratum, (keep, out_of) in rates.items():
+        arm = (F.col(strata_col) == stratum) & (
+            F.pmod(F.col(key), F.lit(out_of)) < F.lit(keep)
+        )
+        cond = arm if cond is None else cond | arm
+    others = ~F.col(strata_col).isin(list(rates))
+    return df.filter(others if cond is None else cond | others)

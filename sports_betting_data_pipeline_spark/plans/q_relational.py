@@ -20,6 +20,7 @@ from sports_betting_data_pipeline_spark.operators.relational import (
     enrich_join,
     running_total,
     semi_join,
+    stratified_sample,
     topk_per_group,
     whitelist_filter,
 )
@@ -1067,4 +1068,111 @@ def a06_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.count(F.lit(1)).alias("n_orders"),
         )
+    )
+
+
+@register(
+    "f07_stratified_sample",
+    oracle="""
+    SELECT event_type, count(*) AS n_sampled
+    FROM events
+    WHERE (event_type = 'view' AND event_id % 10 < 1)
+       OR (event_type = 'click' AND event_id % 10 < 2)
+       OR (event_type = 'purchase' AND event_id % 2 < 1)
+       OR event_type NOT IN ('view', 'click', 'purchase')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def f07_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling: downsample the high-volume strata (views
+    10%, clicks 20%, purchases 50%) and keep the rare ones whole — the
+    class-rebalancing shape of a training-data pipeline, in the
+    deterministic key-modulo form so it is oracle-checkable.
+
+    Scale: a pure scan-side predicate — no shuffle, no RNG state;
+    rebalancing 100 TB costs one pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    sampled = stratified_sample(
+        events,
+        key="event_id",
+        strata_col="event_type",
+        rates={"view": (1, 10), "click": (2, 10), "purchase": (1, 2)},
+    )
+    return (
+        sampled.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "w04_funnel_conversion",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               max(CASE WHEN event_type = 'purchase' THEN ts END) AS last_purchase,
+               count(CASE WHEN event_type = 'view' THEN 1 END) AS n_views,
+               count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN n_views > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_viewers,
+           CAST(sum(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_purchasers,
+           CAST(sum(CASE WHEN n_views > 0 AND last_purchase >= first_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM u
+    """,
+)
+def w04_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analytics: per-user view→purchase conversion via
+    conditional min/max aggregates (no self-join — the funnel edges
+    come out of one grouped pass).
+
+    Scale: one user_id shuffle carrying 4 partial aggregates per user;
+    the final global rollup is a single-row reduce.
+    """
+    events = load_table(spark, sf_dir, "events")
+    is_view = F.col("event_type") == "view"
+    is_purch = F.col("event_type") == "purchase"
+    u = events.groupBy("user_id").agg(
+        F.min(F.when(is_view, F.col("ts"))).alias("first_view"),
+        F.max(F.when(is_purch, F.col("ts"))).alias("last_purchase"),
+        F.count(F.when(is_view, F.lit(1))).alias("n_views"),
+        F.count(F.when(is_purch, F.lit(1))).alias("n_purchases"),
+    )
+    converted = (
+        (F.col("n_views") > 0)
+        & F.col("last_purchase").isNotNull()
+        & (F.col("last_purchase") >= F.col("first_view"))
+    )
+    return u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("n_views") > 0, 1).otherwise(0)).alias("n_viewers"),
+        F.sum(F.when(F.col("n_purchases") > 0, 1).otherwise(0)).alias(
+            "n_purchasers"
+        ),
+        F.sum(F.when(converted, 1).otherwise(0)).alias("n_converted"),
+    )
+
+
+@register("a07_approx_quantiles")
+def a07_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles of order value — the
+    mergeable quantile sketch that replaces exact percentiles at
+    100 TB (exact needs a global sort; the sketch is a bounded buffer
+    merged map-side).
+
+    Rows-only oracle: DuckDB's approx_quantile is a t-digest, so
+    cross-engine values legitimately differ. The rank-error bound vs
+    exact percentiles is pinned in tests/test_plans.py.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.9, 0.99], 10000
+        ).alias("approx_quantiles"),
+        F.count(F.lit(1)).alias("n_orders"),
     )

@@ -211,3 +211,24 @@ def test_a06_hll_sketch_error_bound(spark, sf_dir):
     assert set(approx) == set(exact)
     for seg, ex in exact.items():
         assert abs(approx[seg] - ex) <= max(1, 0.02 * ex), (seg, approx[seg], ex)
+
+
+def test_a07_quantile_sketch_rank_error_bound(spark, sf_dir):
+    # GK sketch with accuracy=10000: each approx quantile must lie
+    # between the exact quantiles at p ± 1% — the rank-error contract.
+    from sports_betting_data_pipeline_spark.io import load_table as _lt
+
+    row = QUERIES["a07_approx_quantiles"](spark, sf_dir).collect()[0]
+    approx = row["approx_quantiles"]
+    orders = _lt(spark, sf_dir, "orders")
+    ps = [0.25, 0.5, 0.9, 0.99]
+    lo_hi = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, array(0.24, 0.49, 0.89, 0.98))"
+        ).alias("lo"),
+        F.expr(
+            "percentile(o_totalprice, array(0.26, 0.51, 0.91, 1.0))"
+        ).alias("hi"),
+    ).collect()[0]
+    for p, a, lo, hi in zip(ps, approx, lo_hi["lo"], lo_hi["hi"]):
+        assert lo <= a <= hi, (p, a, lo, hi)
