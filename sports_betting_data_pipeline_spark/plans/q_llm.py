@@ -841,3 +841,36 @@ def l19_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_rn") <= 3)
         .select("doc_id", "term", "tf", F.round(score, 6).alias("tfidf"))
     )
+
+
+@register(
+    "l20_label_centroids",
+    oracle="""
+    WITH e AS (
+        SELECT label, unnest(range(len(embedding))) AS pos, embedding
+        FROM embeddings
+    )
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           round(avg(embedding[CAST(pos AS INTEGER) + 1]), 6) AS c_val,
+           count(*) AS n_vecs
+    FROM e GROUP BY label, pos
+    """,
+)
+def l20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, one row per (label, dimension) —
+    the building block of IVF coarse quantizers (l13) and k-means-style
+    clustering, kept flat so the oracle hash is array-free.
+
+    Scale: posexplode is map-side (64 rows per vector); the single
+    shuffle carries (label, pos) partial sums — 10×64 groups regardless
+    of corpus size.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.round(F.avg("val"), 6).alias("c_val"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+    )

@@ -1176,3 +1176,62 @@ def a07_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("approx_quantiles"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "w05_sessionization",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+        SELECT user_id, ts,
+               CAST(sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_no
+        FROM d
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           epoch_us(min(ts)) AS start_us,
+           epoch_us(max(ts)) AS end_us
+    FROM s GROUP BY user_id, session_no
+    """,
+)
+def w05_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >6h silence; session_no is the running count of session
+    starts — the batch mirror of the streaming session_window (st03).
+
+    Scale: both windows share ONE user_id partitioning, so the whole
+    query is a single shuffle followed by two linear per-key passes;
+    ties on ts break on event_id so islands are engine-independent.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 6 * 3600 * 1_000_000
+    d = events.withColumn(
+        "new_sess",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > gap_us
+            ),
+            1,
+        ).otherwise(0),
+    )
+    s = d.withColumn(
+        "session_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return s.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("start_us"),
+        F.unix_micros(F.max("ts")).alias("end_us"),
+    )
