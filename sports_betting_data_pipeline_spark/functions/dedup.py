@@ -356,3 +356,55 @@ def simhash_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation —
+    turns near-dup PAIRS (l07/l08/l09 output) into dedup CLUSTERS,
+    each labeled with its minimum member id.
+
+    The Pregel pattern on DataFrames: every node starts labeled with
+    itself; each superstep every node takes the min of its own label
+    and its neighbors' labels; converged when no label changes (≤ graph
+    diameter supersteps — near-dup clusters are dense, so typically
+    2-3). Each superstep is one shuffle on node id; ``localCheckpoint``
+    truncates the growing lineage so superstep N doesn't recompute
+    1..N-1. The per-superstep convergence count is a driver-side
+    scalar, not a collect of the data.
+
+    Output: one row per node appearing in ``edges`` —
+    ``(node, component)``.
+    """
+    sym = edges.select(
+        F.col(src).alias("node"), F.col(dst).alias("nbr")
+    ).unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+    labels = (
+        sym.select("node").distinct().withColumn("component", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = sym.join(
+            labels.select(
+                F.col("node").alias("nbr"), F.col("component").alias("nbr_comp")
+            ),
+            on="nbr",
+        ).select("node", F.col("nbr_comp").alias("component"))
+        new_labels = (
+            labels.select("node", "component")
+            .unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

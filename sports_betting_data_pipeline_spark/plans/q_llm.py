@@ -17,9 +17,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from sports_betting_data_pipeline_spark.functions.dedup import (
+    connected_components,
     exact_dedupe_canonical,
     jaccard,
     minhash_lsh_candidates,
+    ngram_jaccard_pairs,
     simhash_neardup_pairs,
 )
 from sports_betting_data_pipeline_spark.functions.multimodal import (
@@ -873,4 +875,58 @@ def l20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("val"), 6).alias("c_val"),
             F.count(F.lit(1)).alias("n_vecs"),
         )
+    )
+
+
+@register(
+    "l21_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, lang,
+               list_distinct({_DTOKS.format(src='lower(text)')}) AS sh
+        FROM documents WHERE doc_id % 5 = 0
+    ), p AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) /
+              greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.35
+    ), e AS (
+        SELECT src, dst FROM p UNION SELECT dst, src FROM p
+    ), r(node, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+    ), c AS (
+        SELECT node AS doc_id, min(lbl) AS component FROM r GROUP BY node
+    )
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS comp_size
+    FROM c
+    """,
+)
+def l21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters: unigram-Jaccard edges (the l07
+    shape, wider cohort) fed through iterative min-label connected
+    components; every doc gets its cluster's minimum doc_id as the
+    canonical representative — the "keep one per cluster" primitive of
+    corpus dedup.
+
+    Oracle: the same components via a recursive CTE (DuckDB) — label
+    enumeration to fixpoint, then min per node. Spark converges in
+    O(cluster diameter) supersteps, one node-id shuffle each.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", k=1,
+        threshold=0.35, block_col="lang",
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .alias("comp_size"),
     )

@@ -189,3 +189,23 @@ def test_scrub_counts_and_cleans_planted_urls_emails(spark):
     assert got[1] == (1, 1, "visit or mail now")
     assert got[2] == (0, 0, "no contacts here")
     assert got[3] == (1, 2, "")
+
+
+def test_connected_components_known_graph(spark):
+    # path 1-2-3-4, pair 10-11, triangle 20-21-22 (+ chord): three
+    # components labeled by their min ids, converged, no node dropped.
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        ["id_a", "id_b"],
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+            (20, 20), (21, 20), (22, 20)}
+    assert got == want
