@@ -59,17 +59,23 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "total_query_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+        }
     )
+    # Persist the full per-query table too: stdout capture can truncate
+    # the (long) JSON line, losing the timing breakdown.
+    try:
+        with open(os.path.join(_REPO_DIR, "BENCH_FULL.json"), "w") as fh:
+            fh.write(payload + "\n")
+    except OSError:
+        pass
+    print(payload)
 
 
 if __name__ == "__main__":

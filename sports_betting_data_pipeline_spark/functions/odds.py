@@ -101,7 +101,13 @@ def drawn_odds(row_id: Column) -> Column:
     by key arithmetic so a SQL oracle can reproduce it)."""
     n = len(odds_ladder())
     rung = F.element_at(ladder_array(), (F.pmod(row_id, F.lit(n)) + 1).cast("int"))
-    flipped = F.when(F.pmod(F.floor(row_id / n), F.lit(2)) == 1, -rung).otherwise(rung)
+    # Exact long arithmetic for the flip parity: (id div n) is odd
+    # iff id mod 2n >= n (ids are non-negative). floor(id / n) would
+    # route through double division and can round above 2^53,
+    # diverging from the oracle's integer `//`.
+    flipped = F.when(
+        F.pmod(row_id.cast("long"), F.lit(2 * n)) >= n, -rung
+    ).otherwise(rung)
     return F.when(flipped == -100, F.lit(100)).otherwise(flipped)
 
 

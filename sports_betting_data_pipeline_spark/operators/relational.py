@@ -209,5 +209,7 @@ def stratified_sample(
             F.pmod(F.col(key), F.lit(out_of)) < F.lit(keep)
         )
         cond = arm if cond is None else cond | arm
-    others = ~F.col(strata_col).isin(list(rates))
+    # NULL strata have no rate entry — keep them whole. `~isin` alone
+    # evaluates to NULL for them and would silently drop the rows.
+    others = F.col(strata_col).isNull() | ~F.col(strata_col).isin(list(rates))
     return df.filter(others if cond is None else cond | others)

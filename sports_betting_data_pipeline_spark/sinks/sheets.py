@@ -22,6 +22,8 @@ sink without an idempotent endpoint.
 
 from __future__ import annotations
 
+import csv
+import io
 import os
 import uuid
 from collections.abc import Callable, Iterator, Sequence
@@ -51,13 +53,19 @@ def sheet_append(
     """
     target = os.path.join(spool_dir, sheet)
     os.makedirs(target, exist_ok=True)
-    header = ",".join(df.columns)
+    columns = list(df.columns)
 
     def write_partition(rows: Iterator[Row]) -> Iterator[str]:
-        buf = [header] if include_header else []
+        # csv.writer with QUOTE_MINIMAL: free-form cells (event/market
+        # display names) containing commas, quotes, or newlines are
+        # quoted/escaped instead of silently corrupting the part file.
+        sink = io.StringIO()
+        writer = csv.writer(sink, quoting=csv.QUOTE_MINIMAL, lineterminator="\n")
+        if include_header:
+            writer.writerow(columns)
         n_data = 0
         for row in rows:
-            buf.append(",".join(_raw(v) for v in row))
+            writer.writerow([_raw(v) for v in row])
             n_data += 1
         if n_data == 0:
             return iter(())
@@ -65,7 +73,7 @@ def sheet_append(
         tmp = os.path.join(target, "." + part + ".tmp")
         final = os.path.join(target, part)
         with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write("\n".join(buf) + "\n")
+            fh.write(sink.getvalue())
         os.replace(tmp, final)
         return iter([final])
 

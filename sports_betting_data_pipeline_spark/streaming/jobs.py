@@ -173,10 +173,14 @@ def latest_per_key_upsert(
 
     def merge_batch(batch: DataFrame, _epoch: int) -> None:
         latest = _latest_per_user(batch)
-        try:
+        # Only the genuinely-missing-state case (first batch) may fall
+        # back to batch-only state; any other read failure (corrupt
+        # file, FS hiccup) must propagate and fail the query rather
+        # than silently resetting the state table.
+        if os.path.exists(state_path):
             existing = batch.sparkSession.read.parquet(state_path)
             merged = _latest_per_user(existing.unionByName(latest))
-        except Exception:  # noqa: BLE001 - first batch: no state yet
+        else:
             merged = latest
         merged.write.mode("overwrite").parquet(state_path + "_next")
         batch.sparkSession.read.parquet(state_path + "_next").write.mode(

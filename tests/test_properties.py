@@ -117,3 +117,22 @@ def test_asof_join_matches_naive(spark, left, right):
         else [(99, mk(0), "x")],
     )
     assert got == want
+
+
+def test_stratified_sample_keeps_null_strata_whole(spark):
+    from sports_betting_data_pipeline_spark.operators.relational import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, None if i % 3 == 0 else ("a" if i % 2 == 0 else "zz")) for i in range(30)],
+        ["id", "s"],
+    )
+    out = stratified_sample(df, key="id", strata_col="s", rates={"a": (1, 2)})
+    # NULL and unlisted strata survive untouched
+    assert out.filter(F.col("s").isNull()).count() == df.filter(F.col("s").isNull()).count()
+    assert out.filter(F.col("s") == "zz").count() == df.filter(F.col("s") == "zz").count()
+    # listed stratum is actually thinned by the deterministic predicate
+    kept_a = {r.id for r in out.filter(F.col("s") == "a").collect()}
+    want_a = {r.id for r in df.filter((F.col("s") == "a") & (F.col("id") % 2 < 1)).collect()}
+    assert kept_a == want_a

@@ -184,6 +184,21 @@ def test_sheet_append_raw_rendering(spark, tmp_path):
     assert sorted(lines[1:]) == ["1,,x", "2,3.5,"]  # nulls -> "" (RAW)
 
 
+def test_sheet_append_quotes_freeform_cells(spark, tmp_path):
+    import csv as _csv
+
+    df = spark.createDataFrame(
+        [(1, 'Team A, "The Champs"', "line1\nline2"), (2, "plain", "ok")],
+        ["a", "name", "note"],
+    )
+    parts = sheet_append(df.coalesce(1), str(tmp_path), "sheet2")
+    with open(parts[0], newline="") as fh:
+        rows = list(_csv.reader(fh))
+    assert rows[0] == ["a", "name", "note"]
+    data = sorted(rows[1:])
+    assert data == [["1", 'Team A, "The Champs"', "line1\nline2"], ["2", "plain", "ok"]]
+
+
 def test_foreach_partition_batched_sizes(spark, tmp_path):
     spool = str(tmp_path / "posts")
     df = spark.createDataFrame([(i,) for i in range(7)], ["n"]).coalesce(1)
