@@ -358,8 +358,10 @@ def l12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection with PLANTED duplicates: the
     fixture embeddings are near-orthogonal (no natural near-dups), so
     the corpus is unioned with slightly-perturbed copies of every
-    100th vector; the LSH self-join must recover those pairs at
-    cosine >= 0.99. Deterministic rows-only check."""
+    100th vector; the multi-table LSH self-join must recover those
+    pairs at cosine >= 0.99. Deterministic rows-only check; recall
+    across bucket boundaries and bucket-skew bounds are pinned in
+    tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     planted = emb.filter(F.pmod(F.col("vec_id"), F.lit(100)) == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
@@ -370,7 +372,7 @@ def l12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label"),
     )
     corpus = emb.unionByName(planted)
-    return embedding_neardup_pairs(corpus, threshold=0.99, bits=8, dim=64)
+    return embedding_neardup_pairs(corpus, threshold=0.99, bits=8, tables=8, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -905,11 +907,12 @@ def l20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def l21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs → dedup clusters: unigram-Jaccard edges (the l07
-    shape, wider cohort) fed through iterative min-label connected
-    components; every doc gets its cluster's minimum doc_id as the
-    canonical representative — the "keep one per cluster" primitive of
-    corpus dedup.
+    """EXACT-AUDIT variant of dedup clustering: all-pairs unigram
+    Jaccard edges within a language block, fed through iterative
+    min-label connected components. Quadratic within the dominant
+    block — use :func:`l22_lsh_dedup_clusters` as the production-scale
+    path (LSH candidate edges, never O(n²)); keep this one for sampled
+    audits of the LSH path's recall.
 
     Oracle: the same components via a recursive CTE (DuckDB) — label
     enumeration to fixpoint, then min per node. Spark converges in
@@ -921,6 +924,80 @@ def l21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = ngram_jaccard_pairs(
         docs, id_col="doc_id", text_col="text", k=1,
         threshold=0.35, block_col="lang",
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .alias("comp_size"),
+    )
+
+
+# DuckDB fragment equal to text.shingles(lower(text), 3): distinct
+# 3-word sliding windows; <3-token docs yield their full-token join.
+_DSH3 = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len({toks}) - 2, 1) + 1), "
+    "i -> array_to_string({toks}[i:i+2], ' ')))"
+)
+
+
+@register(
+    "l22_lsh_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id,
+               {_DTOKS.format(src='lower(text)')} AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, {_DSH3.format(toks='toks')} AS sh FROM t
+    ), p AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) /
+              greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.35
+    ), e AS (
+        SELECT src, dst FROM p UNION SELECT dst, src FROM p
+    ), r(node, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+    ), c AS (
+        SELECT node AS doc_id, min(lbl) AS component FROM r GROUP BY node
+    )
+    SELECT doc_id, component,
+           count(*) OVER (PARTITION BY component) AS comp_size
+    FROM c
+    """,
+)
+def l22_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-scale dedup-clustering path: MinHash-LSH
+    candidate edges (banded equi-join, never O(n²)) verified with
+    exact 3-shingle Jaccard, fed through iterative min-label connected
+    components — replaces l21's all-pairs-within-block edge source,
+    removing the one quadratic stage from the 100 TB dedup pipeline.
+
+    Oracle parity argument: ``verify_threshold`` makes the LSH edge
+    set a SUBSET of the oracle's exact all-pairs edge set (every
+    surviving candidate has exact Jaccard >= 0.35), so components can
+    differ only if LSH misses an edge that was the sole connector of a
+    component. With 8 bands of 4 rows the miss probability at the 0.35
+    operating point is per-pair small and near-dup clusters are dense
+    (multiple redundant edges); on this corpus recall is exactly 1.0
+    at sf0.01 and sf0.1 (verified empirically; xxhash64 is
+    deterministic, so this holds run-to-run). The recursive CTE
+    enumerates labels to fixpoint, then takes min per node.
+
+    Scale: signatures are scan-side expressions; only (band_id,
+    band_hash, id) rows shuffle for candidate generation; the CC loop
+    shuffles node ids only, localCheckpoint per superstep.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(
+        docs, id_col="doc_id", text_col="text",
+        k=3, num_hashes=32, bands=8, verify_threshold=0.35,
     ).select("id_a", "id_b")
     cc = connected_components(pairs)
     return cc.select(

@@ -209,3 +209,103 @@ def test_connected_components_known_graph(spark):
     want = {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
             (20, 20), (21, 20), (22, 20)}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Multi-table embedding LSH: recall across bucket boundaries + skew guard
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def sf01_neardup_corpus(spark):
+    """sf0.1 embeddings + planted noisy copies of every 50th vector.
+
+    The noise (amplitude 0.058/dim, ~0.33 L2 on unit vectors) puts the
+    planted pairs at cosine 0.94-0.99 — close enough to the 0.95
+    operating point that single-table LSH loses more than half of them
+    across hyperplane boundaries (measured recall 0.425), which is
+    exactly the failure mode multi-table OR-amplification exists for.
+    """
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    planted = emb.filter(F.pmod("vec_id", F.lit(50)) == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: (
+                x.cast("double")
+                + 0.058 * F.sin(F.col("vec_id") * (i.cast("double") + 1.0))
+            ).cast("float"),
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    corpus = emb.unionByName(planted)
+    want = {
+        (r.vec_id, r.vec_id + 10_000_000)
+        for r in emb.filter(F.pmod("vec_id", F.lit(50)) == 0).collect()
+    }
+    return corpus, want
+
+
+def test_embedding_neardup_multitable_recall(sf01_neardup_corpus):
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    corpus, want = sf01_neardup_corpus
+    assert len(want) == 40
+    got8 = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            corpus, threshold=0.90, bits=8, tables=8, dim=64
+        ).collect()
+    }
+    recall8 = sum(1 for p in want if p in got8) / len(want)
+    assert recall8 >= 0.9, f"multi-table recall {recall8} < 0.9"
+    # OR-amplification is what buys that recall: one table alone loses
+    # pairs straddling a single hyperplane (deterministic seeds, so
+    # these recalls are stable run-to-run).
+    got1 = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(
+            corpus, threshold=0.90, bits=8, tables=1, dim=64
+        ).collect()
+    }
+    recall1 = sum(1 for p in want if p in got1) / len(want)
+    assert recall1 < recall8
+
+
+def test_embedding_lsh_bucket_skew_bounded(sf01_neardup_corpus):
+    """No hot bucket: the candidate self-join stays local per bucket
+    only if bucket populations are bounded; pin max <= 10x mean and
+    <= 2.5% of the corpus at sf0.1."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        _projection_literals,
+        lsh_bucket,
+    )
+
+    corpus, _ = sf01_neardup_corpus
+    n = corpus.count()
+    allp = [_projection_literals(64, 8, 42 + t) for t in range(8)]
+    b = corpus.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table_id"),
+                        lsh_bucket(F.col("embedding"), p).alias("bucket"),
+                    )
+                    for t, p in enumerate(allp)
+                ]
+            )
+        ).alias("_t")
+    ).select("_t.table_id", "_t.bucket")
+    stats = (
+        b.groupBy("table_id", "bucket")
+        .count()
+        .agg(F.max("count").alias("mx"), F.avg("count").alias("mean"))
+        .collect()[0]
+    )
+    assert stats.mx <= 10 * stats.mean, f"hot bucket: max={stats.mx} mean={stats.mean}"
+    assert stats.mx <= 0.025 * n, f"hot bucket: max={stats.mx} of corpus {n}"
