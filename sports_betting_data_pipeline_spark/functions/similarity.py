@@ -245,6 +245,37 @@ def embedding_neardup_pairs(
     )
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Train a k-means‖ coarse quantizer over the corpus (MLlib
+    KMeans, fixed seed → deterministic init and assignment given the
+    same data). Returns (cent_id, cv: array<double>) — the drop-in
+    centroid table for :func:`ivf_topk`.
+
+    Scale: MLlib KMeans is the distributed Lloyd's loop (broadcast
+    centroids, map-side assignment, reduce new means) — linear scans
+    per iteration, no shuffle growth with corpus size.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    feats = corpus.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    spark = corpus.sparkSession
+    cent_rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    return spark.createDataFrame(cent_rows, ["cent_id", "cv"]).select(
+        "cent_id", F.col("cv").cast("array<double>").alias("cv")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -255,15 +286,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize the corpus into
     centroid cells, probe only the ``nprobe`` cells nearest each
     query, exact-rank the candidates.
 
-    The coarse quantizer here is the first ``n_centroids`` corpus
+    The default coarse quantizer is the first ``n_centroids`` corpus
     vectors (deterministic, so the DuckDB oracle can reproduce cell
-    assignment bit-for-bit); production would swap in k-means
-    centroids — every plan shape below is identical.
+    assignment bit-for-bit — this is the oracle path). Pass
+    ``centroids=kmeans_centroids(corpus, ...)`` for the production
+    quantizer: trained cells are tighter, so the same nprobe recovers
+    more true neighbors (recall@k improvement pinned in
+    tests/test_llm_ops.py). Every plan shape below is identical.
 
     Scale: assignment is a broadcast of C centroid vectors + C
     cosine evaluations per corpus row (map-side, one pass); the
@@ -271,9 +306,12 @@ def ivf_topk(
     of all of it — the whole point of IVF at 10^9+ vectors. Shuffles:
     one hash join on cent_id + the final per-query top-k window.
     """
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
-    )
+    if centroids is not None:
+        cents = centroids.select("cent_id", F.col("cv").cast("array<double>").alias("cv"))
+    else:
+        cents = corpus.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+        )
 
     def nearest_cells(df: DataFrame, df_id: str, df_vec: str, n: int) -> DataFrame:
         sims = df.crossJoin(F.broadcast(cents)).select(

@@ -18,13 +18,124 @@ from sports_betting_data_pipeline_spark.operators.flatten import flatten_sheet
 from sports_betting_data_pipeline_spark.plans.catalog import register
 
 
-@register("p01_flatten_sheet")
+def _p01_oracle_sql() -> str:
+    """Hash-checked DuckDB UNNEST oracle for the flatten centerpiece.
+
+    The fixture tree is embedded as ONE JSON literal generated from the
+    SAME in-code source (fixtures.betting_tree_rows — the shared-literal
+    trick used by the odds ladder), json_transform'd to native nested
+    types, then re-flattened INDEPENDENTLY in SQL: branch A unnests
+    market_lines and takes inner selection [1] (SQL 1-based = Spark
+    element 0), branch B unnests both selection levels; timezone
+    renderings (America/New_York / US/Eastern, Python str() format with
+    conditional .ffffff and ±HH:MM offset) are recomputed via ICU.
+    """
+    import json as _json
+
+    from sports_betting_data_pipeline_spark.fixtures import betting_tree_rows
+
+    tree_json = _json.dumps(betting_tree_rows()).replace("'", "''")
+    sel_t = (
+        '[[{"line_id":"VARCHAR","display_name":"VARCHAR","name":"VARCHAR",'
+        '"odds":"BIGINT","stake":"DOUBLE","value":"DOUBLE"}]]'
+    )
+    struct_t = (
+        '[{"event_id":"BIGINT","name":"VARCHAR","display_name":"VARCHAR",'
+        '"scheduled":"VARCHAR","status":"VARCHAR",'
+        '"competitors":[{"display_name":"VARCHAR","abbreviation":"VARCHAR","side":"VARCHAR"}],'
+        '"markets":[{"id":"VARCHAR","name":"VARCHAR","type":"VARCHAR","status":"VARCHAR",'
+        '"updated_at":"BIGINT",'
+        f'"market_lines":[{{"id":"VARCHAR","name":"VARCHAR","line":"DOUBLE",'
+        f'"favourite":"VARCHAR","type":"VARCHAR","selections":{sel_t}}}],'
+        f'"selections":{sel_t}}}]}}]'
+    )
+
+    def render_aware(ts_expr: str, tz: str) -> str:
+        # Python str(aware datetime): local wall clock, '.ffffff' only
+        # when nonzero, '±HH:MM' offset recovered by epoch difference.
+        loc = f"timezone('{tz}', timezone('UTC', {ts_expr}))"
+        off = f"(epoch({loc}) - epoch({ts_expr}))::BIGINT"
+        frac = (
+            f"(CASE WHEN strftime({loc}, '%f') != '000000' "
+            f"THEN '.' || strftime({loc}, '%f') ELSE '' END)"
+        )
+        offs = (
+            f"(CASE WHEN {off} < 0 THEN '-' ELSE '+' END || "
+            f"lpad(CAST(abs({off}) // 3600 AS VARCHAR), 2, '0') || ':' || "
+            f"lpad(CAST((abs({off}) // 60) % 60 AS VARCHAR), 2, '0'))"
+        )
+        return f"(strftime({loc}, '%Y-%m-%d %H:%M:%S') || {frac} || {offs})"
+
+    sched = render_aware("strptime(e.scheduled, '%Y-%m-%dT%H:%M:%SZ')", "America/New_York")
+    upd = render_aware("make_timestamp(mk.updated_at // 1000)", "US/Eastern")
+
+    def s(x: str) -> str:
+        return f"coalesce(CAST({x} AS VARCHAR), '')"
+
+    ev_cols = f'''
+      {s("e.event_id")} AS "Event ID",
+      {s(sched)} AS "Event Scheduled Time",
+      {s("e.display_name")} AS "Event Name",
+      {s("e.competitors[1].display_name")} AS "Event Competitor 1",
+      {s("e.competitors[1].abbreviation")} AS "Event Competitor 1 Abbreviation",
+      {s("e.competitors[1].side")} AS "Event Competitor 1 Side",
+      {s("e.competitors[2].display_name")} AS "Event Competitor 2",
+      {s("e.competitors[2].abbreviation")} AS "Event Competitor 2 Abbreviation",
+      {s("e.competitors[2].side")} AS "Event Competitor 2 Side",
+      {s("mk.id")} AS "Market ID",
+      {s("mk.name")} AS "Market Name",
+      {s("mk.type")} AS "Market Type",
+      {s("mk.status")} AS "Market Status"'''
+    sel_cols = f'''
+      {s("sel.line_id")} AS "Selection ID",
+      {s("sel.display_name")} AS "Selection Name",
+      {s("sel.odds")} AS "Selection Odds",
+      {s("e.status")} AS "Event Status",
+      {s("sel.stake")} AS "Selection Stake",
+      {s("sel.value")} AS "Selection Value",
+      {s(upd)} AS "Market Updated"'''
+
+    return f"""
+    WITH ev AS (
+      SELECT unnest(json_transform('{tree_json}', '{struct_t}')) AS e
+    ), m AS (
+      SELECT e, unnest(e.markets) AS mk FROM ev
+    ), a1 AS (
+      SELECT e, mk, unnest(ml.selections) AS sel_group, ml
+      FROM (SELECT e, mk, unnest(mk.market_lines) AS ml FROM m
+            WHERE mk.market_lines IS NOT NULL)
+    ), a2 AS (
+      SELECT e, mk, ml, sel_group[1] AS sel FROM a1
+    ), b1 AS (
+      SELECT e, mk, unnest(sel_group) AS sel
+      FROM (SELECT e, mk, unnest(mk.selections) AS sel_group FROM m
+            WHERE mk.market_lines IS NULL)
+    )
+    SELECT {ev_cols},
+      {s("ml.id")} AS "Market Line ID",
+      {s("ml.name")} AS "Market Line Name",
+      {s("ml.line")} AS "Market Line",
+      coalesce(ml.favourite, 'NA') AS "Market Line Favourite",
+      {s("ml.type")} AS "Market Line Type",
+      {sel_cols}
+    FROM a2
+    UNION ALL
+    SELECT {ev_cols},
+      'NA' AS "Market Line ID", 'NA' AS "Market Line Name", 'NA' AS "Market Line",
+      'NA' AS "Market Line Favourite", 'NA' AS "Market Line Type",
+      {sel_cols}
+    FROM b1
+    """
+
+
+@register("p01_flatten_sheet", oracle=_p01_oracle_sql())
 def p01_flatten_sheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P4 centerpiece: nested betting tree → 25-col sheet table.
 
-    Rows-only driver check (the tree is not a DuckDB view); cell-exact
-    values incl. both fidelity modes are pinned in
-    tests/test_flatten.py.
+    Hash-checked driver oracle: the two-branch flatten re-derived in
+    DuckDB UNNEST SQL over the same JSON-literal tree (cell-identical,
+    see _p01_oracle_sql). Both fidelity modes additionally pinned in
+    tests/test_flatten.py goldens.
     """
     return flatten_sheet(betting_tree_df(spark), fidelity=False)
 

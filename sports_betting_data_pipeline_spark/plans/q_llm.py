@@ -478,6 +478,27 @@ def l13_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2)
 
 
+@register("l23_ann_ivf_kmeans")
+def l23_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN with the PRODUCTION quantizer: k-means‖ centroids
+    (MLlib KMeans, fixed seed) instead of l13's first-N stub — trained
+    cells are tighter, so the same nprobe budget recovers more true
+    neighbors (recall improvement pinned in tests/test_llm_ops.py).
+    Rows-only driver check: k-means float iteration is not
+    SQL-reproducible; l13 remains the hash-checked oracle path with
+    the identical plan shape."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = kmeans_centroids(emb, n_centroids=8, seed=42)
+    return ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2, centroids=cents)
+
+
 @register(
     "l14_normalize_fingerprint",
     oracle=r"""

@@ -309,3 +309,32 @@ def test_embedding_lsh_bucket_skew_bounded(sf01_neardup_corpus):
     )
     assert stats.mx <= 10 * stats.mean, f"hot bucket: max={stats.mx} mean={stats.mean}"
     assert stats.mx <= 0.025 * n, f"hot bucket: max={stats.mx} of corpus {n}"
+
+
+def test_ivf_kmeans_quantizer_improves_recall(spark):
+    """Trained k-means cells are tighter than the first-N-vectors stub,
+    so the same nprobe budget recovers more true neighbors (measured
+    0.52 -> 0.60 recall@5 at sf0.1 with 8 cells, nprobe=2)."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 100 == 7).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    truth = {(r.query_id, r.vec_id) for r in brute_force_topk(emb, queries, k=5).collect()}
+
+    def recall(df):
+        got = {(r.query_id, r.vec_id) for r in df.collect()}
+        return len(got & truth) / len(truth)
+
+    r_first = recall(ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2))
+    cents = kmeans_centroids(emb, n_centroids=8, seed=42)
+    r_km = recall(
+        ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=2, centroids=cents)
+    )
+    assert r_km > r_first, f"kmeans {r_km} not better than first-N {r_first}"
+    assert r_km >= 0.5
