@@ -154,6 +154,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 32,
     bands: int = 8,
     verify_threshold: float = 0.0,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """Near-dup candidate pairs via banded MinHash LSH, verified with
     exact shingle Jaccard.
@@ -170,6 +171,18 @@ def minhash_lsh_candidates(
     it, projection collapse would inline the signature fold into every
     band-hash expression (``bands``× recompute per row). No cross join
     ever happens; collision buckets are tiny for honest hash functions.
+
+    ``collapse_exact`` is the SKEW GUARD for duplicate-heavy corpora
+    (boilerplate pages, mirrored docs): docs with an IDENTICAL shingle
+    set — true Jaccard exactly 1.0 — are collapsed to one
+    representative (min id) before banding, and re-attached to the
+    output as star edges (rep, member, sim 1.0). Without it, a block
+    of d identical docs shares every band hash, putting d entries in
+    ONE bucket and making the self-join locally O(d²) on a hot key; a
+    10% duplicate block at corpus scale is a straggler task. With it,
+    the block contributes ONE bucket entry, and the star edges keep
+    connected-components results identical (a star spans the same
+    component as the clique).
     """
     rows_per_band = num_hashes // bands
     base = (
@@ -183,6 +196,31 @@ def minhash_lsh_candidates(
         )
         .repartition(F.col("_id"))  # compute _sh/_sig once, below the exchange
     )
+
+    star = None
+    if collapse_exact:
+        # Exact-set key: sorted shingle array hashed — identical key
+        # <=> identical shingle set <=> Jaccard exactly 1.0 (unlike
+        # the minhash signature, which can collide at sim < 1).
+        keyed = base.withColumn(
+            "_setkey", F.sha2(F.concat_ws("\x01", F.array_sort("_sh")), 256)
+        )
+        reps = keyed.groupBy("_setkey").agg(F.min("_id").alias("_rep"))
+        members = keyed.join(reps, on="_setkey")
+        star = (
+            members.filter(F.col("_id") != F.col("_rep"))
+            .select(
+                F.col("_rep").alias("id_a"),  # rep = min id, so id_a < id_b
+                F.col("_id").alias("id_b"),
+                F.lit(1.0).alias("est_sim"),
+                F.lit(1.0).alias("jaccard_sim"),
+            )
+        )
+        base = (
+            members.filter(F.col("_id") == F.col("_rep"))
+            .select("_id", "_sh", "_sig")
+            .repartition(F.col("_id"))
+        )
 
     buckets = base.select(
         "_id",
@@ -229,7 +267,7 @@ def minhash_lsh_candidates(
         F.col("_sh").alias("sh_b"),
         F.col("_sig").alias("sig_b"),
     )
-    return (
+    verified = (
         pairs.join(sig_a, on="id_a")
         .join(sig_b, on="id_b")
         .select(
@@ -242,6 +280,9 @@ def minhash_lsh_candidates(
         )
         .filter(F.col("jaccard_sim") >= verify_threshold)
     )
+    if star is not None:
+        verified = verified.unionByName(star)
+    return verified
 
 
 # ---------------------------------------------------------------------------

@@ -1016,9 +1016,13 @@ def l22_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles node ids only, localCheckpoint per superstep.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # collapse_exact: identical shingle-sets band once and re-attach as
+    # star edges — tames duplicate-block bucket skew without changing
+    # components (tests/test_llm_ops.py pins the equivalence).
     pairs = minhash_lsh_candidates(
         docs, id_col="doc_id", text_col="text",
         k=3, num_hashes=32, bands=8, verify_threshold=0.35,
+        collapse_exact=True,
     ).select("id_a", "id_b")
     cc = connected_components(pairs)
     return cc.select(

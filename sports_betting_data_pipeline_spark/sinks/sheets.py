@@ -107,6 +107,41 @@ def foreach_partition_batched(
     df.foreachPartition(send_partition)
 
 
+class SheetsApiTransport:
+    """A batch transport shaped like the Sheets ``values().append``
+    call the reference makes (src/main.py:23-37): each batch becomes
+    one append request body ``{"range": "<sheet>!A1", "majorDimension":
+    "ROWS", "values": [[...RAW strings...]]}`` with
+    ``valueInputOption=RAW`` semantics (every cell stringified, null →
+    "").
+
+    The byte-mover is the injected ``send(body_dict)`` callable —
+    tests pass a recorder, production passes a googleapis client call.
+    Executor-safe: construct with picklable ``send`` (build sessions
+    inside it, not in the closure).
+    """
+
+    def __init__(
+        self,
+        sheet: str,
+        send: Callable[[dict], None],
+        columns: Sequence[str],
+    ) -> None:
+        self.sheet = sheet
+        self.send = send
+        self.columns = list(columns)
+
+    def __call__(self, batch: list[dict]) -> None:
+        values = [[_raw(row.get(c)) for c in self.columns] for row in batch]
+        self.send(
+            {
+                "range": f"{self.sheet}!A1",
+                "majorDimension": "ROWS",
+                "values": values,
+            }
+        )
+
+
 class SpoolTransport:
     """A file-backed transport for tests and local runs: each batch
     becomes one JSON-lines file (stand-in for one POST)."""

@@ -54,19 +54,64 @@ EVENTS_RAW = T.StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S6: file-source readStream over the events fixture with the
-    ns→µs timestamp conversion applied scan-side."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """Reader options for the Kafka-shaped S6 source — factored pure so
+    the config switch is unit-testable without the Kafka connector jar
+    (not shipped in this container)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # one in-flight batch cap, mirroring the file source's
+        # per-trigger file cap semantics
+        "maxOffsetsPerTrigger": "100000",
+    }
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    source: str = "file",
+    bootstrap_servers: str | None = None,
+    topic: str | None = None,
+) -> DataFrame:
+    """S6: streaming events source with the ns→µs timestamp conversion
+    applied scan-side. ``source`` selects the connector — every
+    downstream transformation is source-agnostic:
+
+    - ``"file"`` (default): parquet readStream over the fixture dir —
+      the test/CI path.
+    - ``"kafka"``: the production connector; messages carry the
+      EVENTS_RAW record as a JSON value (the reference's Pusher
+      envelope, mm_calls.py:143-162, maps to Kafka value + channel →
+      topic). Requires the spark-sql-kafka package on the cluster.
+    """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # The file source needs a DIRECTORY; pathGlobFilter narrows the
-    # fixture dir to the events table only.
-    raw = (
-        spark.readStream.schema(EVENTS_RAW)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    if source == "file":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The file source needs a DIRECTORY; pathGlobFilter narrows the
+        # fixture dir to the events table only.
+        raw = (
+            spark.readStream.schema(EVENTS_RAW)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
+    elif source == "kafka":
+        if not bootstrap_servers or not topic:
+            raise ValueError("kafka source requires bootstrap_servers and topic")
+        reader = spark.readStream.format("kafka")
+        for key, val in kafka_source_options(bootstrap_servers, topic).items():
+            reader = reader.option(key, val)
+        raw = reader.load().select(
+            F.from_json(F.col("value").cast("string"), EVENTS_RAW).alias("r")
+        ).select("r.*")
+    else:
+        raise ValueError(f"unknown events stream source: {source!r}")
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 

@@ -338,3 +338,55 @@ def test_ivf_kmeans_quantizer_improves_recall(spark):
     )
     assert r_km > r_first, f"kmeans {r_km} not better than first-N {r_first}"
     assert r_km >= 0.5
+
+
+def test_minhash_collapse_exact_tames_duplicate_block(spark):
+    """Skew guard for the band join: a planted 10% identical-doc block
+    at sf0.1 (500 docs) makes every band bucket for that block hold
+    500 entries — locally O(d^2) on a hot key. collapse_exact collapses
+    the block to ONE representative before banding and re-attaches
+    members as star edges: 499 edges instead of 124,750 pairs, with
+    IDENTICAL connected components (a star spans the same component as
+    the clique)."""
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    blk = spark.range(500).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit(
+            "standard boilerplate terms and conditions apply to every "
+            "wager placed through this exchange without exception"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(blk)
+    blk_ids = set(range(1_000_000, 1_000_500))
+
+    plain = minhash_lsh_candidates(
+        corpus, "doc_id", "text", k=3, num_hashes=32, bands=8,
+        verify_threshold=0.35,
+    ).select("id_a", "id_b")
+    coll = minhash_lsh_candidates(
+        corpus, "doc_id", "text", k=3, num_hashes=32, bands=8,
+        verify_threshold=0.35, collapse_exact=True,
+    ).select("id_a", "id_b")
+
+    plain_pairs = {(r.id_a, r.id_b) for r in plain.collect()}
+    coll_pairs = {(r.id_a, r.id_b) for r in coll.collect()}
+    in_blk = lambda p: p[0] in blk_ids and p[1] in blk_ids
+    assert sum(1 for p in plain_pairs if in_blk(p)) == 500 * 499 // 2
+    assert sum(1 for p in coll_pairs if in_blk(p)) == 499  # the star
+    # same components either way
+    mk = lambda pairs: spark.createDataFrame(sorted(pairs), ["id_a", "id_b"])
+    comp_plain = {
+        (r.node, r.component) for r in connected_components(mk(plain_pairs)).collect()
+    }
+    comp_coll = {
+        (r.node, r.component) for r in connected_components(mk(coll_pairs)).collect()
+    }
+    assert comp_plain == comp_coll
