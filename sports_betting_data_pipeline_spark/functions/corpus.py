@@ -1,0 +1,166 @@
+"""Corpus-assembly operators for a pretraining-data pipeline:
+benchmark decontamination, sequence packing, deterministic shuffle,
+and temperature-based mixture sampling.
+
+These are the steps between "cleaned documents" (functions/text,
+functions/dedup) and "training batches": remove eval-set overlap,
+re-weight domains/languages, order the corpus reproducibly, and pack
+tokens into fixed-length sequences.
+
+Scale design:
+- decontamination joins on exploded n-gram shingles — an equi-join
+  whose build side (the benchmark suite) is tiny relative to the
+  corpus; at 100 TB add a bloom filter on benchmark shingle hashes to
+  prune the probe scan-side (the join itself already never goes
+  quadratic).
+- packing is a per-shard window cumsum (one shuffle on the shard key);
+  shards (language, source, ...) pack independently and in parallel,
+  exactly how distributed pretraining prep shards its corpus. No
+  global sort.
+- deterministic shuffle orders by a keyed hash (md5), reproducible
+  across engines/runs — a full sort at the scale of the SELECTED
+  corpus, which is the one unavoidable sort in training-data prep
+  (and is what `ORDER BY` + write-out is for).
+- temperature mixture computes per-group quotas from integer-exact
+  arithmetic (floor(sqrt(count)) weights, integer quota division) so
+  the same sample set is reproducible in any engine — no RNG, no
+  float boundary flips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sports_betting_data_pipeline_spark.functions.text import shingles, ws_tokens
+
+
+def decontaminate_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Eval-set contamination detection (the n-gram-overlap rule used
+    for pretraining decontamination): a corpus doc is contaminated if
+    it shares at least one k-token shingle with any benchmark doc.
+
+    Returns (id, n_bench_hits) for contaminated docs only —
+    n_bench_hits = how many DISTINCT benchmark docs overlap. Anti-join
+    the corpus against this to get the clean set.
+
+    Scale: explode both sides to (shingle, id), equi-join on shingle,
+    count distinct benchmark ids per corpus doc. The benchmark side is
+    small (an eval suite); the shuffle carries only (shingle, id)
+    pairs. Never quadratic.
+    """
+    bench_sh = benchmark.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(shingles(F.col(text_col), k)).alias("_shingle"),
+    ).dropDuplicates()
+    corp_sh = corpus.select(
+        F.col(id_col).alias(id_col),
+        F.explode(shingles(F.col(text_col), k)).alias("_shingle"),
+    ).dropDuplicates()
+    return (
+        corp_sh.join(bench_sh, on="_shingle")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_bid").alias("n_bench_hits"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str = "lang",
+) -> DataFrame:
+    """Concat-and-chop sequence packing: within each shard, documents
+    are concatenated in ``id_col`` order and chopped into
+    ``budget``-token training sequences. Per doc:
+    (id, shard, n_tokens, start_bin, end_bin, start_off) — which
+    sequences the doc lands in and at what offset; ``start_bin !=
+    end_bin`` means the doc straddles a sequence boundary.
+
+    One shuffle (the shard-partitioned window cumsum); shards pack
+    independently and in parallel. Zero-token docs are excluded (they
+    occupy no sequence).
+    """
+    w = Window.partitionBy(shard_col).orderBy(id_col)
+    toks = docs.select(
+        id_col,
+        shard_col,
+        F.size(ws_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    cum = toks.withColumn("_cum", F.sum("n_tokens").over(w)).withColumn(
+        "_start", F.col("_cum") - F.col("n_tokens")
+    )
+    # integer `div`, not double `/`: exact for arbitrarily deep shards
+    return cum.select(
+        id_col,
+        shard_col,
+        "n_tokens",
+        F.expr(f"_start div {budget}").alias("start_bin"),
+        F.expr(f"(_cum - 1) div {budget}").alias("end_bin"),
+        F.pmod(F.col("_start"), F.lit(budget)).cast("long").alias("start_off"),
+    )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reproducible global shuffle: order by md5 of the stringified id
+    (identical in Spark and DuckDB), tiebreak on the id itself. Adds
+    ``shuffle_rank`` (1-based). The one unavoidable global sort of
+    training-data prep — everything upstream stays partition-local.
+    """
+    key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.orderBy(key, F.col(id_col))
+    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+
+
+def temperature_mixture(
+    docs: DataFrame,
+    group_col: str = "lang",
+    n_target: int = 1000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture sampling (the multilingual/domain
+    re-weighting step): group g gets quota ``n_target * w_g / sum(w)``
+    with sub-linear weights ``w_g = floor(sqrt(count_g))`` — smaller
+    groups are up-weighted relative to their share, the alpha=0.5 point
+    of the standard temperature-sampling family.
+
+    All arithmetic is integer-exact (floor(sqrt(int)) is safe in IEEE —
+    sqrt is correctly rounded — and the quota is one integer division),
+    and within-group selection is the deterministic md5 order, so the
+    EXACT sample set reproduces in any engine: no RNG, no float
+    boundary flips.
+
+    Output: (id, group, rk) for kept rows. Two shuffles: the tiny
+    group-count aggregate (broadcast back) and the per-group rank
+    window.
+    """
+    counts = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("_c"))
+    weights = counts.select(
+        group_col, F.floor(F.sqrt(F.col("_c"))).cast("long").alias("_w")
+    )
+    total_w = weights.agg(F.sum("_w").alias("_tw"))
+    quotas = weights.crossJoin(F.broadcast(total_w)).select(
+        group_col,
+        ((F.lit(n_target) * F.col("_w")) / F.col("_tw")).cast("long").alias("_quota"),
+    )
+    key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    ranked = docs.select(id_col, group_col).withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), on=group_col)
+        .filter(F.col("rk") <= F.col("_quota"))
+        .select(id_col, group_col, "rk")
+    )

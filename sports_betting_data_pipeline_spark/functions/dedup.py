@@ -201,25 +201,27 @@ def minhash_lsh_candidates(
     if collapse_exact:
         # Exact-set key: sorted shingle array hashed — identical key
         # <=> identical shingle set <=> Jaccard exactly 1.0 (unlike
-        # the minhash signature, which can collide at sim < 1).
-        keyed = base.withColumn(
-            "_setkey", F.sha2(F.concat_ws("\x01", F.array_sort("_sh")), 256)
-        )
-        reps = keyed.groupBy("_setkey").agg(F.min("_id").alias("_rep"))
-        members = keyed.join(reps, on="_setkey")
-        star = (
-            members.filter(F.col("_id") != F.col("_rep"))
-            .select(
-                F.col("_rep").alias("id_a"),  # rep = min id, so id_a < id_b
-                F.col("_id").alias("id_b"),
-                F.lit(1.0).alias("est_sim"),
-                F.lit(1.0).alias("jaccard_sim"),
+        # the minhash signature, which can collide at sim < 1). The
+        # representative is a window min (one shuffle, no join), and
+        # the trailing repartition is ONE exchange that both consumers
+        # (star edges + the banding path) reuse — without it the whole
+        # shingle+signature+sha2 pipeline would run twice.
+        w_set = Window.partitionBy("_setkey")
+        members = (
+            base.withColumn(
+                "_setkey", F.sha2(F.concat_ws("\x01", F.array_sort("_sh")), 256)
             )
-        )
-        base = (
-            members.filter(F.col("_id") == F.col("_rep"))
-            .select("_id", "_sh", "_sig")
+            .withColumn("_rep", F.min("_id").over(w_set))
             .repartition(F.col("_id"))
+        )
+        star = members.filter(F.col("_id") != F.col("_rep")).select(
+            F.col("_rep").alias("id_a"),  # rep = min id, so id_a < id_b
+            F.col("_id").alias("id_b"),
+            F.lit(1.0).alias("est_sim"),
+            F.lit(1.0).alias("jaccard_sim"),
+        )
+        base = members.filter(F.col("_id") == F.col("_rep")).select(
+            "_id", "_sh", "_sig"
         )
 
     buckets = base.select(
@@ -421,9 +423,15 @@ def connected_components(
     Output: one row per node appearing in ``edges`` —
     ``(node, component)``.
     """
-    sym = edges.select(
-        F.col(src).alias("node"), F.col(dst).alias("nbr")
-    ).unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+    # Materialize the symmetrized edge list ONCE: it is re-joined every
+    # superstep, and without the checkpoint the entire upstream
+    # edge-generation pipeline (e.g. the LSH candidate join) would
+    # re-execute per iteration.
+    sym = (
+        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
+        .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
     labels = (
         sym.select("node").distinct().withColumn("component", F.col("node"))
     ).localCheckpoint(eager=True)

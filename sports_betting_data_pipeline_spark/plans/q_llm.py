@@ -1032,3 +1032,150 @@ def l22_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("component"))
         .alias("comp_size"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus assembly: decontamination, packing, shuffle, mixture
+# ---------------------------------------------------------------------------
+
+# DuckDB k-shingle fragment (generalizes _DSH3; parity with
+# text.shingles: <k-token docs yield their full-token join).
+def _dshk(toks: str, k: int) -> str:
+    return (
+        "list_distinct(list_transform("
+        f"range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
+        f"i -> array_to_string({toks}[i:i+{k - 1}], ' ')))"
+    )
+
+
+@register(
+    "l24_decontamination",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DTOKS.format(src='text')} AS toks FROM documents
+    ), s AS (
+        SELECT doc_id, unnest({_dshk('toks', 5)}) AS shingle FROM t
+    ), bench AS (
+        SELECT DISTINCT doc_id AS bid, shingle FROM s WHERE doc_id % 97 = 0
+    ), corp AS (
+        SELECT DISTINCT doc_id, shingle FROM s WHERE doc_id % 97 != 0
+    )
+    SELECT c.doc_id, CAST(count(DISTINCT b.bid) AS BIGINT) AS n_bench_hits
+    FROM corp c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def l24_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: corpus docs sharing any 5-token
+    shingle with the benchmark suite (docs with doc_id % 97 == 0 stand
+    in for the eval set) are flagged with how many distinct benchmark
+    docs they overlap — the n-gram-overlap rule of pretraining
+    decontamination. Equi-join on exploded shingles; at 100 TB the
+    tiny benchmark side becomes a bloom filter pushed into the corpus
+    scan."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        decontaminate_hits,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod("doc_id", F.lit(97)) == 0)
+    corpus = docs.filter(F.pmod("doc_id", F.lit(97)) != 0)
+    return decontaminate_hits(corpus, bench, k=5)
+
+
+@register(
+    "l25_sequence_packing",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x != '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), nz AS (
+        SELECT * FROM t WHERE n_tokens > 0
+    ), c AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM nz
+    )
+    SELECT doc_id, lang, n_tokens,
+           (cum - n_tokens) // 512 AS start_bin,
+           (cum - 1) // 512 AS end_bin,
+           (cum - n_tokens) % 512 AS start_off
+    FROM c
+    """,
+)
+def l25_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing into 512-token training
+    sequences, sharded by language: per doc, which sequence bins it
+    occupies and at what offset (start_bin != end_bin = straddles a
+    boundary). One shard-partitioned window cumsum; shards pack in
+    parallel, no global sort."""
+    from sports_betting_data_pipeline_spark.functions.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, budget=512, shard_col="lang")
+
+
+@register(
+    "l26_deterministic_shuffle",
+    oracle="""
+    SELECT doc_id, lang, shuffle_rank FROM (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS shuffle_rank
+        FROM documents
+    ) WHERE shuffle_rank <= 100
+    """,
+)
+def l26_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible global training order: rank by md5(doc_id) —
+    engine-independent, seedless, stable across runs and partitionings
+    (md5 agrees byte-for-byte between Spark and DuckDB). Top-100 here
+    so the catalog query stays bounded; production writes the full
+    order out."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        deterministic_shuffle,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_shuffle(docs).filter(F.col("shuffle_rank") <= 100)
+
+
+@register(
+    "l27_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        FROM documents GROUP BY lang
+    ), q AS (
+        SELECT lang, (1000 * w) // (SELECT sum(w) FROM counts) AS quota
+        FROM counts
+    ), r AS (
+        SELECT doc_id, lang,
+               CAST(row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.lang, r.rk
+    FROM r JOIN q ON q.lang = r.lang
+    WHERE r.rk <= q.quota
+    """,
+)
+def l27_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (alpha=0.5): per-language
+    quotas proportional to floor(sqrt(count)) — sub-linear weights
+    up-weight small languages, the standard multilingual re-balancing.
+    Integer-exact quota arithmetic + md5-ordered selection makes the
+    EXACT sample set engine-reproducible (no RNG). Quotas broadcast;
+    one rank window shuffle."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        temperature_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture(docs, group_col="lang", n_target=1000)

@@ -135,9 +135,13 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
     # centroid assignment), Arrow-Python only in the multimodal
     # queries whose whole point is a pandas UDF.
     BNLJ_OK = {"l10_ann_bruteforce", "l13_ann_ivf",
+               # same centroid-assignment crossJoin as l13, trained cells
+               "l23_ann_ivf_kmeans",
                # 1-row broadcast scalar (corpus size N) — the physical
                # form of an uncorrelated scalar subquery
-               "l19_tfidf_top_terms"}
+               "l19_tfidf_top_terms",
+               # 1-row broadcast scalar (sum of mixture weights)
+               "l27_temperature_mixture"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  "st06_stateful_user_stats", "l16_grouped_zscore"}
     problems = []
