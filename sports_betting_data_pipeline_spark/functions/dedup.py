@@ -371,26 +371,58 @@ def simhash_neardup_pairs(
     text_col: str,
     max_hamming: int = 8,
     prefix_bits: int = 16,
+    probes: int = 1,
 ) -> DataFrame:
-    """SimHash near-dup pairs blocked by signature prefix.
+    """SimHash near-dup pairs blocked by signature prefix, with
+    optional ROTATION MULTI-PROBE.
 
-    Docs sharing the top ``prefix_bits`` of their simhash land in one
-    bucket (equi-join); pairs within a bucket are verified by full
-    Hamming distance. Trades recall (near-dups differing in the prefix
-    are missed) for a shuffle-only plan — the standard multi-probe
-    variant re-runs with rotated signatures.
+    ``probes=1``: docs sharing the top ``prefix_bits`` of their simhash
+    land in one bucket (equi-join); pairs within a bucket are verified
+    by full Hamming distance. Near-dups whose few differing bits fall
+    in the prefix are missed.
+
+    ``probes=P``: the signature is additionally bucketed under P-1
+    rotations (by 64/P bits each), and a pair is a candidate if ANY
+    rotation gives them a common prefix — the standard multi-probe
+    recall amplification (a pair at Hamming h survives unless every
+    rotated prefix window catches a differing bit; with P > h one
+    clean window is guaranteed by pigeonhole when windows are
+    disjoint). Candidates are deduped before the Hamming verify, and
+    the join still shuffles only (probe, bucket, id, sig) longs.
     """
-    sig = simhash_signatures(df, id_col, text_col).withColumn(
-        "_bucket", F.shiftrightunsigned("_sig", 64 - prefix_bits)
+    sig = simhash_signatures(df, id_col, text_col)
+    step = 64 // probes
+
+    def rotated(c: Column, k: int) -> Column:
+        if k == 0:
+            return c
+        return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+    buckets = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("probe"),
+                        F.shiftrightunsigned(
+                            rotated(F.col("_sig"), p * step), 64 - prefix_bits
+                        ).alias("bucket"),
+                    )
+                    for p in range(probes)
+                ]
+            )
+        ).alias("_p"),
+    ).select("_id", "_sig", "_p.probe", "_p.bucket")
+    left = buckets.select(
+        "probe", "bucket", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")
     )
-    left = sig.select(
-        F.col("_bucket"), F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")
-    )
-    right = sig.select(
-        F.col("_bucket"), F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")
+    right = buckets.select(
+        "probe", "bucket", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")
     )
     return (
-        left.join(right, on="_bucket")
+        left.join(right, on=["probe", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
@@ -398,6 +430,7 @@ def simhash_neardup_pairs(
             hamming64(F.col("sig_a"), F.col("sig_b")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

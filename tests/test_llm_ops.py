@@ -390,3 +390,41 @@ def test_minhash_collapse_exact_tames_duplicate_block(spark):
         (r.node, r.component) for r in connected_components(mk(coll_pairs)).collect()
     }
     assert comp_plain == comp_coll
+
+
+def test_simhash_multiprobe_improves_recall(spark):
+    """Rotation multi-probe: near-dups whose differing bits fall in
+    the prefix window are lost by single-prefix blocking (recall 0.535
+    on planted one-word-appended dups at sf0.1); probing 4 rotations
+    recovers them (0.93) while the join still shuffles only (probe,
+    bucket, id, sig) longs. Deterministic (xxhash64 signatures)."""
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    planted = docs.filter(F.pmod("doc_id", F.lit(25)) == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzyzx")).alias("text"),
+    )
+    corpus = docs.unionByName(planted)
+    want = {
+        (r.doc_id, r.doc_id + 1_000_000)
+        for r in docs.filter(F.pmod("doc_id", F.lit(25)) == 0).collect()
+    }
+
+    def recall(probes):
+        got = {
+            (r.id_a, r.id_b)
+            for r in simhash_neardup_pairs(
+                corpus, "doc_id", "text", max_hamming=8, prefix_bits=16,
+                probes=probes,
+            ).collect()
+        }
+        return sum(1 for p in want if p in got) / len(want)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 > r1
+    assert r4 >= 0.9, f"multi-probe recall {r4} < 0.9"
