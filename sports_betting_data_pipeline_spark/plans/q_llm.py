@@ -345,10 +345,54 @@ def l10_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries, k=5)
 
 
-@register("l11_ann_lsh")
+def _l11_oracle_sql() -> str:
+    """Hash-checked oracle for LSH top-k: the seeded projection planes
+    are deterministic Python-generated literals, so they embed in SQL
+    (the odds-ladder shared-literal trick) and DuckDB recomputes bucket
+    assignment and cosine re-rank independently. Both engines fold the
+    dot products sequentially in doubles over identical literals, so
+    the bucket signs agree exactly."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        _projection_literals,
+    )
+
+    planes = _projection_literals(64, 8, 42)
+
+    def plane_sql(p: list[float]) -> str:
+        return "[" + ", ".join(repr(v) for v in p) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, 65), "
+        f"j -> v[j] * ({plane_sql(p)})[j])) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cb AS (
+        SELECT vec_id, v, {bucket} AS bucket FROM c
+    ), q AS (
+        SELECT vec_id AS query_id, v AS qv, bucket FROM cb WHERE vec_id < 10
+    ), sims AS (
+        SELECT q.query_id, cb.vec_id,
+               list_sum(list_transform(range(1, 65), j -> cb.v[j] * q.qv[j])) /
+               greatest(sqrt(list_sum(list_transform(cb.v, x -> x*x))) *
+                        sqrt(list_sum(list_transform(q.qv, x -> x*x))), 1e-12) AS sim
+        FROM cb JOIN q ON cb.bucket = q.bucket
+    )
+    SELECT query_id, vec_id, round(sim, 6) AS cosine_sim, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, vec_id) AS rnk FROM sims)
+    WHERE rnk <= 5
+    """
+
+
+@register("l11_ann_lsh", oracle=_l11_oracle_sql())
 def l11_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via random-hyperplane LSH buckets + exact
-    re-rank (rows-only: recall vs brute force asserted in unit tests)."""
+    re-rank. Hash-checked: the seeded planes embed in the oracle SQL
+    as literals (see _l11_oracle_sql); recall vs brute force is
+    additionally asserted in unit tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
