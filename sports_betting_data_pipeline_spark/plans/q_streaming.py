@@ -269,3 +269,25 @@ def st08_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value_r"),
     )
     return run_stream_to_table(deduped, "st08_dedup", output_mode="append")
+
+
+@register("st09_stream_neardup_filter")
+def st09_stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest near-dup filter: documents arriving on the
+    stream are dropped when SimHash-near (hamming <= 8, 16-bit prefix
+    buckets) a previously seen doc — the ingest-time face of the batch
+    dedup toolkit (l09), keyed state per bucket via
+    applyInPandasWithState. Rows-only driver check (xxhash64
+    signatures); equality with the batch earlier-doc rule is pinned in
+    tests/test_streaming.py."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        read_documents_stream,
+        run_stream_to_table,
+        streaming_neardup_filter,
+    )
+
+    stream = read_documents_stream(spark, sf_dir)
+    kept = streaming_neardup_filter(stream, max_hamming=8, prefix_bits=16)
+    return run_stream_to_table(
+        kept, "st09_neardup", output_mode="update"
+    ).select("doc_id", "bucket")

@@ -402,3 +402,112 @@ def watermarked_dedup(
     return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
         subset or ["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest near-dup filter: the streaming face of the LLM dedup
+# toolkit (functions/dedup) — drop arriving documents that are SimHash-
+# near a previously seen document, at ingest time.
+# ---------------------------------------------------------------------------
+DOCUMENTS_RAW = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source readStream over the documents fixture (same
+    source-agnostic posture as read_events_stream)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return (
+        spark.readStream.schema(DOCUMENTS_RAW)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def streaming_neardup_filter(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Keep only documents NOT SimHash-near any previously seen doc.
+
+    Arrivals are bucketed by signature prefix (the l09 blocking) and
+    each bucket keeps the list of seen signatures in explicit group
+    state; a doc is emitted iff its Hamming distance to every earlier
+    signature in its bucket exceeds ``max_hamming``. "Earlier" is
+    doc_id order — made deterministic within a microbatch by sorting,
+    so over one availableNow drain the kept set equals the batch rule
+    "no doc with smaller doc_id in my bucket within max_hamming"
+    (pinned against the batch self-join in tests; rows-only at the
+    driver since DuckDB cannot reproduce xxhash64).
+
+    Scale: the signature is a scan-side expression; the only shuffle
+    is the bucket-key hash for the state operator. State holds one
+    (id, sig) pair per seen doc per bucket — production bounds it with
+    a state TTL (GroupStateTimeout) or periodic compaction to the
+    accepted set; unbounded here because fixture drains are finite.
+    """
+    import pandas as pd  # executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from sports_betting_data_pipeline_spark.functions.dedup import simhash64
+
+    sig_docs = docs.select(
+        "doc_id", simhash64("text").alias("sig")
+    ).withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.LongType()),
+            T.StructField("bucket", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("ids", T.ArrayType(T.LongType())),
+            T.StructField("sigs", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        ids, sigs = state.get if state.exists else ([], [])
+        ids, sigs = list(ids), list(sigs)
+        rows = pd.concat(list(pdf_iter)).sort_values("doc_id")
+        kept_ids, kept_sigs = [], []
+        for doc_id, sig in zip(rows["doc_id"], rows["sig"]):
+            near = any(
+                bin((int(sig) ^ int(s)) & 0xFFFFFFFFFFFFFFFF).count("1")
+                <= max_hamming
+                for s in sigs
+            )
+            if not near:
+                kept_ids.append(int(doc_id))
+                kept_sigs.append(int(sig))
+            # seen-semantics: every arrival joins the state, kept or not
+            ids.append(int(doc_id))
+            sigs.append(int(sig))
+        state.update((ids, sigs))
+        yield pd.DataFrame(
+            {
+                "doc_id": kept_ids,
+                "sig": kept_sigs,
+                "bucket": [key[0]] * len(kept_ids),
+            }
+        )
+
+    return sig_docs.groupBy("bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

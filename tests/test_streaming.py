@@ -148,3 +148,50 @@ def test_watermarked_dedup_collapses_redeliveries(spark, sf_dir):
     )
     assert out.count() == n_distinct
     assert out.distinct().count() == n_distinct
+
+
+def test_streaming_neardup_filter_equals_batch_rule(spark, sf_dir):
+    """The drained streaming filter must equal the batch rule: keep doc
+    d iff no doc with smaller doc_id in d's bucket is within hamming 8
+    (seen-semantics, deterministic arrival order by doc_id)."""
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        hamming64,
+        simhash_signatures,
+    )
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        read_documents_stream,
+        run_stream_to_table,
+        streaming_neardup_filter,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sig = simhash_signatures(docs, "doc_id", "text").withColumn(
+        "bucket", F.shiftrightunsigned("_sig", 64 - 16)
+    )
+    a = sig.select("bucket", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a"))
+    b = sig.select("bucket", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b"))
+    dropped = (
+        a.join(b, on="bucket")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(hamming64(F.col("sig_a"), F.col("sig_b")) <= 8)
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    want = {
+        r.doc_id
+        for r in sig.select(F.col("_id").alias("doc_id"))
+        .exceptAll(dropped)
+        .collect()
+    }
+
+    stream = read_documents_stream(spark, sf_dir)
+    got = {
+        r.doc_id
+        for r in run_stream_to_table(
+            streaming_neardup_filter(stream, max_hamming=8, prefix_bits=16),
+            "neardup_batch_eq",
+            output_mode="update",
+        ).collect()
+    }
+    assert got == want
+    assert len(got) > 0
