@@ -136,3 +136,67 @@ def test_stratified_sample_keeps_null_strata_whole(spark):
     kept_a = {r.id for r in out.filter(F.col("s") == "a").collect()}
     want_a = {r.id for r in df.filter((F.col("s") == "a") & (F.col("id") % 2 < 1)).collect()}
     assert kept_a == want_a
+
+
+@given(
+    docs=st.lists(
+        st.tuples(st.sampled_from(["en", "de", "fr"]), st.integers(0, 7)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_matches_python_reference(spark, docs):
+    from sports_betting_data_pipeline_spark.functions.corpus import pack_sequences
+
+    budget = 5
+    rows = [
+        (i, lang, " ".join(["tok"] * n_tok))  # n_tok whitespace tokens
+        for i, (lang, n_tok) in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.start_bin, r.end_bin, r.start_off)
+        for r in pack_sequences(df, budget=budget, shard_col="lang").collect()
+    }
+    # naive reference: concat per shard in doc_id order, chop at budget
+    want = {}
+    for lang in {l for l, _ in docs}:
+        cum = 0
+        for i, (l, n_tok) in enumerate(docs):
+            if l != lang or n_tok == 0:
+                continue
+            start = cum
+            cum += n_tok
+            want[i] = (n_tok, start // budget, (cum - 1) // budget, start % budget)
+    assert got == want
+    for n_tok, sb, eb, off in got.values():
+        assert 0 <= off < budget
+        assert sb <= eb
+        # straddles a boundary exactly when the tail doesn't fit
+        assert (sb != eb) == (off + n_tok > budget)
+
+
+def test_temperature_mixture_quota_invariants(spark):
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        temperature_mixture,
+    )
+
+    rows = [(i, "big" if i < 900 else ("mid" if i < 990 else "tiny"))
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    kept = temperature_mixture(df, group_col="lang", n_target=100).collect()
+    by_group = {}
+    for r in kept:
+        by_group.setdefault(r.lang, []).append(r.rk)
+    # integer-exact quotas: w = floor(sqrt(c)) -> big=30, mid=9, tiny=3;
+    # quota_g = 100*w // 42
+    assert sorted(by_group) == ["big", "mid", "tiny"]
+    assert len(by_group["big"]) == 100 * 30 // 42
+    assert len(by_group["mid"]) == 100 * 9 // 42
+    assert len(by_group["tiny"]) == 100 * 3 // 42
+    # sub-linear: tiny's kept FRACTION exceeds big's
+    assert len(by_group["tiny"]) / 10 > len(by_group["big"]) / 900
+    # ranks are 1..k per group (md5 order, deterministic)
+    for g, rks in by_group.items():
+        assert sorted(rks) == list(range(1, len(rks) + 1))
