@@ -55,6 +55,14 @@ from sports_betting_data_pipeline_spark.plans.catalog import register
 # DuckDB fragment equal to text.ws_tokens.
 _DTOKS = "list_filter(string_split_regex({src}, '\\s+'), t -> t != '')"
 
+# DuckDB fragment equal to text.shingles(lower(text), 3): distinct
+# 3-word sliding windows; <3-token docs yield their full-token join.
+_DSH3 = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len({toks}) - 2, 1) + 1), "
+    "i -> array_to_string({toks}[i:i+2], ' ')))"
+)
+
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -288,15 +296,47 @@ def l07_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("l08_minhash_lsh")
+@register(
+    "l08_minhash_lsh",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DTOKS.format(src='lower(text)')} AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, {_DSH3.format(toks='toks')} AS sh FROM t
+    )
+    SELECT id_a, id_b, jaccard_sim FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.sh, b.sh)) /
+                     greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1),
+                     6) AS jaccard_sim
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+    ) WHERE jaccard_sim >= 0.35
+    """,
+)
 def l08_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates over documents (rows-only:
-    xxhash64 signatures are not DuckDB-reproducible; recall on planted
-    near-dups is pinned in tests/test_llm_ops.py)."""
+    """MinHash+LSH verified near-dup pairs over documents — the
+    production near-dup operator: banded candidate generation (never
+    O(n²)) + exact 3-shingle Jaccard verification at 0.35.
+    ``collapse_exact=False`` here because a PAIRS query wants clique
+    semantics for identical-doc blocks (the star-edge skew guard —
+    equivalent only under connected components — is exercised by l22
+    and pinned in tests).
+
+    Oracle parity argument (same as l22): ``verify_threshold`` makes
+    the output a SUBSET of the oracle's exact all-pairs set; with 8
+    bands of 4 rows, LSH recall on this corpus is exactly 1.0 at
+    sf0.01 (verified empirically; xxhash64 is deterministic, so this
+    holds run-to-run), so the sets coincide. The oracle thresholds on
+    the ROUNDED jaccard to mirror the Spark-side filter order.
+    ``est_sim`` (the MinHash agreement estimate) is excluded from the
+    compared columns — xxhash64 is not DuckDB-reproducible; its
+    accuracy is pinned in tests/test_llm_ops.py instead."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(
-        docs, id_col="doc_id", text_col="text", k=3, num_hashes=32, bands=8
-    )
+        docs, id_col="doc_id", text_col="text", k=3, num_hashes=32, bands=8,
+        verify_threshold=0.35,
+    ).select("id_a", "id_b", "jaccard_sim")
 
 
 @register("l09_simhash_neardup")
@@ -1001,15 +1041,6 @@ def l21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("component"))
         .alias("comp_size"),
     )
-
-
-# DuckDB fragment equal to text.shingles(lower(text), 3): distinct
-# 3-word sliding windows; <3-token docs yield their full-token join.
-_DSH3 = (
-    "list_distinct(list_transform("
-    "range(1, greatest(len({toks}) - 2, 1) + 1), "
-    "i -> array_to_string({toks}[i:i+2], ' ')))"
-)
 
 
 @register(
