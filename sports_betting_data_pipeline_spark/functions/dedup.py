@@ -146,6 +146,61 @@ def minhash_estimated_sim(sig_a: Column, sig_b: Column) -> Column:
     return agree / F.size(sig_a)
 
 
+def _minhash_base(
+    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
+) -> DataFrame:
+    """(_id, _sh, _sig) per doc with non-empty shingle set. The
+    trailing ``repartition`` is the anti-projection-collapse barrier:
+    every downstream consumer (band hashes, exact-Jaccard verify)
+    reads the signature/shingles from the exchange instead of
+    re-inlining the fold (see SCALE.md "Expression-level lessons")."""
+    return (
+        df.select(
+            F.col(id_col).alias("_id"),
+            shingles(F.col(text_col), k).alias("_sh"),
+        )
+        .filter(F.size("_sh") > 0)
+        .withColumn(
+            "_sig", minhash_signature_from_shingles(F.col("_sh"), num_hashes)
+        )
+        .repartition(F.col("_id"))  # compute _sh/_sig once, below the exchange
+    )
+
+
+def minhash_band_buckets(
+    base: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """LSH bucket table (_id, band_id, band_hash) from a
+    :func:`_minhash_base` frame — ``bands`` narrow rows per doc.
+
+    This IS the persistable near-dup index: at scale, write it out
+    bucketed by (band_id, band_hash) once per corpus snapshot, and
+    every ingest batch joins its own (tiny) bucket table against the
+    store without re-scanning history
+    (:func:`incremental_neardup_novel`)."""
+    rows_per_band = num_hashes // bands
+    return base.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col("_sig")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_band"),
+    ).select("_id", "_band.band_id", "_band.band_hash")
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -184,18 +239,7 @@ def minhash_lsh_candidates(
     connected-components results identical (a star spans the same
     component as the clique).
     """
-    rows_per_band = num_hashes // bands
-    base = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            shingles(F.col(text_col), k).alias("_sh"),
-        )
-        .filter(F.size("_sh") > 0)
-        .withColumn(
-            "_sig", minhash_signature_from_shingles(F.col("_sh"), num_hashes)
-        )
-        .repartition(F.col("_id"))  # compute _sh/_sig once, below the exchange
-    )
+    base = _minhash_base(df, id_col, text_col, k, num_hashes)
 
     star = None
     if collapse_exact:
@@ -224,26 +268,7 @@ def minhash_lsh_candidates(
             "_id", "_sh", "_sig"
         )
 
-    buckets = base.select(
-        "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
-                                F.col("_sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
-    ).select("_id", "_band.band_id", "_band.band_hash")
+    buckets = minhash_band_buckets(base, num_hashes, bands)
 
     pairs = (
         buckets.select(
@@ -285,6 +310,79 @@ def minhash_lsh_candidates(
     if star is not None:
         verified = verified.unionByName(star)
     return verified
+
+
+def incremental_neardup_novel(
+    batch: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Ingest-time near-dup filter: the rows of ``batch`` that survive
+    MinHash-LSH dedup against the historical corpus ``store`` AND
+    against earlier (smaller-``id_col``) rows of the batch itself.
+
+    A batch doc is DROPPED iff a verified near-dup pair (exact
+    k-shingle Jaccard >= ``threshold``) links it to any store doc, or
+    to a batch doc with a smaller id (first-seen-wins within the
+    batch, matching the streaming rule of
+    ``streaming.streaming_neardup_filter``).
+
+    Scale: this is the batch-vs-store join pattern — the store's
+    bucket table (:func:`minhash_band_buckets`) and base signatures
+    are a PERSISTED index written once per corpus snapshot (bucketed
+    by (band_id, band_hash)); per ingest only the batch's buckets
+    (tiny — broadcastable) join against it, shuffling narrow
+    (band_id, band_hash, id) rows. History text is re-read only for
+    the candidate ids (point lookups), never scanned. Nothing here is
+    O(|store|²) or O(|batch|·|store|).
+    """
+    b = _minhash_base(batch, id_col, text_col, k, num_hashes)
+    h = _minhash_base(store, id_col, text_col, k, num_hashes)
+    bb = minhash_band_buckets(b, num_hashes, bands)
+    hb = minhash_band_buckets(h, num_hashes, bands)
+
+    cross = (
+        bb.select("band_id", "band_hash", F.col("_id").alias("id_n"))
+        .join(
+            hb.select("band_id", "band_hash", F.col("_id").alias("id_o")),
+            on=["band_id", "band_hash"],
+        )
+        .select("id_n", "id_o")
+    )
+    within = (
+        bb.select("band_id", "band_hash", F.col("_id").alias("id_n"))
+        .join(
+            bb.select("band_id", "band_hash", F.col("_id").alias("id_o")),
+            on=["band_id", "band_hash"],
+        )
+        .filter(F.col("id_o") < F.col("id_n"))  # earlier batch doc wins
+        .select("id_n", "id_o")
+    )
+    cands = cross.unionByName(within).dropDuplicates(["id_n", "id_o"])
+
+    sh_n = b.select(F.col("_id").alias("id_n"), F.col("_sh").alias("sh_n"))
+    sh_o = (
+        b.select("_id", "_sh")
+        .unionByName(h.select("_id", "_sh"))
+        .select(F.col("_id").alias("id_o"), F.col("_sh").alias("sh_o"))
+    )
+    dropped = (
+        cands.join(sh_n, on="id_n")
+        .join(sh_o, on="id_o")
+        .filter(
+            F.round(jaccard(F.col("sh_n"), F.col("sh_o")), 6) >= threshold
+        )
+        .select("id_n")
+        .dropDuplicates()
+    )
+    return batch.join(
+        dropped, on=batch[id_col] == dropped["id_n"], how="left_anti"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -5,9 +5,14 @@ embeddings fixtures.
 Oracle policy: everything SQL-expressible gets a DuckDB oracle
 (token stats, word frequency, lang-ID heuristic, quality score,
 prefix/canonical dedup, n-gram Jaccard, brute-force ANN, multimodal
-metadata). Hash-based ops (MinHash/SimHash/LSH) are rows-only here —
-their recall/precision behavior is pinned by planted-duplicate unit
-tests (tests/test_llm_ops.py) since DuckDB cannot reproduce xxhash64.
+metadata). MinHash-LSH queries that VERIFY candidates with exact
+Jaccard are also hash-checked (l08, l22, l30): verification makes
+the output a subset of the exact all-pairs set, and LSH recall on
+this corpus is exactly 1.0 (deterministic xxhash64), so the sets
+coincide — DuckDB replays the exact-Jaccard rule without needing
+xxhash64. Unverified signature ops (SimHash, sign-projection ANN
+buckets) stay rows-only with recall pinned by planted-duplicate unit
+tests (tests/test_llm_ops.py).
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ from pyspark.sql.window import Window
 from sports_betting_data_pipeline_spark.functions.dedup import (
     connected_components,
     exact_dedupe_canonical,
+    incremental_neardup_novel,
     jaccard,
     minhash_lsh_candidates,
     ngram_jaccard_pairs,
@@ -1257,3 +1263,141 @@ def l27_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_mixture(docs, group_col="lang", n_target=1000)
+
+
+@register(
+    "l28_incremental_exact_dedupe",
+    oracle=r"""
+    WITH n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), hist AS (
+        SELECT DISTINCT fp FROM n WHERE doc_id % 10 != 9
+    ), b AS (
+        SELECT doc_id, fp FROM n WHERE doc_id % 10 = 9
+    )
+    SELECT min(doc_id) AS doc_id, fp
+    FROM b WHERE fp NOT IN (SELECT fp FROM hist)
+    GROUP BY fp
+    """,
+)
+def l28_incremental_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time exact dedup: docs with ``doc_id % 10 = 9`` stand in
+    for the NEW batch, the rest for the historical corpus; survivors
+    are batch docs whose normalized-text md5 is unseen in history,
+    canonicalized within the batch (min id per fingerprint). At scale
+    the history side is the persisted fingerprint store, not a corpus
+    scan (see functions/corpus.incremental_exact_dedupe)."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        incremental_exact_dedupe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 9)
+    history = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 9)
+    return incremental_exact_dedupe(batch, history)
+
+
+@register(
+    "l29_source_mixture_plan",
+    oracle=r"""
+    WITH n AS (
+        SELECT source,
+               len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))
+                   AS ntok,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents
+    ), g AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS tot_tokens,
+               CAST(count(DISTINCT fp) AS BIGINT) AS n_uniq
+        FROM n GROUP BY source
+    ), w AS (
+        SELECT *, CAST(floor(sqrt(n_docs)) AS BIGINT) AS _w FROM g
+    )
+    SELECT source, n_docs, tot_tokens, n_uniq,
+           round(1 - n_uniq / CAST(n_docs AS DOUBLE), 6) AS dup_rate,
+           CAST((100 * _w) // (SELECT sum(_w) FROM w) AS BIGINT) AS quota
+    FROM w
+    """,
+)
+def l29_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile + mixture plan: doc/token counts,
+    exact-dup rate (1 - distinct fingerprints / docs), and the
+    alpha=0.5 temperature quota (floor(sqrt(n)) weights, integer-exact
+    division — the l27 arithmetic) — the planning table a pretraining
+    mixture is built from. One partial-agg shuffle over (source); the
+    total-weight scalar is a 1-row broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select(
+        "source",
+        ws_token_count(F.col("text")).alias("_ntok"),
+        F.md5(norm).alias("_fp"),
+    )
+    g = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_ntok").cast("long").alias("tot_tokens"),
+        F.countDistinct("_fp").cast("long").alias("n_uniq"),
+    )
+    w = g.withColumn("_w", F.floor(F.sqrt(F.col("n_docs"))).cast("long"))
+    tw = w.agg(F.sum("_w").alias("_tw"))
+    return w.crossJoin(F.broadcast(tw)).select(
+        "source",
+        "n_docs",
+        "tot_tokens",
+        "n_uniq",
+        F.round(F.lit(1.0) - F.col("n_uniq") / F.col("n_docs"), 6).alias(
+            "dup_rate"
+        ),
+        F.expr("(100 * _w) div _tw").cast("long").alias("quota"),
+    )
+
+
+@register(
+    "l30_incremental_neardup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DTOKS.format(src='lower(text)')} AS toks
+        FROM documents
+    ), s AS (
+        SELECT doc_id, {_DSH3.format(toks='toks')} AS sh FROM t
+    ), p AS (
+        SELECT ia, ib FROM (
+            SELECT a.doc_id AS ia, b.doc_id AS ib,
+                   round(len(list_intersect(a.sh, b.sh)) /
+                         greatest(len(list_distinct(list_concat(a.sh, b.sh))),
+                                  1), 6) AS j
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+        ) WHERE j >= 0.35
+    ), dropped AS (
+        SELECT ia AS did FROM p WHERE ia % 10 = 9 AND ib % 10 != 9
+        UNION
+        SELECT ib AS did FROM p WHERE ib % 10 = 9
+    )
+    SELECT doc_id, source, n_chars
+    FROM documents
+    WHERE doc_id % 10 = 9 AND doc_id NOT IN (SELECT did FROM dropped)
+    """,
+)
+def l30_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time NEAR-dup filter: batch docs (doc_id % 10 = 9) that
+    survive MinHash-LSH dedup against the historical store and against
+    earlier batch docs (first-seen-wins, the batch analog of st09).
+    Candidate generation is the batch-buckets x store-buckets equi-join
+    — the persisted-LSH-index ingest pattern, never O(n²).
+
+    Oracle parity argument (as l08/l22): verified pairs are a SUBSET
+    of exact all-pairs Jaccard >= 0.35; LSH recall on this corpus is
+    exactly 1.0 (deterministic xxhash64), so the surviving set
+    coincides with the oracle's rule over exact pairs."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) == 9)
+    store = docs.filter(F.pmod(F.col("doc_id"), F.lit(10)) != 9)
+    out = incremental_neardup_novel(
+        batch, store, id_col="doc_id", text_col="text",
+        k=3, num_hashes=32, bands=8, threshold=0.35,
+    )
+    return out.select("doc_id", "source", "n_chars")

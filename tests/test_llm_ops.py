@@ -211,6 +211,55 @@ def test_connected_components_known_graph(spark):
     assert got == want
 
 
+def test_incremental_exact_dedupe_rules(spark):
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        incremental_exact_dedupe,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "A  b c"),  # normalizes to history doc 1 -> dropped
+            (11, "x y z"),
+            (12, "X Y  Z"),  # within-batch dup of 11 -> min id wins
+            (13, "novel doc here"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id for r in incremental_exact_dedupe(batch, hist).collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_incremental_neardup_novel_rules(planted_docs, spark):
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        incremental_neardup_novel,
+    )
+
+    df, _ = planted_docs
+    rng = np.random.default_rng(77)
+    # Store: the 40 random docs + the 5 near-dup bases. Batch: the 5
+    # perturbed copies (near-dup the store), the exact dup of store doc
+    # 0, two novel docs, and an exact within-batch dup of one of them.
+    store = df.filter(F.col("doc_id") < 200)
+    novel_a, novel_b = _doc(rng), _doc(rng)
+    extra = spark.createDataFrame(
+        [(400, novel_a), (401, novel_b), (402, novel_b)],
+        ["doc_id", "text"],
+    )
+    batch = df.filter(F.col("doc_id") >= 200).unionByName(extra)
+    out = incremental_neardup_novel(
+        batch, store, id_col="doc_id", text_col="text", threshold=0.5
+    )
+    kept = sorted(r.doc_id for r in out.collect())
+    # 200-204 near-dup the store bases, 300 exact-dups store doc 0,
+    # 402 exact-dups earlier batch doc 401 -> only the novels survive.
+    assert kept == [400, 401]
+
+
 # ---------------------------------------------------------------------------
 # Multi-table embedding LSH: recall across bucket boundaries + skew guard
 # ---------------------------------------------------------------------------
