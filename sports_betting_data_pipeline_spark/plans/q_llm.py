@@ -1178,15 +1178,20 @@ def l24_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), nz AS (
         SELECT * FROM t WHERE n_tokens > 0
     ), c AS (
+        -- DuckDB sum(BIGINT) is HUGEINT (int128); uncast it reaches
+        -- pandas as float64 on some DuckDB versions and hash-diverges
+        -- from Spark's int64 (driver r2 l25 hash_match:false). CAST
+        -- pins every output to BIGINT on every DuckDB version.
         SELECT doc_id, lang, n_tokens,
-               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-                                   ROWS UNBOUNDED PRECEDING) AS cum
+               CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
         FROM nz
     )
     SELECT doc_id, lang, n_tokens,
-           (cum - n_tokens) // 512 AS start_bin,
-           (cum - 1) // 512 AS end_bin,
-           (cum - n_tokens) % 512 AS start_off
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS start_bin,
+           CAST((cum - 1) // 512 AS BIGINT) AS end_bin,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS start_off
     FROM c
     """,
 )

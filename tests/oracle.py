@@ -61,7 +61,20 @@ def assert_frames_match(spark_df, oracle_pdf: pd.DataFrame, float_rtol: float = 
 
     for col in cols:
         av, bv = a[col], b[col]
-        if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+        # The driver's gate hashes RENDERED values, so an int64 Spark
+        # column vs a float64 oracle column ("5" vs "5.0") fails there
+        # even though isclose passes here (r2 l25: DuckDB HUGEINT →
+        # float64). Mirror that strictness: numeric kinds must agree.
+        a_float = pd.api.types.is_float_dtype(av)
+        b_float = pd.api.types.is_float_dtype(bv)
+        a_int = pd.api.types.is_integer_dtype(av)
+        b_int = pd.api.types.is_integer_dtype(bv)
+        assert not (a_float and b_int) and not (a_int and b_float), (
+            f"numeric-kind mismatch in {col}: spark={av.dtype} vs "
+            f"oracle={bv.dtype} — the driver's value hash renders these "
+            f"differently (e.g. '5' vs '5.0'); CAST the oracle side"
+        )
+        if a_float or b_float:
             af = av.astype(float).to_numpy()
             bf = bv.astype(float).to_numpy()
             both_nan = np.isnan(af) & np.isnan(bf)

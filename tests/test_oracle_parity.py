@@ -23,3 +23,43 @@ def test_rows_only_queries_run(spark, sf_dir, name):
     df = QUERIES[name](spark, sf_dir)
     assert df.columns, f"{name} returned no columns"
     assert df.count() >= 0
+
+
+def test_l25_pinned_values_sf001(spark):
+    """Pin l25_sequence_packing's exact per-row output at the driver's
+    correctness SF (0.01), on BOTH engines — guards the r2 driver
+    hash-mismatch (DuckDB HUGEINT window sum surfacing as float64 on
+    some versions) against regressing in either direction."""
+    import hashlib
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 fixtures absent")
+    cols = ["doc_id", "lang", "n_tokens", "start_bin", "end_bin", "start_off"]
+    spark_pdf = (
+        QUERIES["l25_sequence_packing"](spark, sf)
+        .toPandas()[cols]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    oracle_pdf = (
+        run_oracle(ORACLES["l25_sequence_packing"], sf)[cols]
+        .sort_values(["lang", "doc_id"])
+        .reset_index(drop=True)
+    )
+    for pdf, engine in ((spark_pdf, "spark"), (oracle_pdf, "duckdb")):
+        assert len(pdf) == 500, engine
+        for c in cols:
+            if c != "lang":
+                assert str(pdf[c].dtype) == "int64", f"{engine}.{c}: {pdf[c].dtype}"
+        assert pdf.iloc[0].to_dict() == {
+            "doc_id": 5, "lang": "de", "n_tokens": 56,
+            "start_bin": 0, "end_bin": 0, "start_off": 0,
+        }, engine
+        assert pdf.iloc[-1].to_dict() == {
+            "doc_id": 493, "lang": "zh", "n_tokens": 88,
+            "start_bin": 7, "end_bin": 8, "start_off": 471,
+        }, engine
+        digest = hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
+        assert digest == "5cecc07715093234b6e7cb34b139e84d", engine

@@ -141,7 +141,10 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                # form of an uncorrelated scalar subquery
                "l19_tfidf_top_terms",
                # 1-row broadcast scalar (sum of mixture weights)
-               "l27_temperature_mixture"}
+               "l27_temperature_mixture",
+               # 1-row broadcast scalar (total mixture weight) joined
+               # to the tiny per-source aggregate — same shape as l27
+               "l29_source_mixture_plan"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  "st06_stateful_user_stats", "l16_grouped_zscore"}
     problems = []
