@@ -58,22 +58,37 @@ def _ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan of one fixture table.
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a UTC TimestampType instant across
+    fixture generations (the driver has shipped both):
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects (Spark timestamps are µs precision —
-    SURVEY.md §1.3's ns-epoch note, reference main.py:126-128). We read
-    nanos as raw INT64 and truncate to µs with exact integer division
-    (`div`, not `/`: ns epochs exceed double's 53-bit mantissa), which
-    matches DuckDB's own ns→µs truncation bit-for-bit.
+    - parquet TIMESTAMP(NANOS), surfaced as raw INT64 under
+      ``nanosAsLong`` (Spark timestamps are µs precision — SURVEY.md
+      §1.3's ns-epoch note, reference main.py:126-128): truncate to µs
+      with exact integer division (`div`, not `/`: ns epochs exceed
+      double's 53-bit mantissa), matching DuckDB's ns→µs truncation
+      bit-for-bit.
+    - parquet timestamp[us] without timezone, surfaced as
+      TIMESTAMP_NTZ: reinterpret the wall-clock as UTC (the session
+      timezone is pinned to UTC, so a plain cast preserves the instant
+      exactly as DuckDB's naive reading does).
     """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan of one fixture table (``events.ts`` normalized
+    to a UTC instant — see :func:`normalize_events_ts`)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_engine_confs(spark)
     if name == "events":
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_events_ts(spark.read.parquet(table_path(sf_dir, name)))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -37,11 +37,14 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from sports_betting_data_pipeline_spark.io import table_path
+from sports_betting_data_pipeline_spark.io import normalize_events_ts, table_path
 from sports_betting_data_pipeline_spark.schemas import PUSHER_MESSAGE
 
-# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader
-# (like io.load_table) reads it as raw int64 and truncates to µs.
+# The wire envelope for the Kafka/socket paths: ts travels as an
+# epoch-nanosecond int64 (the reference's Pusher payloads are JSON with
+# integer timestamps, mm_calls.py:164-174) and is truncated to µs
+# scan-side by normalize_events_ts. The file path derives its schema
+# from the parquet footer instead (fixture generations differ).
 EVENTS_RAW = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -78,6 +81,8 @@ def read_events_stream(
     source: str = "file",
     bootstrap_servers: str | None = None,
     topic: str | None = None,
+    host: str | None = None,
+    port: int | None = None,
 ) -> DataFrame:
     """S6: streaming events source with the ns→µs timestamp conversion
     applied scan-side. ``source`` selects the connector — every
@@ -89,14 +94,24 @@ def read_events_stream(
       EVENTS_RAW record as a JSON value (the reference's Pusher
       envelope, mm_calls.py:143-162, maps to Kafka value + channel →
       topic). Requires the spark-sql-kafka package on the cluster.
+    - ``"socket"``: Spark's built-in socket source reading
+      newline-delimited Pusher envelopes from a
+      :class:`sources.pusher.SocketBridge` (or any websocket→TCP
+      relay): each line is the C6 wire message — JSON with a
+      base64(JSON EVENTS_RAW) payload (mm_calls.py:164-174) — decoded
+      fully JVM-side.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if source == "file":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # readStream needs a schema up front; take it from the parquet
+        # footer (a metadata-only batch read) so both fixture
+        # generations — ns-as-long and timestamp[us] — stream as-is.
+        file_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
         # The file source needs a DIRECTORY; pathGlobFilter narrows the
         # fixture dir to the events table only.
         raw = (
-            spark.readStream.schema(EVENTS_RAW)
+            spark.readStream.schema(file_schema)
             .format("parquet")
             .option("pathGlobFilter", "events.parquet")
             .load(sf_dir)
@@ -110,9 +125,30 @@ def read_events_stream(
         raw = reader.load().select(
             F.from_json(F.col("value").cast("string"), EVENTS_RAW).alias("r")
         ).select("r.*")
+    elif source == "socket":
+        if not host or not port:
+            raise ValueError("socket source requires host and port")
+        lines = (
+            spark.readStream.format("socket")
+            .option("host", host)
+            .option("port", port)
+            .load()
+        )
+        # C6 decode: envelope JSON -> base64 payload -> EVENTS_RAW
+        raw = (
+            lines.select(
+                F.from_json(F.col("value"), PUSHER_MESSAGE).alias("env")
+            )
+            .select(
+                F.from_json(
+                    F.unbase64(F.col("env.payload")).cast("string"), EVENTS_RAW
+                ).alias("r")
+            )
+            .select("r.*")
+        )
     else:
         raise ValueError(f"unknown events stream source: {source!r}")
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def run_stream_to_table(
@@ -432,10 +468,103 @@ def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# byte → popcount table; XOR'd uint64 signatures viewed as uint8 give
+# Hamming distance as an 8-byte table-lookup sum (no per-row bin()).
+_POP8 = None
+
+
+def _pop8():
+    global _POP8
+    if _POP8 is None:
+        import numpy as np
+
+        _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    return _POP8
+
+
+def neardup_bucket_update(
+    state_ids,
+    state_sigs,
+    batch_ids,
+    batch_sigs,
+    max_hamming: int,
+    max_state: int,
+):
+    """One bucket's state transition for the streaming near-dup filter
+    (pure function — unit-testable without Spark).
+
+    Returns ``(kept_ids, kept_sigs, new_state_ids, new_state_sigs)``.
+
+    Rules:
+    - a doc is kept iff no previously SEEN doc (kept or rejected — a
+      rejected doc can still be another doc's nearest earlier
+      neighbor) in the bucket is within ``max_hamming``;
+    - redeliveries (doc_id already in state) are dropped and do NOT
+      grow state — at-least-once sources redeliver, so state growth
+      must be keyed on distinct docs, not arrivals;
+    - state is capped at ``max_state`` entries per bucket, compacted
+      deterministically to the smallest doc_ids (the first-seen ones
+      under the doc_id ordering — the docs that define the
+      first-seen-wins rule). The cap bounds memory on an infinite
+      stream; beyond it the filter degrades gracefully to checking
+      the oldest ``max_state`` docs, the same accepted-approximation
+      as batch l09's prefix blocking.
+
+    Hamming distance is numpy-vectorized: XOR the uint64 signature
+    against the whole seen array, view as bytes, popcount via an
+    8-bit table — O(seen/8 words) per arrival instead of a Python
+    ``bin().count`` loop.
+    """
+    import numpy as np
+
+    pop8 = _pop8()
+    n_state = len(state_ids)
+    n_batch = len(batch_ids)
+    seen_ids = set(int(i) for i in state_ids)
+    # preallocate: state + worst-case whole batch joins the seen set
+    all_sigs = np.empty(n_state + n_batch, dtype=np.uint64)
+    all_sigs[:n_state] = np.asarray(state_sigs, dtype=np.int64).view(np.uint64)
+    out_ids = [int(i) for i in state_ids]
+    cnt = n_state
+    kept_ids, kept_sigs = [], []
+    order = np.argsort(np.asarray(batch_ids, dtype=np.int64), kind="stable")
+    for idx in order:
+        doc_id = int(batch_ids[idx])
+        sig = int(batch_sigs[idx])
+        if doc_id in seen_ids:
+            continue  # redelivery: already decided, state unchanged
+        u = np.uint64(sig & 0xFFFFFFFFFFFFFFFF)
+        if cnt:
+            x = np.bitwise_xor(all_sigs[:cnt], u)
+            dist = pop8[x.view(np.uint8).reshape(-1, 8)].sum(axis=1)
+            near = bool((dist <= max_hamming).any())
+        else:
+            near = False
+        if not near:
+            kept_ids.append(doc_id)
+            kept_sigs.append(sig)
+        # seen-semantics: every distinct arrival joins the state
+        all_sigs[cnt] = u
+        out_ids.append(doc_id)
+        seen_ids.add(doc_id)
+        cnt += 1
+    new_ids = out_ids[:cnt]
+    new_sigs = all_sigs[:cnt].view(np.int64)
+    if cnt > max_state:
+        keep = np.argsort(np.asarray(new_ids, dtype=np.int64), kind="stable")[
+            :max_state
+        ]
+        keep.sort()
+        new_ids = [new_ids[int(i)] for i in keep]
+        new_sigs = new_sigs[keep]
+    return kept_ids, kept_sigs, list(new_ids), [int(s) for s in new_sigs]
+
+
 def streaming_neardup_filter(
     docs: DataFrame,
     max_hamming: int = 8,
     prefix_bits: int = 16,
+    max_state_per_bucket: int = 4096,
 ) -> DataFrame:
     """Keep only documents NOT SimHash-near any previously seen doc.
 
@@ -450,10 +579,13 @@ def streaming_neardup_filter(
     driver since DuckDB cannot reproduce xxhash64).
 
     Scale: the signature is a scan-side expression; the only shuffle
-    is the bucket-key hash for the state operator. State holds one
-    (id, sig) pair per seen doc per bucket — production bounds it with
-    a state TTL (GroupStateTimeout) or periodic compaction to the
-    accepted set; unbounded here because fixture drains are finite.
+    is the bucket-key hash for the state operator. State is BOUNDED:
+    redeliveries never grow it and each bucket is compacted to
+    ``max_state_per_bucket`` entries (smallest doc_ids — see
+    neardup_bucket_update), so an infinite at-least-once stream holds
+    at most ``2^prefix_bits * max_state_per_bucket`` signatures. The
+    Hamming check is numpy-vectorized (XOR + byte-popcount table),
+    not a per-row Python ``bin()`` loop.
     """
     import pandas as pd  # executor-side import
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -480,22 +612,16 @@ def streaming_neardup_filter(
 
     def update(key, pdf_iter, state):
         ids, sigs = state.get if state.exists else ([], [])
-        ids, sigs = list(ids), list(sigs)
-        rows = pd.concat(list(pdf_iter)).sort_values("doc_id")
-        kept_ids, kept_sigs = [], []
-        for doc_id, sig in zip(rows["doc_id"], rows["sig"]):
-            near = any(
-                bin((int(sig) ^ int(s)) & 0xFFFFFFFFFFFFFFFF).count("1")
-                <= max_hamming
-                for s in sigs
-            )
-            if not near:
-                kept_ids.append(int(doc_id))
-                kept_sigs.append(int(sig))
-            # seen-semantics: every arrival joins the state, kept or not
-            ids.append(int(doc_id))
-            sigs.append(int(sig))
-        state.update((ids, sigs))
+        rows = pd.concat(list(pdf_iter))
+        kept_ids, kept_sigs, new_ids, new_sigs = neardup_bucket_update(
+            list(ids),
+            list(sigs),
+            rows["doc_id"].to_numpy(),
+            rows["sig"].to_numpy(),
+            max_hamming,
+            max_state_per_bucket,
+        )
+        state.update((new_ids, new_sigs))
         yield pd.DataFrame(
             {
                 "doc_id": kept_ids,

