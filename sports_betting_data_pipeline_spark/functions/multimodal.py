@@ -60,17 +60,88 @@ def synthesize_assets(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_media_real(payload: bytes, media_type: str):
-    """Integration point for real codecs — not available in this
-    container (no PIL/av/librosa baked in)."""
+def _pil_image():
+    """Import seam for the optional image codec (PIL)."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
+        from PIL import Image
+    except ImportError:
+        return None
+    return Image
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real image decode via PIL when importable (the optional-extra
+    wiring, VERDICT r2 next-#7): returns width/height/mode and the
+    pixel mean. Raises ``NotImplementedError`` ONLY on true codec
+    absence; malformed bytes with PIL present raise ``ValueError``."""
+    Image = _pil_image()
+    if Image is None:
         raise NotImplementedError(
-            "real media decode requires an image/audio codec library; "
-            "this environment ships none (build brief: stub the decode step)"
-        ) from exc
-    raise NotImplementedError("codec wiring not implemented in this environment")
+            "image decode requires PIL, which this environment does not "
+            "ship (build brief: stub the decode step behind the plumbing)"
+        )
+    import io as _io
+
+    try:
+        with Image.open(_io.BytesIO(payload)) as img:
+            arr = np.asarray(img.convert("L"), dtype=np.float64)
+    except Exception as exc:
+        raise ValueError(f"undecodable image payload: {exc}") from exc
+    return {
+        "width": int(arr.shape[1]),
+        "height": int(arr.shape[0]),
+        "mode": "L",
+        "px_mean": float(arr.mean()) if arr.size else 0.0,
+    }
+
+
+def decode_audio_wav(payload: bytes) -> dict:
+    """Real audio decode for WAV payloads — stdlib ``wave`` + numpy,
+    no optional dependency: channel count, sample rate, frame count,
+    and RMS amplitude of the 16-bit samples."""
+    import io as _io
+    import wave
+
+    try:
+        with wave.open(_io.BytesIO(payload), "rb") as wav:
+            n_channels = wav.getnchannels()
+            sample_rate = wav.getframerate()
+            n_frames = wav.getnframes()
+            width = wav.getsampwidth()
+            frames = wav.readframes(n_frames)
+    except (wave.Error, EOFError) as exc:
+        raise ValueError(f"undecodable WAV payload: {exc}") from exc
+    if width == 2:
+        samples = np.frombuffer(frames, dtype=np.int16).astype(np.float64)
+    elif width == 1:
+        samples = np.frombuffer(frames, dtype=np.uint8).astype(np.float64) - 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    rms = float(np.sqrt((samples**2).mean())) if samples.size else 0.0
+    return {
+        "n_channels": int(n_channels),
+        "sample_rate": int(sample_rate),
+        "n_frames": int(n_frames),
+        "rms": rms,
+    }
+
+
+def decode_media_real(payload: bytes, media_type: str) -> dict:
+    """Dispatch to the real codec for ``media_type``.
+
+    - ``image``: PIL when importable, else ``NotImplementedError``
+      (true absence only — the documented environment limit);
+    - ``audio``: stdlib WAV decode, always available;
+    - ``video``: no stdlib codec exists — ``NotImplementedError``.
+    """
+    if media_type == "image":
+        return decode_image(payload)
+    if media_type == "audio":
+        return decode_audio_wav(payload)
+    raise NotImplementedError(
+        f"no codec for media_type={media_type!r} in this environment "
+        "(video decode needs av/ffmpeg, not shipped)"
+    )
 
 
 def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
