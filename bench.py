@@ -75,6 +75,20 @@ def main() -> None:
             fh.write(payload + "\n")
     except OSError:
         pass
+    # Compact line first: the driver's stdout tail capture truncated the
+    # full 106-query line in r2 (BENCH_r02.json "parsed": null); this
+    # short line always survives and parses (VERDICT r2 next-#8).
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "sf": sf,
+            }
+        )
+    )
     print(payload)
 
 
