@@ -109,6 +109,78 @@ def pack_sequences(
     )
 
 
+def chunk_dedup_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Repeated-chunk exact dedup (the line/paragraph-level dedup of
+    MassiveText/RefinedWeb, adapted to fixed windows because the
+    fixture corpus has no line structure): documents are cut into
+    non-overlapping ``chunk_tokens``-token chunks (trailing partial
+    chunk included) and a chunk INSTANCE is a duplicate iff an earlier
+    instance — (doc_id, chunk_idx) lexicographic order — has the same
+    md5. Per doc: (id, n_chunks, n_dup_chunks, dup_ratio); downstream
+    either drops high-ratio docs or rewrites them keeping only
+    first-occurrence chunks.
+
+    Scale: explode to (md5, doc, idx); the first occurrence per hash
+    is computed as a partial-aggregable MIN over (doc, idx) structs —
+    NOT a row_number window — so a boilerplate chunk repeated millions
+    of times combines map-side instead of piling every instance into
+    one hot window partition. One shuffle for the min-per-hash, one
+    broadcast-or-shuffle equi-join back, one partial-agg group per
+    doc. The (hash, first) table is the persistable chunk index (same
+    shape as the l28 fingerprint store). Never quadratic.
+    """
+    toks = ws_tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("_id"), toks.alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    n_chunks = F.ceil(F.size("_toks") / F.lit(chunk_tokens)).cast("long")
+    inst = base.select(
+        "_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.md5(
+                    F.concat_ws(
+                        " ", F.slice(F.col("_toks"), i * chunk_tokens + 1, chunk_tokens)
+                    )
+                ),
+            )
+        ).alias("chunk_idx", "_h"),
+    )
+    # first occurrence per hash WITHOUT ranking every instance: the
+    # per-hash min (doc, idx) is a partial-aggregable MIN — hot
+    # boilerplate hashes combine map-side instead of piling into one
+    # window partition.
+    firsts = inst.groupBy("_h").agg(
+        F.min(F.struct("_id", "chunk_idx")).alias("_first")
+    )
+    flagged = inst.join(firsts, on="_h").withColumn(
+        "_dup",
+        (
+            (F.col("_first._id") != F.col("_id"))
+            | (F.col("_first.chunk_idx") != F.col("chunk_idx"))
+        ).cast("long"),
+    )
+    return (
+        flagged.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("_dup").alias("n_dup_chunks"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6).alias("dup_ratio"),
+        )
+    )
+
+
 def incremental_exact_dedupe(
     batch: DataFrame,
     history: DataFrame,

@@ -197,3 +197,66 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 10_000) -> DataFrame:
             F.lit(every_ms).cast("long"),
         ).alias("frame_offsets_ms"),
     )
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def audio_roundtrip_features(documents: DataFrame) -> DataFrame:
+    """REAL-codec roundtrip over the multimodal plumbing: synthesize a
+    deterministic mono 16-bit WAV per document (stdlib ``wave``
+    writer; constant amplitude ``doc_id % 100 + 1``, frame count
+    ``n_chars % 50 + 10``, 8 kHz), then decode it with
+    :func:`decode_audio_wav` — a genuine encode→bytes→decode pass
+    through a binary codec, not a byte-stats fake.
+
+    Because the signal is constant, every decoded field is an exact
+    arithmetic function of (doc_id, n_chars): RMS of a constant int16
+    signal is exactly |amplitude| in float64 (the squares and their
+    mean are exact, sqrt of a perfect square is exact), so the whole
+    roundtrip hash-checks against a plain-SQL oracle (m03).
+
+    Scale shape: one mapInPandas over Arrow batches — synth and decode
+    stay executor-side, only (asset_id, n_chars) travel in, five
+    scalars travel out; the binary payload never crosses the plan.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import wave
+
+        for pdf in it:
+            out = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                amp = int(doc_id) % 100 + 1
+                n_frames = int(n_chars) % 50 + 10
+                buf = _io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(8000)
+                    w.writeframes(
+                        amp.to_bytes(2, "little", signed=True) * n_frames
+                    )
+                meta = decode_audio_wav(buf.getvalue())
+                out.append(
+                    {
+                        "asset_id": int(doc_id),
+                        "n_channels": meta["n_channels"],
+                        "sample_rate": meta["sample_rate"],
+                        "n_frames": meta["n_frames"],
+                        "rms": meta["rms"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        batches, schema=AUDIO_META_SCHEMA
+    )

@@ -1406,3 +1406,165 @@ def l30_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3, num_hashes=32, bands=8, threshold=0.35,
     )
     return out.select("doc_id", "source", "n_chars")
+
+
+@register(
+    "l31_chunk_dedup",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DTOKS.format(src='text')} AS toks FROM documents
+    ), nz AS (
+        SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+    ), inst AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(n / 20.0) AS BIGINT))) AS chunk_idx,
+               toks
+        FROM nz
+    ), hashed AS (
+        SELECT doc_id, chunk_idx,
+               md5(array_to_string(toks[chunk_idx*20+1 : chunk_idx*20+20], ' ')) AS h
+        FROM inst
+    ), firsts AS (
+        SELECT h, min(struct_pack(d := doc_id, i := chunk_idx)) AS f
+        FROM hashed GROUP BY h
+    ), flagged AS (
+        SELECT hashed.doc_id,
+               CASE WHEN f.d != hashed.doc_id OR f.i != hashed.chunk_idx
+                    THEN 1 ELSE 0 END AS dup
+        FROM hashed JOIN firsts ON hashed.h = firsts.h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(dup) AS BIGINT) AS n_dup_chunks,
+           round(sum(dup) / count(*), 6) AS dup_ratio
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def l31_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-chunk exact dedup (MassiveText/RefinedWeb line-level
+    dedup, adapted to fixed 20-token windows — the fixture corpus has
+    no line structure): per doc, how many of its chunks already
+    occurred earlier in the corpus ((doc_id, chunk_idx) order).
+    First occurrence per hash is a partial-aggregable MIN over
+    instance structs, not a window — hot boilerplate chunks combine
+    map-side instead of creating a straggler partition."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        chunk_dedup_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_dedup_stats(docs, chunk_tokens=20)
+
+
+@register(
+    "l32_ann_pq",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cb AS (  -- codebook: subspace s centroid j = first-16-by-id vectors
+        SELECT s.s, e.j, e.v[s.s*8+1 : s.s*8+8] AS cvec
+        FROM (SELECT unnest(range(0, 8)) AS s) s,
+             (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j
+              FROM c ORDER BY vec_id LIMIT 16) e
+    ), dists AS (  -- every vector x subspace x centroid distance
+        SELECT c.vec_id, cb.s, cb.j,
+               list_sum(list_transform(range(1, 9),
+                   p -> (c.v[cb.s*8+p] - cb.cvec[p]) * (c.v[cb.s*8+p] - cb.cvec[p])
+               )) AS d2
+        FROM c, cb
+    ), enc AS (  -- PQ code: argmin centroid per (vector, subspace)
+        SELECT vec_id, s, j AS code, d2,
+               row_number() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d2, j) AS rn
+        FROM dists
+    ), codes AS (
+        SELECT vec_id, s, code FROM enc WHERE rn = 1
+    ), qtab AS (  -- query ADC table: query x subspace x centroid
+        SELECT d.vec_id AS query_id, d.s, d.j AS code, d.d2
+        FROM dists d WHERE d.vec_id < 10
+    ), adc AS (  -- fixed-s-order sum so float addition matches Spark
+        SELECT q.query_id, codes.vec_id,
+               sum(CASE WHEN codes.s = 0 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 1 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 2 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 3 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 4 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 5 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 6 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 7 THEN q.d2 END) AS total
+        FROM codes JOIN qtab q ON q.s = codes.s AND q.code = codes.code
+        GROUP BY q.query_id, codes.vec_id
+    ), cand AS (  -- ADC retrieval: top-100 candidates per query
+        SELECT query_id, vec_id
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY round(total, 6), vec_id) AS rnk
+              FROM adc)
+        WHERE rnk <= 100
+    ), rer AS (  -- exact-L2 re-rank of ONLY the candidates
+        SELECT cand.query_id, cand.vec_id,
+               round(list_sum(list_transform(range(1, 65),
+                   p -> (cv.v[p] - qv.v[p]) * (cv.v[p] - qv.v[p])
+               )), 6) AS l2_d2
+        FROM cand
+        JOIN c cv ON cv.vec_id = cand.vec_id
+        JOIN c qv ON qv.vec_id = cand.query_id
+    )
+    SELECT query_id, vec_id, l2_d2, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY l2_d2, vec_id) AS rnk
+          FROM rer)
+    WHERE rnk <= 10
+    """,
+)
+def l32_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN, the full two-stage production shape:
+    corpus vectors compress to m=8 codes (the narrow table a 100 TB
+    index actually stores); ADC retrieval is an equi-join of the code
+    table against broadcast per-query centroid-distance tables with a
+    fixed-order subspace sum (float addition does not commute — an
+    orderless SUM would hash-diverge); the top-100 candidates then
+    exact-L2 re-rank to top-10 (recall@10 0.36 ADC-only -> 0.90
+    re-ranked, pinned in tests). No cross join; real vectors are
+    touched only for candidates*n_queries rows. Deterministic first-16
+    codebook (l13's quantizer trick per-subspace) makes the whole
+    pipeline hash-checkable; production swaps per-subspace k-means
+    (kmeans_centroids) for the codebook."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        pq_codebook,
+        pq_topk_reranked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = pq_codebook(emb, m=8, k_codes=16, dim=64)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk_reranked(emb, queries, codebook, k=10, candidates=100, m=8, dsub=8)
+
+
+@register(
+    "m03_audio_roundtrip",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n_chars % 50 + 10 AS BIGINT) AS n_frames,
+           round(CAST(doc_id % 100 + 1 AS DOUBLE), 6) AS rms
+    FROM documents
+    """,
+)
+def m03_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec multimodal roundtrip: per document, synthesize a
+    deterministic mono 16-bit WAV (stdlib wave writer) and decode it
+    back with functions/multimodal.decode_audio_wav inside one Arrow
+    mapInPandas pass. Constant-amplitude signals make every decoded
+    field an exact arithmetic function of (doc_id, n_chars), so a real
+    binary encode->decode pass hash-checks against plain SQL."""
+    from sports_betting_data_pipeline_spark.functions.multimodal import (
+        audio_roundtrip_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_roundtrip_features(docs).withColumn(
+        "rms", F.round("rms", 6)
+    )

@@ -146,6 +146,8 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                # to the tiny per-source aggregate — same shape as l27
                "l29_source_mixture_plan"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
+                 # real-codec WAV synth+decode roundtrip (mapInPandas)
+                 "m03_audio_roundtrip",
                  "st06_stateful_user_stats", "l16_grouped_zscore"}
     problems = []
     for name, fn in sorted(QUERIES.items()):
