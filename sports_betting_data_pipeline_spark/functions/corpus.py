@@ -268,3 +268,45 @@ def temperature_mixture(
         .filter(F.col("rk") <= F.col("_quota"))
         .select(id_col, group_col, "rk")
     )
+
+def token_budget_selection(
+    docs: DataFrame,
+    budget: int = 8000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a token budget: rank
+    documents by (quality desc, id) and keep them while the running
+    token total stays within ``budget`` — the "best docs until the
+    budget is spent" rule of curated-subset construction.
+
+    Output: (id, quality, n_tokens, cum_tokens) for kept docs.
+
+    Quality is rounded to 6dp BEFORE ranking so the order (and
+    therefore the kept set) is identical in any engine — raw float
+    quality would make the cut boundary engine-dependent. The global
+    ordered cumsum is a single-partition window like l26's shuffle
+    rank: the one sort this stage genuinely needs. At 100 TB, select
+    per-shard with per-shard budgets (one window per shard, parallel,
+    same code with a partitionBy), or pre-estimate the quality cutoff
+    from a sample and turn the window into a scan-side filter.
+    """
+    from sports_betting_data_pipeline_spark.functions.text import (
+        quality_score,
+        ws_token_count,
+    )
+
+    scored = docs.select(
+        F.col(id_col),
+        F.round(quality_score(F.col(text_col)), 6).alias("quality"),
+        ws_token_count(F.col(text_col)).alias("n_tokens"),
+    )
+    w = (
+        Window.orderBy(F.col("quality").desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .select(id_col, "quality", "n_tokens", "cum_tokens")
+    )

@@ -1568,3 +1568,182 @@ def m03_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_roundtrip_features(docs).withColumn(
         "rms", F.round("rms", 6)
     )
+
+
+@register(
+    "l33_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_DTOKS.format(src='text')} AS toks FROM documents
+    ), feats AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS mtl,
+               len(list_filter(toks, x -> list_contains({STOPWORDS!r}, lower(x)))) / greatest(len(toks), 1) AS sw,
+               len(list_distinct(toks)) / greatest(len(toks), 1) AS uniq
+        FROM t
+    ), scored AS (
+        SELECT doc_id,
+               round((
+                 (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END) +
+                 (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                 (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.0 END) +
+                 uniq) / 4.0, 6) AS quality,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM feats
+    ), cum AS (
+        SELECT doc_id, quality, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum_tokens
+        FROM scored
+    )
+    SELECT doc_id, quality, n_tokens, cum_tokens
+    FROM cum WHERE cum_tokens <= 8000
+    """,
+)
+def l33_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-first selection under a token budget: rank by
+    (rounded quality desc, doc_id), keep while the running token total
+    stays within 8000 — curated-subset construction. Quality rounds
+    BEFORE ranking so the cut boundary is engine-identical; at 100 TB
+    the selection runs per-shard (partitionBy) or via a sampled
+    quality-cutoff estimate instead of one global window."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        token_budget_selection,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_selection(docs, budget=8000)
+
+
+@register(
+    "pl02_corpus_assembly",
+    oracle=f"""
+    WITH toks_t AS (
+        SELECT doc_id, lang, text, {_DTOKS.format(src='text')} AS toks
+        FROM documents
+    ),
+    -- stage 1: eval-set decontamination (l24 rule, 5-gram overlap)
+    sh AS (
+        SELECT doc_id, unnest({_dshk('toks', 5)}) AS shingle FROM toks_t
+    ), bench AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+    ), contaminated AS (
+        SELECT DISTINCT s.doc_id FROM sh s JOIN bench b ON s.shingle = b.shingle
+        WHERE s.doc_id % 97 != 0
+    ), clean AS (
+        SELECT * FROM toks_t
+        WHERE doc_id % 97 != 0
+          AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    -- stage 2: repeated-chunk dedup (l31 rule over the survivors)
+    inst AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS ci,
+               toks
+        FROM clean WHERE len(toks) > 0
+    ), hashed AS (
+        SELECT doc_id, ci,
+               md5(array_to_string(toks[ci*20+1 : ci*20+20], ' ')) AS h
+        FROM inst
+    ), firsts AS (
+        SELECT h, min(struct_pack(d := doc_id, i := ci)) AS f
+        FROM hashed GROUP BY h
+    ), dupstats AS (
+        SELECT hashed.doc_id,
+               sum(CASE WHEN f.d != hashed.doc_id OR f.i != hashed.ci
+                        THEN 1 ELSE 0 END) / count(*) AS dup_ratio
+        FROM hashed JOIN firsts ON hashed.h = firsts.h
+        GROUP BY hashed.doc_id
+    ), deduped AS (
+        SELECT c.* FROM clean c JOIN dupstats d ON c.doc_id = d.doc_id
+        WHERE d.dup_ratio <= 0.2
+    ),
+    -- stage 3: quality filter (l04 heuristic, rounded)
+    feats AS (
+        SELECT doc_id, lang, toks,
+               len(toks) AS n,
+               list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1) AS mtl,
+               len(list_filter(toks, x -> list_contains({STOPWORDS!r}, lower(x)))) / greatest(len(toks), 1) AS sw,
+               len(list_distinct(toks)) / greatest(len(toks), 1) AS uniq
+        FROM deduped
+    ), quality AS (
+        SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+               round((
+                 (CASE WHEN n >= 10 AND n <= 100000 THEN 1.0 ELSE 0.0 END) +
+                 (CASE WHEN mtl >= 2.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.0 END) +
+                 (CASE WHEN sw >= 0.05 THEN 1.0 ELSE 0.0 END) +
+                 uniq) / 4.0, 6) AS q
+        FROM feats
+    ), good AS (
+        SELECT * FROM quality WHERE q >= 0.5
+    ),
+    -- stage 4: temperature mixture by language (l27 rule, n_target=300)
+    counts AS (
+        SELECT lang, CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        FROM good GROUP BY lang
+    ), quotas AS (
+        SELECT lang, (300 * w) // (SELECT sum(w) FROM counts) AS quota
+        FROM counts
+    ), ranked AS (
+        SELECT g.*, CAST(row_number() OVER (
+                   PARTITION BY g.lang
+                   ORDER BY md5(CAST(g.doc_id AS VARCHAR)), g.doc_id
+               ) AS BIGINT) AS rk
+        FROM good g
+    ), mixed AS (
+        SELECT r.* FROM ranked r JOIN quotas q ON q.lang = r.lang
+        WHERE r.rk <= q.quota
+    ),
+    -- stage 5: sequence packing (l25 rule, 512-token bins per lang)
+    packed AS (
+        SELECT doc_id, lang, rk, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                        ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM mixed WHERE n_tokens > 0
+    )
+    SELECT doc_id, lang, rk, n_tokens,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS start_bin,
+           CAST((cum - 1) // 512 AS BIGINT) AS end_bin,
+           CAST((cum - n_tokens) % 512 AS BIGINT) AS start_off
+    FROM packed
+    """,
+)
+def pl02_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-assembly pipeline, composed from proven
+    stages: eval-set decontamination (l24) -> repeated-chunk dedup,
+    dup_ratio <= 0.2 (l31) -> quality filter >= 0.5 (l04) ->
+    language temperature mixture, n_target=300 (l27) -> 512-token
+    sequence packing (l25). Every stage is deterministic and
+    engine-reproducible, so the COMPOSITION hash-checks end-to-end —
+    the integration guarantee on top of the per-stage oracles.
+
+    Scale: stages chain shuffle-bounded plans (shingle equi-join,
+    chunk-hash min-agg, per-lang windows); nothing quadratic, no
+    global sort."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        chunk_dedup_stats,
+        decontaminate_hits,
+        pack_sequences,
+        temperature_mixture,
+    )
+    from sports_betting_data_pipeline_spark.functions.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.pmod("doc_id", F.lit(97)) == 0)
+    corpus = docs.filter(F.pmod("doc_id", F.lit(97)) != 0)
+    hits = decontaminate_hits(corpus, bench, k=5)
+    clean = corpus.join(hits.select("doc_id"), on="doc_id", how="left_anti")
+    dupok = chunk_dedup_stats(clean, chunk_tokens=20).filter(
+        F.col("dup_ratio") <= 0.2
+    )
+    deduped = clean.join(dupok.select("doc_id"), on="doc_id")
+    good = deduped.filter(F.round(quality_score(F.col("text")), 6) >= 0.5)
+    mixed = temperature_mixture(good, group_col="lang", n_target=300)
+    sel = good.join(mixed.select("doc_id", "rk"), on="doc_id")
+    packed = pack_sequences(sel, budget=512, shard_col="lang")
+    return packed.join(mixed.select("doc_id", "rk"), on="doc_id").select(
+        "doc_id", "lang", "rk", "n_tokens", "start_bin", "end_bin", "start_off"
+    )

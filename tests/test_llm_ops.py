@@ -592,3 +592,28 @@ def test_pq_encode_codes_in_range(spark, sf_dir):
     assert stats["lo"] >= 0 and stats["hi"] <= 15
     assert stats["ns"] == 8
     assert stats["n"] == n_vec * 8
+
+
+def test_token_budget_selection_order_and_cut(spark):
+    """Selection is quality-first and stops at the budget boundary."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        token_budget_selection,
+    )
+
+    good = "the and for you " * 10          # stopword-rich, 40 tokens
+    bad = "zz " * 40                         # repetitive, low quality
+    docs = spark.createDataFrame(
+        [(1, bad), (2, good), (3, good + "extra tokens here")],
+        ["doc_id", "text"],
+    )
+    rows = token_budget_selection(docs, budget=85).collect()
+    kept = {r["doc_id"]: r for r in rows}
+    # the two high-quality docs fit (43 + 40 = 83 <= 85; doc 3 ranks
+    # first on quality); the repetitive doc would reach 123 and is cut
+    assert set(kept) == {2, 3}
+    assert kept[3]["cum_tokens"] == 43
+    assert kept[2]["cum_tokens"] == 83
+    assert kept[3]["quality"] >= kept[2]["quality"] >= 0.5
+    # tighter budget cuts inside the high-quality run
+    rows = token_budget_selection(docs, budget=50).collect()
+    assert [r["doc_id"] for r in rows] == [3]

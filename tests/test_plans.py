@@ -144,7 +144,9 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                "l27_temperature_mixture",
                # 1-row broadcast scalar (total mixture weight) joined
                # to the tiny per-source aggregate — same shape as l27
-               "l29_source_mixture_plan"}
+               "l29_source_mixture_plan",
+               # composes l27's mixture stage — same 1-row scalar
+               "pl02_corpus_assembly"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  # real-codec WAV synth+decode roundtrip (mapInPandas)
                  "m03_audio_roundtrip",
