@@ -308,3 +308,50 @@ def st09_stream_neardup_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         kept, "st09_neardup", output_mode="update"
     ).select("doc_id", "bucket")
+
+
+@register(
+    "st10_stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS total_value,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def st10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins the
+    customer dim (a STATIC broadcast side — stateless, no join state
+    at all, re-read per microbatch) and aggregates per market segment.
+    This is the streaming face of J1's enrichment (markets attached to
+    events, mm_calls.py:98-105): at 100 TB/day of events the dim stays
+    broadcast and the only state is the running aggregate. Drained
+    with availableNow, the result equals the batch join+rollup."""
+    from sports_betting_data_pipeline_spark.io import load_table
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = stream.join(
+        F.broadcast(dim), stream.user_id == dim.c_custkey, "inner"
+    )
+    agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.approx_count_distinct("user_id").alias("_approx"),
+    )
+    # complete-mode drain; exact distinct users recomputed below since
+    # streaming aggregates cannot nest count_distinct
+    out = run_stream_to_table(
+        agg.drop("_approx"), "st10_ssj_static", output_mode="complete"
+    )
+    exact_users = (
+        load_table(spark, sf_dir, "events")
+        .join(F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "inner")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    return out.join(exact_users, on="segment")
