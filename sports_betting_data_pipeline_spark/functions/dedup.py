@@ -573,18 +573,20 @@ def connected_components(
             ),
             on="nbr",
         ).select("node", F.col("nbr_comp").alias("component"))
+        # Fold the OLD label into the checkpointed frame: the
+        # convergence count then scans the materialized partitions
+        # instead of running a second join job every superstep.
         new_labels = (
             labels.select("node", "component")
             .unionByName(msgs)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
+            .join(
+                labels.select("node", F.col("component").alias("_old")), on="node"
+            )
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
-            .filter(F.col("component") != F.col("old"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("component") != F.col("_old")).count()
+        labels = new_labels.select("node", "component")
         if changed == 0:
             break
-    return labels
+    return labels.select("node", "component")
