@@ -143,3 +143,112 @@ def shingles(text: Column, k: int = 3) -> Column:
         )
 
     return F.transform(F.array(ws_tokens(F.lower(text))), build)[0]
+
+
+def unigram_surprisal(
+    docs,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Perplexity-style quality scoring with a corpus-trained unigram
+    LM (the CCNet/Wikipedia-LM filtering step, with the LM trained on
+    the corpus itself instead of KenLM): per document, the mean
+    negative log-probability of its tokens under corpus unigram
+    frequencies. High surprisal = tokens rare in the corpus =
+    off-distribution document; low = boilerplate.
+
+    Output: (id, n_tokens, mean_surprisal) — mean of -ln(count/N),
+    rounded 4dp.
+
+    Scale: the LM "training" is one word-count aggregate (map-side
+    partial combine); scoring is an explode + equi-join on token
+    against that frequency table (broadcastable for natural-language
+    vocabularies — vocab grows ~log corpus) + one per-doc average.
+    Never quadratic; no Python.
+    """
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_w")
+    )
+    counts = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    probs = counts.crossJoin(F.broadcast(total)).select(
+        "_w", (F.col("_c") / F.col("_n")).alias("_p")
+    )
+    return (
+        toks.join(F.broadcast(probs), on="_w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("_p"))), 4).alias("mean_surprisal"),
+        )
+    )
+
+
+def bm25_topk(
+    docs,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """BM25 ranking of documents against a bag of query terms — the
+    retrieval scorer for corpus search / data curation ("find docs
+    about X to upsample"). Standard Robertson/Sparck-Jones form:
+
+        score(d) = sum_t idf(t) * tf * (k1+1) /
+                   (tf + k1 * (1 - b + b * len_d / avg_len))
+        idf(t)   = ln((N - df + 0.5) / (df + 0.5) + 1)
+
+    Output: (id, score, rank) top-k, score rounded 4dp, id tiebreak.
+
+    Scale: tf is a filtered explode + count; df is a tiny per-term
+    aggregate (broadcast); N and avg_len are a 1-row scalar
+    (broadcast). The scoring join touches only docs containing at
+    least one query term. One shuffle for tf, one top-k window.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_w")
+    )
+    lens = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_len"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("_n_docs"), F.avg("_len").alias("_avg_len")
+    )
+    hits = toks.filter(F.col("_w").isin(terms))
+    tf = hits.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_tf"))
+    df_t = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(F.broadcast(df_t), on="_w")
+        .join(lens, on=id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    (F.col("_n_docs") - F.col("_df") + 0.5)
+                    / (F.col("_df") + 0.5)
+                    + 1.0
+                )
+                * (F.col("_tf") * (k1 + 1))
+                / (
+                    F.col("_tf")
+                    + k1 * (1 - b + b * F.col("_len") / F.col("_avg_len"))
+                )
+            ).alias("_s"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.sum("_s"), 4).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "score", "rank")
+    )

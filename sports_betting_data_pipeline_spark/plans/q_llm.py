@@ -1747,3 +1747,84 @@ def pl02_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.join(mixed.select("doc_id", "rk"), on="doc_id").select(
         "doc_id", "lang", "rk", "n_tokens", "start_bin", "end_bin", "start_off"
     )
+
+
+@register(
+    "l34_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DTOKS.format(src='lower(text)')}) AS w
+        FROM documents
+    ), counts AS (
+        SELECT w, count(*) AS c FROM toks GROUP BY w
+    ), total AS (
+        SELECT count(*) AS n FROM toks
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(-ln(c.c / total.n)), 4) AS mean_surprisal
+    FROM toks t JOIN counts c ON t.w = c.w, total
+    GROUP BY t.doc_id
+    """,
+)
+def l34_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style filtering with a corpus-trained unigram LM
+    (the CCNet-shaped step, LM = corpus unigram frequencies): per-doc
+    mean -ln p(token). Training is one word-count aggregate; scoring
+    is an explode + broadcast frequency join + per-doc average —
+    no Python, never quadratic. Rounded to 4dp so libm ln()
+    last-bit differences between engines cannot surface."""
+    from sports_betting_data_pipeline_spark.functions.text import (
+        unigram_surprisal,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
+_BM25_TERMS = ["table", "spark", "stream"]
+
+
+@register(
+    "l35_bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_DTOKS.format(src='lower(text)')}) AS w
+        FROM documents
+    ), lens AS (
+        SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id
+    ), stats AS (
+        SELECT count(*) AS n_docs, avg(len) AS avg_len FROM lens
+    ), tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM toks
+        WHERE w IN ('table', 'spark', 'stream')
+        GROUP BY doc_id, w
+    ), dft AS (
+        SELECT w, count(*) AS df FROM tf GROUP BY w
+    ), scored AS (
+        SELECT tf.doc_id,
+               round(sum(
+                   ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * lens.len / stats.avg_len))
+               ), 4) AS score
+        FROM tf
+        JOIN dft ON tf.w = dft.w
+        JOIN lens ON tf.doc_id = lens.doc_id, stats
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 20
+    """,
+)
+def l35_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking against a fixed query-term bag — the
+    retrieval scorer for corpus search and targeted upsampling. tf via
+    filtered explode, df/N/avg_len as broadcast scalars, one top-k
+    window; only docs containing a query term are scored."""
+    from sports_betting_data_pipeline_spark.functions.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, _BM25_TERMS, k=20)

@@ -146,7 +146,11 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                # to the tiny per-source aggregate — same shape as l27
                "l29_source_mixture_plan",
                # composes l27's mixture stage — same 1-row scalar
-               "pl02_corpus_assembly"}
+               "pl02_corpus_assembly",
+               # 1-row broadcast scalar (corpus token total N)
+               "l34_unigram_surprisal",
+               # 1-row broadcast scalar (N docs + avg doc length)
+               "l35_bm25_topk"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  # real-codec WAV synth+decode roundtrip (mapInPandas)
                  "m03_audio_roundtrip",
