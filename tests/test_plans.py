@@ -247,3 +247,40 @@ def test_a07_quantile_sketch_rank_error_bound(spark, sf_dir):
     ).collect()[0]
     for p, a, lo, hi in zip(ps, approx, lo_hi["lo"], lo_hi["hi"]):
         assert lo <= a <= hi, (p, a, lo, hi)
+
+
+def test_l31_chunk_dedup_uses_partial_agg_not_window(spark, sf_dir):
+    # First-occurrence-per-hash must be a partial-aggregable MIN (hot
+    # boilerplate chunks combine map-side), NOT a per-hash window —
+    # a window would make one mega-duplicated chunk a straggler task.
+    plan = plan_text(QUERIES["l31_chunk_dedup"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_l32_pq_joins_are_broadcast(spark, sf_dir):
+    # The codebook (128 rows) and the per-query distance table must
+    # broadcast; the only shuffles are the per-(id,s) argmin aggregate
+    # and the final top-k window. A shuffle join against the corpus
+    # codes would defeat the narrow-index design.
+    plan = plan_text(QUERIES["l32_ann_pq"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_l35_bm25_scoring_broadcasts_stats(spark, sf_dir):
+    # df/N/avg_len are broadcast scalars; tf-side is the only real
+    # shuffle. The term filter must reach down to the exploded tokens
+    # (no full-corpus scoring).
+    plan = plan_text(QUERIES["l35_bm25_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_m03_payload_never_crosses_the_plan(spark, sf_dir):
+    # The WAV bytes are synthesized AND decoded inside one mapInPandas:
+    # only (doc_id, n_chars) may enter the Python worker — a binary
+    # payload column in the exchange would dominate 100 TB transfers.
+    plan = plan_text(QUERIES["m03_audio_roundtrip"](spark, sf_dir))
+    assert "MapInPandas" in plan
+    assert "payload" not in plan
