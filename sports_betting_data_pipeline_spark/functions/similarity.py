@@ -597,3 +597,108 @@ def pq_topk_reranked(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "l2_d2", "rank")
     )
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: DataFrame,
+    n_centroids: int = 8,
+    nprobe: int = 3,
+    candidates: int = 50,
+    k: int = 10,
+    m: int = 8,
+    dsub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-PQ: the composition that serves billion-vector ANN in
+    practice — coarse cells prune the corpus to ~nprobe/C, PQ codes
+    compress what remains, ADC scores the pruned code set, and exact
+    L2 re-ranks the top ``candidates``.
+
+    Cell assignment uses the deterministic first-N cosine quantizer
+    (l13's oracle path; swap kmeans_centroids for production), and the
+    PQ codebook is global (IVFPQ by_residual=false) so every stage
+    stays engine-reproducible for the oracle.
+
+    Scale shape: assignment = C broadcast cosines per row, map-side;
+    the ADC join now carries cent_id, so only codes in probed cells
+    are scored (~nprobe/C of the corpus); the fixed-s-order subspace
+    sum and candidate re-rank are identical to pq_topk_reranked.
+    Shuffles: cell assignment window, per-(id,s) argmin, ADC
+    aggregate, two top-k windows — all narrow rows.
+    """
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
+    )
+
+    def nearest_cells(df: DataFrame, df_id: str, df_vec: str, n: int) -> DataFrame:
+        sims = df.crossJoin(F.broadcast(cents)).select(
+            F.col(df_id),
+            F.col("cent_id"),
+            cosine(F.col(df_vec), F.col("cv")).alias("_csim"),
+        )
+        w = Window.partitionBy(df_id).orderBy(F.col("_csim").desc(), F.col("cent_id"))
+        return (
+            sims.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n)
+            .select(df_id, "cent_id")
+        )
+
+    assigned = nearest_cells(corpus, id_col, vec_col, 1)
+    probes = nearest_cells(queries, query_id_col, query_vec_col, nprobe)
+
+    enc_cells = pq_encode(
+        corpus, codebook, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col
+    ).join(assigned, on=id_col)
+
+    qsubs = _subspace_rows(queries, m, dsub, query_id_col, query_vec_col)
+    dtab = qsubs.join(F.broadcast(codebook), on="s").select(
+        query_id_col, "s", "code", _sq_l2(F.col("subvec"), F.col("cvec")).alias("d2")
+    )
+    per_sub = (
+        probes.join(enc_cells, on="cent_id")
+        .join(F.broadcast(dtab), on=[query_id_col, "s", "code"])
+        .groupBy(query_id_col, id_col)
+        .agg(
+            *[
+                F.sum(F.when(F.col("s") == s, F.col("d2"))).alias(f"_d{s}")
+                for s in range(m)
+            ]
+        )
+    )
+    total = None
+    for s in range(m):
+        term = F.col(f"_d{s}")
+        total = term if total is None else total + term
+    wc = Window.partitionBy(query_id_col).orderBy(
+        F.round(total, 6).asc(), F.col(id_col)
+    )
+    cand = (
+        per_sub.withColumn("_rn", F.row_number().over(wc))
+        .filter(F.col("_rn") <= candidates)
+        .select(query_id_col, id_col)
+    )
+    vec_tbl = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    qv_tbl = queries.select(
+        query_id_col, F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    exact = (
+        cand.join(vec_tbl, on=id_col)
+        .join(F.broadcast(qv_tbl), on=query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(_sq_l2(F.col("_cv"), F.col("_qv")), 6).alias("l2_d2"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("l2_d2").asc(), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "l2_d2", "rank")
+    )

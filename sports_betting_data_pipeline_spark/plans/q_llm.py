@@ -1828,3 +1828,110 @@ def l35_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_topk(docs, _BM25_TERMS, k=20)
+
+
+@register(
+    "l36_ann_ivfpq",
+    oracle="""
+    WITH c AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+        SELECT vec_id AS cent_id, v AS cv FROM c WHERE vec_id < 8
+    ), assigned AS (
+        SELECT vec_id, cent_id FROM (
+            SELECT c.vec_id, ct.cent_id,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, ct.cv) DESC, ct.cent_id
+                   ) AS rn
+            FROM c CROSS JOIN cents ct
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT query_id, cent_id FROM (
+            SELECT q.vec_id AS query_id, ct.cent_id,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, ct.cv) DESC, ct.cent_id
+                   ) AS rn
+            FROM c q CROSS JOIN cents ct WHERE q.vec_id < 10
+        ) WHERE rn <= 3
+    ), cb AS (
+        SELECT s.s, e.j, e.v[s.s*8+1 : s.s*8+8] AS cvec
+        FROM (SELECT unnest(range(0, 8)) AS s) s,
+             (SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS j
+              FROM c ORDER BY vec_id LIMIT 16) e
+    ), dists AS (
+        SELECT c.vec_id, cb.s, cb.j,
+               list_sum(list_transform(range(1, 9),
+                   p -> (c.v[cb.s*8+p] - cb.cvec[p]) * (c.v[cb.s*8+p] - cb.cvec[p])
+               )) AS d2
+        FROM c, cb
+    ), codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT vec_id, s, j, row_number() OVER (
+                PARTITION BY vec_id, s ORDER BY d2, j) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ), qtab AS (
+        SELECT d.vec_id AS query_id, d.s, d.j AS code, d.d2
+        FROM dists d WHERE d.vec_id < 10
+    ), adc AS (
+        SELECT q.query_id, codes.vec_id,
+               sum(CASE WHEN codes.s = 0 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 1 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 2 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 3 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 4 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 5 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 6 THEN q.d2 END) +
+               sum(CASE WHEN codes.s = 7 THEN q.d2 END) AS total
+        FROM codes
+        JOIN assigned a ON a.vec_id = codes.vec_id
+        JOIN probes p ON p.cent_id = a.cent_id
+        JOIN qtab q ON q.query_id = p.query_id
+                   AND q.s = codes.s AND q.code = codes.code
+        GROUP BY q.query_id, codes.vec_id
+    ), cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY round(total, 6), vec_id) AS rnk
+            FROM adc
+        ) WHERE rnk <= 50
+    ), rer AS (
+        SELECT cand.query_id, cand.vec_id,
+               round(list_sum(list_transform(range(1, 65),
+                   p -> (cv.v[p] - qv.v[p]) * (cv.v[p] - qv.v[p])
+               )), 6) AS l2_d2
+        FROM cand
+        JOIN c cv ON cv.vec_id = cand.vec_id
+        JOIN c qv ON qv.vec_id = cand.query_id
+    )
+    SELECT query_id, vec_id, l2_d2, CAST(rnk AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY l2_d2, vec_id) AS rnk
+          FROM rer)
+    WHERE rnk <= 10
+    """,
+)
+def l36_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, the billion-vector index composition: coarse cells
+    prune to ~nprobe/C of the corpus, global-codebook PQ codes (IVFPQ
+    by_residual=false) compress what remains, ADC scores only codes
+    in probed cells, exact L2 re-ranks the top-50. Every stage is the
+    deterministic variant of its production form (first-8 cells,
+    first-16 codebook — swap kmeans_centroids for both in prod), so
+    the full composition hash-checks. Recall vs exact is pinned in
+    tests/test_llm_ops.py."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        ivfpq_topk,
+        pq_codebook,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codebook = pq_codebook(emb, m=8, k_codes=16, dim=64)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(
+        emb, queries, codebook, n_centroids=8, nprobe=3, candidates=50, k=10
+    )

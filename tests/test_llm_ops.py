@@ -617,3 +617,54 @@ def test_token_budget_selection_order_and_cut(spark):
     # tighter budget cuts inside the high-quality run
     rows = token_budget_selection(docs, budget=50).collect()
     assert [r["doc_id"] for r in rows] == [3]
+
+
+def test_ivfpq_recall_and_pruning(spark, sf_dir):
+    """IVF-PQ must (a) beat the random baseline decisively after cell
+    pruning + compression + re-rank, and (b) never return a vector
+    from an unprobed cell."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        ivfpq_topk,
+        pq_codebook,
+    )
+    from sports_betting_data_pipeline_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m=8, k_codes=16, dim=64)
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got_df = ivfpq_topk(emb, queries, cb, n_centroids=8, nprobe=3,
+                        candidates=50, k=10)
+    rows = got_df.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    assert len(got) == 10 and all(len(v) == 10 for v in got.values())
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    # recall vs exact L2 top-10 restricted-to-nothing (full corpus)
+    hits = 0
+    for qid, found in got.items():
+        q = vecs[qid]
+        exact = sorted(vecs, key=lambda v: (float(((vecs[v] - q) ** 2).sum()), v))[:10]
+        hits += len(found & set(exact))
+    recall = hits / (10 * len(got))
+    # 3/8 cells probed caps recall; must still crush the 10/N baseline
+    assert recall >= 0.3, f"IVF-PQ recall {recall}"
+
+    # pruning invariant: every returned vector lives in a probed cell
+    cents = {v: vecs[v] for v in range(8)}
+    def cell(vec):
+        sims = {c: float(vec @ cv / (np.linalg.norm(vec) * np.linalg.norm(cv)))
+                for c, cv in cents.items()}
+        return max(sims, key=lambda c: (sims[c], -c))
+    for qid, found in got.items():
+        q = vecs[qid]
+        probed = sorted(
+            cents,
+            key=lambda c: (-float(q @ cents[c] / (np.linalg.norm(q) * np.linalg.norm(cents[c]))), c),
+        )[:3]
+        for v in found:
+            assert cell(vecs[v]) in probed, (qid, v)

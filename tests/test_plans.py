@@ -137,6 +137,8 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
     BNLJ_OK = {"l10_ann_bruteforce", "l13_ann_ivf",
                # same centroid-assignment crossJoin as l13, trained cells
                "l23_ann_ivf_kmeans",
+               # IVF-PQ: same C-row centroid-assignment crossJoin
+               "l36_ann_ivfpq",
                # 1-row broadcast scalar (corpus size N) — the physical
                # form of an uncorrelated scalar subquery
                "l19_tfidf_top_terms",
