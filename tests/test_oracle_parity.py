@@ -63,3 +63,48 @@ def test_l25_pinned_values_sf001(spark):
         }, engine
         digest = hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
         assert digest == "5cecc07715093234b6e7cb34b139e84d", engine
+
+
+@pytest.mark.parametrize(
+    "name,cols,digest,n_rows",
+    [
+        (
+            "l31_chunk_dedup",
+            ["doc_id", "n_chunks", "n_dup_chunks", "dup_ratio"],
+            "7176d37ee462957e25414cde816837c3",
+            500,
+        ),
+        (
+            "pl02_corpus_assembly",
+            ["doc_id", "lang", "rk", "n_tokens", "start_bin", "end_bin", "start_off"],
+            "f5a160a84135a4684afb77e89e88cc48",
+            298,
+        ),
+    ],
+)
+def test_pinned_values_sf001_version_sensitive_oracles(spark, name, cols, digest, n_rows):
+    """Pin exact sf0.01 outputs for the queries whose oracle SQL uses
+    DuckDB-version-sensitive constructs (struct_pack min, lateral
+    range unnest) — the l25 lesson: a hash-MATCH on our DuckDB version
+    does not guarantee the driver's. Both engines must reproduce the
+    pinned digest."""
+    import hashlib
+    import os
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("sf0.01 fixtures absent")
+    spark_pdf = (
+        QUERIES[name](spark, sf).toPandas()[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    oracle_pdf = (
+        run_oracle(ORACLES[name], sf)[cols]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    for pdf, engine in ((spark_pdf, "spark"), (oracle_pdf, "duckdb")):
+        assert len(pdf) == n_rows, engine
+        got = hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
+        assert got == digest, f"{engine}: {got}"
