@@ -284,3 +284,34 @@ def test_neardup_hamming_matches_reference():
                 ref_kept.append(i)
             seen.append(s)
         assert kept_ids == ref_kept, f"h={h}"
+
+
+def test_upsert_rerun_with_same_checkpoint_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the drain against the SAME checkpoint + state dir
+    must not double-apply batches: availableNow finds no new files,
+    replays nothing, and the state table is unchanged (the
+    exactly-once contract of the foreachBatch MERGE; guards the
+    state-reset bug class from round-1 ADVICE)."""
+    import os
+
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        latest_per_key_upsert,
+        read_events_stream,
+    )
+
+    state_dir = str(tmp_path / "upsert")
+    os.makedirs(state_dir, exist_ok=True)
+    first = latest_per_key_upsert(
+        read_events_stream(spark, sf_dir), state_dir=state_dir
+    )
+    snap1 = {
+        (r["user_id"], r["event_id"]) for r in first.collect()
+    }
+    assert snap1, "state table empty after first drain"
+    second = latest_per_key_upsert(
+        read_events_stream(spark, sf_dir), state_dir=state_dir
+    )
+    snap2 = {
+        (r["user_id"], r["event_id"]) for r in second.collect()
+    }
+    assert snap2 == snap1
