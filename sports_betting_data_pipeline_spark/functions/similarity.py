@@ -268,7 +268,7 @@ def kmeans_centroids(
     per iteration, no shuffle growth with corpus size.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
