@@ -315,3 +315,78 @@ def test_upsert_rerun_with_same_checkpoint_is_idempotent(spark, sf_dir, tmp_path
         (r["user_id"], r["event_id"]) for r in second.collect()
     }
     assert snap2 == snap1
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Late-data policy across MICROBATCHES (single-file drains never
+    move the watermark mid-stream, so they cannot test this). Spark's
+    contract, pinned: a window is emitted exactly ONCE in append mode
+    — at the first batch boundary after the watermark passes its end,
+    including any late rows that arrived before that boundary — and
+    rows arriving AFTER the window was emitted are dropped
+    (numRowsDroppedByWatermark), never re-emitted."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        tumbling_counts,
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src, exist_ok=True)
+    base = 1_700_000_000
+    cols = ["event_id", "user_id", "event_type", "value", "ts_s"]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, cols).select(
+            "event_id", "user_id", "event_type", "value",
+            F.timestamp_seconds("ts_s").alias("ts"),
+        )
+
+    # A: 10 on-time rows in window W0 + one row 6h ahead (advances the
+    # max event time, and with it the next batch's watermark)
+    a = mk([(i, 0, "view", 1.0, base + i * 60) for i in range(10)]
+           + [(99, 0, "view", 1.0, base + 6 * 3600)])
+    # B: current data; at B's end the watermark (6h - 10min) has passed
+    # W0's end, so W0 is evicted and emitted
+    b = mk([(300 + i, 0, "view", 1.0, base + 6 * 3600 + 60 + i * 60)
+            for i in range(3)])
+    # C: late rows targeting the already-emitted W0
+    c = mk([(400 + i, 0, "view", 1.0, base + 600 + i * 60) for i in range(5)])
+    for name, df in (("a", a), ("b", b), ("c", c)):
+        df.coalesce(1).write.parquet(str(src / name))
+        _time.sleep(1.1)  # file source orders batches by mod time
+
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    agg = tumbling_counts(stream.select("ts", "event_type", "value"), "1 hour")
+    query = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+    data_batches = [p for p in query.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3, "each file must arrive in its own microbatch"
+    dropped = sum(
+        so.get("numRowsDroppedByWatermark", 0)
+        for p in data_batches
+        for so in p.get("stateOperators", [])
+    )
+    assert dropped > 0, "the post-emission late batch must be watermark-dropped"
+
+    rows = spark.table("late_drop").collect()
+    w0 = base // 3600 * 3600
+    w0_rows = [r for r in rows if r["window_start_s"] == w0]
+    # exactly-once emission with only the on-time rows: late batch C
+    # (5 rows) is excluded, and W0 never appears twice
+    assert len(w0_rows) == 1
+    assert w0_rows[0]["n"] == 10
