@@ -200,3 +200,100 @@ def test_temperature_mixture_quota_invariants(spark):
     # ranks are 1..k per group (md5 order, deterministic)
     for g, rks in by_group.items():
         assert sorted(rks) == list(range(1, len(rks) + 1))
+
+
+# ---------------------------------------------------------------------------
+# Round-3 operators vs naive references
+# ---------------------------------------------------------------------------
+def _py_chunk_dedup(docs: list[tuple[int, str]], w: int = 5):
+    """Naive reference for chunk_dedup_stats: global first-occurrence
+    rule over (doc_id, chunk_idx) order."""
+    seen: dict[str, tuple[int, int]] = {}
+    out = {}
+    for doc_id, text in sorted(docs):
+        toks = [t for t in text.split() if t]
+        if not toks:
+            continue
+        chunks = [" ".join(toks[i * w:(i + 1) * w])
+                  for i in range((len(toks) + w - 1) // w)]
+        n_dup = 0
+        for idx, ch in enumerate(chunks):
+            if ch in seen and seen[ch] < (doc_id, idx):
+                n_dup += 1
+            else:
+                seen.setdefault(ch, (doc_id, idx))
+        out[doc_id] = (len(chunks), n_dup)
+    return out
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 30),
+            st.lists(
+                st.sampled_from("aa bb cc dd ee".split()), min_size=0, max_size=17
+            ).map(" ".join),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_chunk_dedup_matches_reference(spark, docs):
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        chunk_dedup_stats,
+    )
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_dup_chunks"])
+        for r in chunk_dedup_stats(df, chunk_tokens=5).collect()
+    }
+    assert got == _py_chunk_dedup(docs, w=5)
+
+
+@given(
+    sigs=st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=40),
+    h=st.integers(0, 12),
+    cap=st.integers(1, 10),
+)
+@settings(**_SETTINGS)
+def test_neardup_state_invariants(sigs, h, cap):
+    """The st09 state transition: (a) state ids unique and <= cap,
+    (b) kept set equals the naive seen-semantics rule when uncapped,
+    (c) redelivering the same batch emits nothing and leaves state
+    unchanged."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        neardup_bucket_update,
+    )
+
+    ids = list(range(len(sigs)))
+    kept, _, st_ids, st_sigs = neardup_bucket_update(
+        [], [], ids, sigs, h, 10_000
+    )
+    # naive reference
+    ref_kept, seen = [], []
+    for i, s in zip(ids, sigs):
+        near = any(
+            bin((s ^ t) & 0xFFFFFFFFFFFFFFFF).count("1") <= h for t in seen
+        )
+        if not near:
+            ref_kept.append(i)
+        seen.append(s)
+    assert kept == ref_kept
+    assert st_ids == ids and st_sigs == sigs
+
+    # capped: bounded, unique, deterministic smallest-id compaction
+    _, _, cap_ids, cap_sigs = neardup_bucket_update([], [], ids, sigs, h, cap)
+    assert len(cap_ids) == min(cap, len(ids)) == len(set(cap_ids))
+    assert cap_ids == sorted(ids)[: min(cap, len(ids))]
+
+    # redelivery is a no-op
+    kept2, _, st2_ids, st2_sigs = neardup_bucket_update(
+        cap_ids, cap_sigs, ids, sigs, h, cap
+    )
+    kept2_new = [i for i in kept2 if i in cap_ids]
+    assert kept2_new == []
+    if max(ids) < cap:  # full redelivery of an uncapped bucket
+        assert st2_ids == cap_ids and st2_sigs == cap_sigs
