@@ -30,31 +30,57 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _rotation_order() -> list[str]:
-    """Order the catalog least-driver-sampled-first.
+    """Order the catalog failed-first, then least-driver-sampled.
 
     The driver oracle-checks a prefix sample of ``queries()`` each
     round; iterating the catalog in registration order forever leaves
     the tail families without a green driver row (VERDICT r2 next-#5).
-    Counting appearances in the committed ``CORRECTNESS_r*.json``
-    artifacts and sorting ascending (registration order as tiebreak)
-    rotates the sample automatically every round while staying fully
-    deterministic. Falls back to registration order if the artifacts
-    are unreadable.
+    Two tiers (VERDICT r3 next-#2):
+
+    1. Queries whose LATEST committed driver row shows a harness error
+       or a false match sort first, so a fix lands a fresh driver row
+       the very next round instead of waiting out the rotation
+       (``err == "no_oracle"`` is rows-only by design, not a failure).
+    2. Within a tier, least-sampled first (appearance count across all
+       ``CORRECTNESS_r*.json``), registration order as the tiebreak.
+
+    Fully deterministic; any artifact parse problem falls back to
+    registration order (broad except per ADVICE r3 — a list-shaped
+    artifact must not break the driver entrypoint).
     """
     import glob
     import json
 
     counts = {name: 0 for name in QUERIES}
+    latest: dict[str, dict] = {}
     try:
         for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
             with open(path) as fh:
-                for name in json.load(fh):
-                    if name in counts:
-                        counts[name] += 1
-    except (OSError, ValueError):
+                data = json.load(fh)
+            if not isinstance(data, dict):
+                continue
+            for name, row in data.items():
+                if name in counts:
+                    counts[name] += 1
+                    if isinstance(row, dict):
+                        latest[name] = row
+    except Exception:
         return list(QUERIES)
+
+    def failed(name: str) -> bool:
+        row = latest.get(name)
+        if row is None:
+            return False
+        err = row.get("err")
+        if err is not None and err != "no_oracle":
+            return True
+        return any(
+            row.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+
     pos = {name: i for i, name in enumerate(QUERIES)}
-    return sorted(QUERIES, key=lambda n: (counts[n], pos[n]))
+    return sorted(QUERIES, key=lambda n: (not failed(n), counts[n], pos[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

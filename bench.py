@@ -40,8 +40,29 @@ def main() -> None:
         shuffle_partitions=int(cpus) if cpus.isdigit() else 32,
     )
 
-    # Warm up the JVM/codegen on the flagship before timing.
+    # Warm up the JVM/codegen before timing. One batch query is not
+    # enough: r3's driver bench charged ~5 s of first-use cost to
+    # whichever query first touched a cold subsystem (st05 5.61 s
+    # driver vs ~1.1 s warm — from_json/base64 codegen; VERDICT r3
+    # next-#4). Exercise each expensive subsystem on tiny inputs:
+    #   - flagship batch query (scans, hash aggregate, codegen)
+    #   - JSON/base64 expression stack (st05's shape)
+    #   - Arrow/Python worker fork (Pandas UDF paths)
+    #   - streaming engine + state store (availableNow drain)
+    warm_sf = "/root/testdata/sf0.001"
+    warmup_dir = warm_sf if os.path.isdir(warm_sf) else sf_dir
+    spark.range(1).count()
     _consume(QUERIES["q01_pricing_summary"](spark, sf_dir))
+    for warm_name in (
+        "st05_pusher_decode",   # to_json/base64/from_json codegen
+        "m01_multimodal_features",  # Arrow + Python worker startup
+        "st01_tumbling_window",  # streaming engine + state store
+    ):
+        if warm_name in QUERIES:
+            try:
+                _consume(QUERIES[warm_name](spark, warmup_dir))
+            except Exception:
+                pass  # warmup must never fail the bench
 
     # Best-of-N per query (default 2): single-shot numbers on a shared
     # box fold GC pauses and first-use warmup (state stores, Python
@@ -75,9 +96,12 @@ def main() -> None:
             fh.write(payload + "\n")
     except OSError:
         pass
-    # Compact line first: the driver's stdout tail capture truncated the
-    # full 106-query line in r2 (BENCH_r02.json "parsed": null); this
-    # short line always survives and parses (VERDICT r2 next-#8).
+    # Full payload first, compact line LAST: the driver keeps the
+    # stdout TAIL, so the final short line is the one guaranteed to
+    # survive truncation and parse (r3 printed compact-first and the
+    # driver's tail cut it — BENCH_r03.json "parsed": null;
+    # VERDICT r3 next-#3).
+    print(payload)
     print(
         json.dumps(
             {
@@ -89,7 +113,6 @@ def main() -> None:
             }
         )
     )
-    print(payload)
 
 
 if __name__ == "__main__":

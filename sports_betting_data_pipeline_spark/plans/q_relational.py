@@ -1167,14 +1167,28 @@ def a07_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Rows-only oracle: DuckDB's approx_quantile is a t-digest, so
     cross-engine values legitimately differ. The rank-error bound vs
-    exact percentiles is pinned in tests/test_plans.py.
+    exact percentiles is pinned in tests/test_plans.py. The sketch
+    output is exploded to one scalar (p, quantile_value) row per
+    requested quantile — array columns don't canonicalize in the
+    driver's differential harness (r3 adjudication).
     """
     orders = load_table(spark, sf_dir, "orders")
-    return orders.agg(
-        F.percentile_approx(
-            "o_totalprice", [0.25, 0.5, 0.9, 0.99], 10000
-        ).alias("approx_quantiles"),
+    probs = [0.25, 0.5, 0.9, 0.99]
+    agg = orders.agg(
+        F.percentile_approx("o_totalprice", probs, 10000).alias("qs"),
         F.count(F.lit(1)).alias("n_orders"),
+    )
+    prob_arr = F.array(*[F.lit(p) for p in probs])
+    return (
+        agg.select(
+            F.posexplode("qs").alias("pos", "quantile_value"), "n_orders"
+        )
+        .select(
+            F.element_at(prob_arr, F.col("pos") + 1).alias("p"),
+            "quantile_value",
+            "n_orders",
+        )
+        .orderBy("p")
     )
 
 

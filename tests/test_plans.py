@@ -235,8 +235,9 @@ def test_a07_quantile_sketch_rank_error_bound(spark, sf_dir):
     # between the exact quantiles at p ± 1% — the rank-error contract.
     from sports_betting_data_pipeline_spark.io import load_table as _lt
 
-    row = QUERIES["a07_approx_quantiles"](spark, sf_dir).collect()[0]
-    approx = row["approx_quantiles"]
+    rows = QUERIES["a07_approx_quantiles"](spark, sf_dir).collect()
+    assert [r["p"] for r in rows] == [0.25, 0.5, 0.9, 0.99]
+    approx = [r["quantile_value"] for r in rows]
     orders = _lt(spark, sf_dir, "orders")
     ps = [0.25, 0.5, 0.9, 0.99]
     lo_hi = orders.agg(
