@@ -284,12 +284,25 @@ def token_budget_selection(
 
     Quality is rounded to 6dp BEFORE ranking so the order (and
     therefore the kept set) is identical in any engine — raw float
-    quality would make the cut boundary engine-dependent. The global
-    ordered cumsum is a single-partition window like l26's shuffle
-    rank: the one sort this stage genuinely needs. At 100 TB, select
-    per-shard with per-shard budgets (one window per shard, parallel,
-    same code with a partitionBy), or pre-estimate the quality cutoff
-    from a sample and turn the window into a scan-side filter.
+    quality would make the cut boundary engine-dependent.
+
+    Scale shape (VERDICT r3 next-#5): the naive form is one global
+    single-partition cumsum window over every document — a straggler
+    at 100 TB. This implementation is the two-phase distributed prefix
+    sum instead:
+
+    1. Aggregate token totals per distinct quality value (map-side
+       combinable; the rounded score has at most ~1e6+1 distinct
+       values, so the ordered cumsum over THIS aggregate is a
+       bounded-size window regardless of corpus size).
+    2. Broadcast the per-quality "tokens spent by strictly better
+       docs" prefix back, keep only quality levels whose prefix hasn't
+       already exhausted the budget (scan-side frontier filter — the
+       full-corpus rows never shuffle into a global sort), and finish
+       with a PER-QUALITY partitioned window ordered by id.
+
+    cum_tokens = prefix_before(quality) + within-quality running sum,
+    row-for-row identical to the naive global window.
     """
     from sports_betting_data_pipeline_spark.functions.text import (
         quality_score,
@@ -301,12 +314,23 @@ def token_budget_selection(
         F.round(quality_score(F.col(text_col)), 6).alias("quality"),
         ws_token_count(F.col(text_col)).alias("n_tokens"),
     )
-    w = (
-        Window.orderBy(F.col("quality").desc(), F.col(id_col))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    q_agg = scored.groupBy("quality").agg(F.sum("n_tokens").alias("_q_tokens"))
+    wq = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    q_prefix = q_agg.select(
+        "quality",
+        (F.sum("_q_tokens").over(wq) - F.col("_q_tokens")).alias("_cum_before"),
+    )
+    frontier = q_prefix.filter(F.col("_cum_before") <= budget)
+    ww = Window.partitionBy("quality").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
     return (
-        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        scored.join(F.broadcast(frontier), on="quality")
+        .withColumn(
+            "cum_tokens", F.col("_cum_before") + F.sum("n_tokens").over(ww)
+        )
         .filter(F.col("cum_tokens") <= budget)
         .select(id_col, "quality", "n_tokens", "cum_tokens")
     )

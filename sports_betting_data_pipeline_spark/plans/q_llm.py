@@ -1606,9 +1606,11 @@ def l33_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy quality-first selection under a token budget: rank by
     (rounded quality desc, doc_id), keep while the running token total
     stays within 8000 — curated-subset construction. Quality rounds
-    BEFORE ranking so the cut boundary is engine-identical; at 100 TB
-    the selection runs per-shard (partitionBy) or via a sampled
-    quality-cutoff estimate instead of one global window."""
+    BEFORE ranking so the cut boundary is engine-identical. The plan
+    is the two-phase distributed prefix sum (per-quality aggregate
+    cumsum broadcast back onto per-quality windows over the budget
+    frontier only) — no global single-partition window over the
+    corpus; see token_budget_selection."""
     from sports_betting_data_pipeline_spark.functions.corpus import (
         token_budget_selection,
     )

@@ -252,6 +252,26 @@ def test_a07_quantile_sketch_rank_error_bound(spark, sf_dir):
         assert lo <= a <= hi, (p, a, lo, hi)
 
 
+def test_l33_no_global_window_over_corpus(spark, sf_dir):
+    # Token-budget selection must NOT sort the whole corpus into one
+    # partition. The only permitted SinglePartition exchange is the
+    # tiny per-quality-aggregate cumsum (bounded by distinct rounded
+    # quality values); the row-level cumsum must be a window HASH
+    # PARTITIONED by quality over the broadcast-joined frontier.
+    plan = plan_text(QUERIES["l33_token_budget"](spark, sf_dir), "extended")
+    # per-row window is partitioned (specs look like windowspecdefinition(quality, ...))
+    assert "windowspecdefinition(quality" in plan
+    phys = plan_text(QUERIES["l33_token_budget"](spark, sf_dir))
+    # every SinglePartition exchange must feed from an aggregate, never
+    # from the raw documents scan
+    lines = phys.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            below = "\n".join(lines[i:])
+            assert "HashAggregate" in below, phys
+    assert "BroadcastHashJoin" in phys
+
+
 def test_l31_chunk_dedup_uses_partial_agg_not_window(spark, sf_dir):
     # First-occurrence-per-hash must be a partial-aggregable MIN (hot
     # boilerplate chunks combine map-side), NOT a per-hash window —
