@@ -153,9 +153,15 @@ def _minhash_base(
     trailing ``repartition`` is the anti-projection-collapse barrier:
     every downstream consumer (band hashes, exact-Jaccard verify)
     reads the signature/shingles from the exchange instead of
-    re-inlining the fold (see SCALE.md "Expression-level lessons")."""
+    re-inlining the fold (see SCALE.md "Expression-level lessons").
+    The input is widened FIRST so the shingle+signature fold runs
+    core-parallel even off a single-row-group scan (no-op at scale —
+    io.widen_for_compute)."""
+    from sports_betting_data_pipeline_spark.io import widen_for_compute
+
     return (
-        df.select(
+        widen_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .select(
             F.col(id_col).alias("_id"),
             shingles(F.col(text_col), k).alias("_sh"),
         )
@@ -430,7 +436,11 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     shuffle on id. Docs with no tokens keep signature 0 (matching the
     empty-fold result of ``simhash64``).
     """
-    toks = df.select(
+    from sports_betting_data_pipeline_spark.io import widen_for_compute
+
+    toks = widen_for_compute(
+        df.select(F.col(id_col), F.col(text_col))
+    ).select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.filter(

@@ -166,9 +166,13 @@ def embedding_neardup_pairs(
 
     Output: (id_a, id_b, cosine_sim), id_a < id_b, cosine >= threshold.
     """
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_vec"),
+    from sports_betting_data_pipeline_spark.io import widen_for_compute
+
+    base = widen_for_compute(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+        )
     )
     all_planes = [_projection_literals(dim, bits, seed + t) for t in range(tables)]
     # All tables*bits projections in ONE pass (V @ P^T): posexplode the

@@ -81,6 +81,33 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Guarantee a CPU-heavy per-row stage (signature hashing,
+    projections, codec work) runs with at least core-count parallelism.
+
+    A parquet scan parallelizes by file/row-group; a small or
+    single-row-group input therefore yields ONE task, serializing any
+    expensive expression layered on it (observed r4: simhash over a
+    one-row-group fixture pinned 1 of 32 cores — 2.2 s vs 0.35 s
+    widened). At 100 TB the scan already has ~800k splits, so this is
+    a metadata check and NO-OP there: the round-robin exchange only
+    materializes when current parallelism is below ``min_parts``
+    (default ``sparkContext.defaultParallelism``).
+
+    Streaming DataFrames can't report a partition count pre-start, so
+    they always get the repartition — on a real stream the exchange is
+    the standard decouple-source-parallelism-from-compute step (Kafka
+    topic partitions rarely match executor cores).
+    """
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df.repartition(target)  # streaming: no partition metadata
+    return df if n >= target else df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one fixture table (``events.ts`` normalized
     to a UTC instant — see :func:`normalize_events_ts`)."""

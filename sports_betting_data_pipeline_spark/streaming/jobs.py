@@ -107,7 +107,10 @@ def read_events_stream(
         # readStream needs a schema up front; take it from the parquet
         # footer (a metadata-only batch read) so both fixture
         # generations — ns-as-long and timestamp[us] — stream as-is.
-        file_schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+        # Memoized per fixture dir: every streaming query construction
+        # (st01-st10) otherwise re-lists the directory and re-reads the
+        # footer (ADVICE r3).
+        file_schema = _events_file_schema(spark, sf_dir)
         # The file source needs a DIRECTORY; pathGlobFilter narrows the
         # fixture dir to the events table only.
         raw = (
@@ -149,6 +152,20 @@ def read_events_stream(
     else:
         raise ValueError(f"unknown events stream source: {source!r}")
     return normalize_events_ts(raw)
+
+
+_EVENTS_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _events_file_schema(spark: SparkSession, sf_dir: str):
+    """Footer-read the events schema once per fixture dir (the fixture
+    regenerates only between driver rounds, so a process-lifetime memo
+    is safe; keyed on the dir so multiple sf dirs coexist)."""
+    schema = _EVENTS_SCHEMA_CACHE.get(sf_dir)
+    if schema is None:
+        schema = spark.read.parquet(table_path(sf_dir, "events")).schema
+        _EVENTS_SCHEMA_CACHE[sf_dir] = schema
+    return schema
 
 
 def run_stream_to_table(
@@ -578,8 +595,12 @@ def streaming_neardup_filter(
     (pinned against the batch self-join in tests; rows-only at the
     driver since DuckDB cannot reproduce xxhash64).
 
-    Scale: the signature is a scan-side expression; the only shuffle
-    is the bucket-key hash for the state operator. State is BOUNDED:
+    Scale: arrivals are repartitioned BEFORE the signature expression
+    so hashing runs core-parallel regardless of source parallelism
+    (a single-file microbatch otherwise pins one core — the standard
+    decouple-source-from-compute exchange; the text column travels
+    once, narrow (id, sig, bucket) rows feed the second, bucket-key
+    shuffle into the state operator). State is BOUNDED:
     redeliveries never grow it and each bucket is compacted to
     ``max_state_per_bucket`` entries (smallest doc_ids — see
     neardup_bucket_update), so an infinite at-least-once stream holds
@@ -592,9 +613,13 @@ def streaming_neardup_filter(
 
     from sports_betting_data_pipeline_spark.functions.dedup import simhash64
 
-    sig_docs = docs.select(
-        "doc_id", simhash64("text").alias("sig")
-    ).withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    from sports_betting_data_pipeline_spark.io import widen_for_compute
+
+    sig_docs = (
+        widen_for_compute(docs.select("doc_id", "text"))
+        .select("doc_id", simhash64("text").alias("sig"))
+        .withColumn("bucket", F.shiftrightunsigned("sig", 64 - prefix_bits))
+    )
 
     out_schema = T.StructType(
         [
