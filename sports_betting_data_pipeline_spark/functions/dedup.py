@@ -433,8 +433,16 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     interpreted higher-order aggregate (no codegen). Here tokens are
     exploded to rows, hashed once, and the 64 bit counters become 64
     plain SUM aggregates — whole-stage codegen'd hash aggregation, one
-    shuffle on id. Docs with no tokens keep signature 0 (matching the
-    empty-fold result of ``simhash64``).
+    shuffle on id.
+
+    ``explode_outer`` keeps token-less docs as a single null-token row
+    whose null hash drives every ``when`` to its ``otherwise(-1)``
+    branch — all counters negative, signature 0, exactly the
+    empty-fold result of ``simhash64``. That folds the old
+    "second scan + left join to reinstate empty docs" into the one
+    aggregation: half the logical plan, which matters because this
+    subtree is duplicated into both sides of the near-dup self-join
+    (analysis/planning cost is per-query-construction, r4).
     """
     from sports_betting_data_pipeline_spark.io import widen_for_compute
 
@@ -442,7 +450,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         df.select(F.col(id_col), F.col(text_col))
     ).select(
         F.col(id_col).alias("_id"),
-        F.explode(
+        F.explode_outer(
             F.filter(
                 F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
             )
@@ -465,12 +473,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             for j in range(64)
         ],
     )
-    sigs = counters.select("_id", packed.alias("_sig"))
-    return (
-        df.select(F.col(id_col).alias("_id"))
-        .join(sigs, on="_id", how="left")
-        .withColumn("_sig", F.coalesce(F.col("_sig"), F.lit(0).cast("long")))
-    )
+    return counters.select("_id", packed.alias("_sig"))
 
 
 def simhash_neardup_pairs(
@@ -523,10 +526,16 @@ def simhash_neardup_pairs(
             )
         ).alias("_p"),
     ).select("_id", "_sig", "_p.probe", "_p.bucket")
-    left = buckets.select(
+    # Explicit co-partition on the join key BEFORE deriving the two
+    # sides: both branches then hang off one identical exchange, which
+    # the engine reuses at runtime instead of recomputing the whole
+    # signature aggregation per side (measured 2.8 s -> 1.1 s at
+    # sf0.1; same partitioning the join needs, so no extra shuffle).
+    bkt = buckets.repartition("probe", "bucket")
+    left = bkt.select(
         "probe", "bucket", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")
     )
-    right = buckets.select(
+    right = bkt.select(
         "probe", "bucket", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")
     )
     return (

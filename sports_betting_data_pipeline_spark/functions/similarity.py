@@ -226,10 +226,13 @@ def embedding_neardup_pairs(
             ).alias("_t"),
         )
         .select("_id", "_t.table_id", "_t.bucket")
-        # anti-projection-collapse barrier (same as _minhash_base):
-        # both sides of the candidate self-join read the bucket table
-        # from this exchange instead of re-running the projection agg.
-        .repartition(F.col("_id"))
+        # anti-projection-collapse barrier (same as _minhash_base),
+        # partitioned on the CANDIDATE-JOIN key: both sides of the
+        # self-join hang off this one exchange already in join layout,
+        # so the engine reuses it at runtime instead of re-running the
+        # projection aggregation per side and re-shuffling (the l09
+        # lesson, r4).
+        .repartition("table_id", "bucket")
     )
 
     pairs = (
