@@ -69,16 +69,81 @@ def _pil_image():
     return Image
 
 
+def encode_bmp24(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (BITMAPINFOHEADER).
+
+    ``pixels``: uint8 array of shape (height, width, 3) in BGR channel
+    order, row 0 = TOP row (the writer flips to BMP's bottom-up
+    layout). Stdlib-only — the encode half of the no-PIL image codec
+    (VERDICT r3 next-#8).
+    """
+    import struct
+
+    row_bytes = width * 3
+    pad = (-row_bytes) % 4
+    img_size = (row_bytes + pad) * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    padding = b"\x00" * pad
+    for y in range(height - 1, -1, -1):  # bottom-up
+        rows.append(pixels[y].astype(np.uint8).tobytes() + padding)
+    return header + b"".join(rows)
+
+
+def decode_bmp24(payload: bytes) -> dict:
+    """Minimal uncompressed 24-bit BMP reader (stdlib struct + numpy):
+    width/height and the mean over all pixel channel bytes (padding
+    excluded). Raises ``ValueError`` on anything but the plain
+    BI_RGB 24-bit layout this codec owns."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", payload, 26)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP variant (bpp={bpp}, compression={compression})"
+        )
+    bottom_up = height > 0
+    height = abs(height)
+    row_bytes = width * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    if len(payload) < data_offset + stride * height:
+        raise ValueError("truncated BMP pixel data")
+    raw = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_offset
+    ).reshape(height, stride)[:, :row_bytes]
+    rows = raw[::-1] if bottom_up else raw
+    pixels = rows.reshape(height, width, 3)
+    return {
+        "width": int(width),
+        "height": int(height),
+        "mode": "BGR",
+        "px_mean": float(pixels.mean()) if pixels.size else 0.0,
+    }
+
+
 def decode_image(payload: bytes) -> dict:
-    """Real image decode via PIL when importable (the optional-extra
-    wiring, VERDICT r2 next-#7): returns width/height/mode and the
-    pixel mean. Raises ``NotImplementedError`` ONLY on true codec
-    absence; malformed bytes with PIL present raise ``ValueError``."""
+    """Real image decode: the stdlib BMP codec handles uncompressed
+    24-bit BMP payloads with no dependencies; everything else goes
+    through PIL when importable (the optional-extra wiring, VERDICT r2
+    next-#7). ``NotImplementedError`` is reserved for true codec
+    absence (JPEG/PNG/... without PIL); malformed bytes raise
+    ``ValueError``."""
+    if payload[:2] == b"BM":
+        return decode_bmp24(payload)
     Image = _pil_image()
     if Image is None:
         raise NotImplementedError(
-            "image decode requires PIL, which this environment does not "
-            "ship (build brief: stub the decode step behind the plumbing)"
+            "non-BMP image decode requires PIL, which this environment "
+            "does not ship (build brief: stub the decode step behind "
+            "the plumbing)"
         )
     import io as _io
 
@@ -259,4 +324,60 @@ def audio_roundtrip_features(documents: DataFrame) -> DataFrame:
 
     return documents.select("doc_id", "n_chars").mapInPandas(
         batches, schema=AUDIO_META_SCHEMA
+    )
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("px_mean", T.DoubleType()),
+    ]
+)
+
+
+def image_roundtrip_features(documents: DataFrame) -> DataFrame:
+    """REAL-codec image roundtrip (the m03 design applied to images,
+    VERDICT r3 next-#8): synthesize a solid-color uncompressed 24-bit
+    BMP per document with the stdlib codec (width ``doc_id % 6 + 2``,
+    height ``n_chars % 5 + 2``, BGR channels derived from
+    (doc_id, n_chars)), then decode it with :func:`decode_image`'s BMP
+    path — a genuine encode→bytes→decode pass, no PIL required.
+
+    A solid color makes every decoded field an exact arithmetic
+    function of (doc_id, n_chars): px_mean of a constant (b, g, r)
+    image is exactly ``(b + g + r) / 3`` in IEEE double regardless of
+    dimensions, so the roundtrip hash-checks against a plain-SQL
+    oracle (m04).
+
+    Scale shape: one mapInPandas over Arrow batches — synth and decode
+    stay executor-side, only (doc_id, n_chars) travel in, four scalars
+    travel out; the binary payload never crosses the plan.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w = doc_id % 6 + 2
+                h = n_chars % 5 + 2
+                bgr = (doc_id % 256, (doc_id * 7) % 256, (n_chars * 13) % 256)
+                pixels = np.tile(
+                    np.array(bgr, dtype=np.uint8), (h, w, 1)
+                )
+                meta = decode_image(encode_bmp24(w, h, pixels))
+                out.append(
+                    {
+                        "asset_id": doc_id,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "px_mean": meta["px_mean"],
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return documents.select("doc_id", "n_chars").mapInPandas(
+        batches, schema=IMAGE_META_SCHEMA
     )

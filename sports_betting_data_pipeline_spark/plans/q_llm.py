@@ -1571,6 +1571,36 @@ def m03_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "m04_image_roundtrip",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(doc_id % 6 + 2 AS BIGINT) AS width,
+           CAST(n_chars % 5 + 2 AS BIGINT) AS height,
+           round(((doc_id % 256) + ((doc_id * 7) % 256)
+                  + ((n_chars * 13) % 256)) / 3.0, 6) AS px_mean
+    FROM documents
+    """,
+)
+def m04_image_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-codec IMAGE roundtrip with zero optional dependencies: per
+    document, synthesize a solid-color uncompressed 24-bit BMP with
+    the stdlib codec (functions/multimodal.encode_bmp24) and decode it
+    back through decode_image's BMP path inside one Arrow mapInPandas
+    pass. Solid color makes px_mean exactly (b+g+r)/3 in IEEE double,
+    so the real encode->bytes->decode pass hash-checks against plain
+    SQL; NotImplementedError is now reserved for JPEG/PNG-without-PIL
+    and video only (VERDICT r3 next-#8)."""
+    from sports_betting_data_pipeline_spark.functions.multimodal import (
+        image_roundtrip_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return image_roundtrip_features(docs).withColumn(
+        "px_mean", F.round("px_mean", 6)
+    )
+
+
+@register(
     "l33_token_budget",
     oracle=f"""
     WITH t AS (

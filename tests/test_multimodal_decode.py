@@ -73,18 +73,73 @@ def test_media_dispatch():
         decode_media_real(b"\x00" * 16, "video")
 
 
-def test_image_decode_both_ways():
-    """With PIL: real decode of the stdlib-built BMP. Without PIL:
-    NotImplementedError — and ONLY then (true absence)."""
-    payload = _bmp_bytes()
-    if _pil_image() is not None:
-        meta = decode_image(payload)
-        assert (meta["width"], meta["height"]) == (2, 2)
-        assert 0.0 <= meta["px_mean"] <= 255.0
-        with pytest.raises(ValueError):
-            decode_image(b"garbage")
+def test_bmp_decode_is_real_without_pil():
+    """The stdlib BMP codec decodes hand-rolled BMPs with NO PIL
+    (VERDICT r3 next-#8): width/height and the exact pixel mean."""
+    meta = decode_image(_bmp_bytes(width=2, height=2))
+    assert (meta["width"], meta["height"]) == (2, 2)
+    # rows: pixels (0,100,200) and (40,100,200) -> mean of all bytes
+    assert meta["px_mean"] == pytest.approx((0 + 100 + 200 + 40 + 100 + 200) / 6)
+    meta = decode_media_real(_bmp_bytes(), "image")
+    assert meta["mode"] == "BGR"
+
+
+def test_bmp_roundtrip_matches_numpy_reference():
+    """encode_bmp24 -> decode_bmp24 over a gradient with an odd width
+    (exercises row padding): decoded mean equals the numpy mean of the
+    source array bit-for-bit."""
+    import numpy as np
+
+    from sports_betting_data_pipeline_spark.functions.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    w, h = 5, 3  # odd width -> 1-byte row padding
+    pixels = (np.arange(w * h * 3, dtype=np.uint64) * 37 % 256).astype(
+        np.uint8
+    ).reshape(h, w, 3)
+    meta = decode_bmp24(encode_bmp24(w, h, pixels))
+    assert (meta["width"], meta["height"]) == (w, h)
+    assert meta["px_mean"] == float(pixels.astype(np.float64).mean())
+
+
+def test_bmp_decode_topdown_and_garbage():
+    import struct
+
+    import numpy as np
+
+    from sports_betting_data_pipeline_spark.functions.multimodal import (
+        decode_bmp24,
+        encode_bmp24,
+    )
+
+    w, h = 2, 2
+    pixels = np.array(
+        [[[1, 2, 3], [4, 5, 6]], [[7, 8, 9], [10, 11, 12]]], dtype=np.uint8
+    )
+    payload = bytearray(encode_bmp24(w, h, pixels))
+    # flip to top-down (negative height) and re-order rows accordingly
+    struct.pack_into("<i", payload, 22, -h)
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    stride = 8  # 2 px * 3 B + 2 pad
+    rows = bytes(payload[data_offset:])
+    payload[data_offset:] = rows[stride:] + rows[:stride]
+    meta = decode_bmp24(bytes(payload))
+    assert meta["px_mean"] == float(pixels.astype(np.float64).mean())
+    with pytest.raises(ValueError):
+        decode_image(b"BMgarbage")
+    with pytest.raises(ValueError):
+        decode_bmp24(b"not a bmp")
+
+
+def test_non_bmp_image_still_pil_gated():
+    """NotImplementedError is reserved for true codec absence: a PNG
+    payload without PIL importable."""
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    if _pil_image() is None:
+        with pytest.raises(NotImplementedError):
+            decode_image(png_magic)
     else:
-        with pytest.raises(NotImplementedError):
-            decode_image(payload)
-        with pytest.raises(NotImplementedError):
-            decode_media_real(payload, "image")
+        with pytest.raises(ValueError):
+            decode_image(png_magic)
