@@ -341,12 +341,13 @@ def st10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
-        F.approx_count_distinct("user_id").alias("_approx"),
     )
-    # complete-mode drain; exact distinct users recomputed below since
-    # streaming aggregates cannot nest count_distinct
+    # complete-mode drain; exact distinct users computed in the batch
+    # leg below since streaming aggregates cannot nest count_distinct
+    # (and an approx sketch here would be dead weight carried in
+    # streaming state — ADVICE r3)
     out = run_stream_to_table(
-        agg.drop("_approx"), "st10_ssj_static", output_mode="complete"
+        agg, "st10_ssj_static", output_mode="complete"
     )
     exact_users = (
         load_table(spark, sf_dir, "events")

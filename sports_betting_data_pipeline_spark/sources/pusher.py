@@ -43,7 +43,12 @@ from collections.abc import Callable, Iterable, Iterator
 
 # Channel-auth seam: socket_id -> channel descriptors, the reference's
 # POST mm_auth (src/mm_calls.py:117-129). Each descriptor: {"channel_name":
-# str, "events": [{"name": str}, ...]} as the reference's auth payload.
+# str, "events": [{"name": str}, ...]} as the reference's auth payload,
+# optionally carrying "auth": "<key>:<signature>" — the per-channel
+# subscription signature a real Pusher auth endpoint returns for
+# private channels (the reference delegates this to pysher's
+# auth_endpoint; here the seam surfaces it so private subscribes carry
+# the signature on the wire — ADVICE r3).
 ChannelAuth = Callable[[str], list[dict]]
 
 CONNECTION_ESTABLISHED = "pusher:connection_established"
@@ -64,7 +69,14 @@ class PusherSession:
     text frames to write back. ``auth`` maps the socket_id to channel
     descriptors (the reference's auth POST); channels whose name
     contains ``'broadcast'`` are public, everything else private
-    (src/mm_calls.py:184-189 — name-based split, verbatim semantics).
+    (src/mm_calls.py:184-189 — name-based split). Private-channel
+    subscribe frames include the ``auth`` signature from the channel
+    descriptor when the auth seam provides one (the Pusher protocol's
+    ``{"event": "pusher:subscribe", "data": {"channel": ...,
+    "auth": "key:signature"}}`` shape); a descriptor without a
+    signature subscribes bare, which real Pusher rejects for private
+    channels — supplying the signature is the auth endpoint's job,
+    out of scope for the local stand-in.
     """
 
     def __init__(
@@ -79,10 +91,12 @@ class PusherSession:
         self.socket_id: str | None = None
         self.subscribed: list[str] = []
 
-    def _subscribe(self, channel_name: str) -> None:
-        self._send(
-            json.dumps({"event": SUBSCRIBE, "data": {"channel": channel_name}})
-        )
+    def _subscribe(self, channel_name: str, auth_sig: str | None = None) -> None:
+        data: dict = {"channel": channel_name}
+        is_private = "broadcast" not in channel_name
+        if is_private and auth_sig:
+            data["auth"] = auth_sig
+        self._send(json.dumps({"event": SUBSCRIBE, "data": data}))
         self.subscribed.append(channel_name)
 
     def messages(self) -> Iterator[dict]:
@@ -102,7 +116,10 @@ class PusherSession:
             data = json.loads(data)
         self.socket_id = str(data.get("socket_id", ""))
         for chan in self._auth(self.socket_id):
-            self._subscribe(str(chan.get("channel_name", "")))
+            self._subscribe(
+                str(chan.get("channel_name", "")),
+                auth_sig=chan.get("auth"),
+            )
         for raw in self._incoming:
             frame = json.loads(raw)
             event = frame.get("event", "")

@@ -71,6 +71,32 @@ def test_pusher_handshake_subscribes_all_channels():
     ]
 
 
+def test_private_channel_subscribe_carries_auth_signature():
+    """Private-channel subscribes include the per-channel auth
+    signature from the auth seam (Pusher's private-channel contract);
+    broadcast channels never send one even if the endpoint returns it
+    (ADVICE r3)."""
+    sent: list[str] = []
+
+    def auth(socket_id):
+        return [
+            {"channel_name": "broadcast_markets", "auth": "key:ignored"},
+            {"channel_name": "private-user-7", "auth": "key:sig7"},
+            {"channel_name": "private-user-8"},  # endpoint gave no sig
+        ]
+
+    sess = PusherSession([_established("9.1")], sent.append, auth)
+    list(sess.messages())
+    subs = {
+        json.loads(s)["data"]["channel"]: json.loads(s)["data"]
+        for s in sent
+        if json.loads(s)["event"] == "pusher:subscribe"
+    }
+    assert "auth" not in subs["broadcast_markets"]
+    assert subs["private-user-7"]["auth"] == "key:sig7"
+    assert "auth" not in subs["private-user-8"]
+
+
 def test_pusher_handshake_double_encoded_data():
     """Pusher double-encodes the handshake data as JSON text."""
     sess = PusherSession(
