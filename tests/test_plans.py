@@ -154,8 +154,8 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                # 1-row broadcast scalar (N docs + avg doc length)
                "l35_bm25_topk"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
-                 # real-codec WAV synth+decode roundtrip (mapInPandas)
-                 "m03_audio_roundtrip",
+                 # real-codec WAV/BMP synth+decode roundtrips (mapInPandas)
+                 "m03_audio_roundtrip", "m04_image_roundtrip",
                  "st06_stateful_user_stats", "l16_grouped_zscore"}
     problems = []
     for name, fn in sorted(QUERIES.items()):
