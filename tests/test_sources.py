@@ -155,3 +155,28 @@ def test_events_stream_source_switch(spark):
         read_events_stream(spark, "/tmp", source="pulsar")
     with pytest.raises(ValueError, match="requires bootstrap_servers"):
         read_events_stream(spark, "/tmp", source="kafka")
+
+
+def test_widen_for_compute_semantics(spark, sf_dir):
+    """Adaptive widening: repartition only when below the target; no-op
+    (same plan object) when the input is already wide enough; streaming
+    DataFrames always get the exchange (no partition metadata)."""
+    from sports_betting_data_pipeline_spark.io import load_table, widen_for_compute
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert docs.rdd.getNumPartitions() < 4  # single-row-group fixture
+    widened = widen_for_compute(docs, min_parts=4)
+    assert widened.rdd.getNumPartitions() >= 4
+    assert widened.count() == docs.count()
+
+    already_wide = docs.repartition(8)
+    assert widen_for_compute(already_wide, min_parts=4) is already_wide
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    w = widen_for_compute(stream, min_parts=4)
+    assert w.isStreaming  # repartition applied without materializing
