@@ -1041,17 +1041,31 @@ def sql01_pure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL01)
 
 
-@register("a06_approx_count_distinct")
+@register(
+    "a06_approx_count_distinct",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS approx_within_2pct,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+)
 def a06_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct counts per market segment —
     the sketch that replaces exact count-distinct at 100 TB (exact
     needs a full shuffle of every distinct key; the sketch is a fixed
     few-KB buffer per group, mergeable map-side).
 
-    Rows-only oracle: DuckDB's approx_count_distinct uses a different
-    sketch, so cross-engine values legitimately differ. The ≤2%
-    relative-error bound vs the exact count is pinned in
-    tests/test_plans.py instead.
+    Oracle design: raw sketch values are engine-specific (DuckDB's
+    approx_count_distinct is a different sketch), so the query emits
+    the engine-INDEPENDENT contract instead — the exact count plus a
+    flag asserting the HLL estimate landed within its ≤2% relative
+    error bound. The oracle computes the exact count and expects the
+    flag TRUE, so the driver hash-checks both the aggregation pipeline
+    and the sketch's accuracy contract (upgraded from rows-only, r4;
+    the same bound is pinned with raw values in tests/test_plans.py).
     """
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer").select(
@@ -1063,10 +1077,18 @@ def a06_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c_mktsegment")
         .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.01).alias(
-                "approx_customers"
-            ),
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
+            F.count_distinct("o_custkey").alias("exact_customers"),
             F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "c_mktsegment",
+            "exact_customers",
+            (
+                F.abs(F.col("_approx") - F.col("exact_customers"))
+                <= 0.02 * F.col("exact_customers")
+            ).alias("approx_within_2pct"),
+            "n_orders",
         )
     )
 

