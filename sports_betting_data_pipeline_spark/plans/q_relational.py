@@ -1180,34 +1180,71 @@ def w04_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a07_approx_quantiles")
+@register(
+    "a07_approx_quantiles",
+    oracle="""
+    WITH b AS (
+        SELECT count(*) AS n_orders,
+               quantile_cont(o_totalprice, [0.24, 0.49, 0.89, 0.98]) AS lo,
+               quantile_cont(o_totalprice, [0.26, 0.51, 0.91, 1.00]) AS hi
+        FROM orders
+    ), p AS (
+        SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS p,
+               unnest([1, 2, 3, 4]) AS i
+    )
+    SELECT p.p,
+           round(b.lo[p.i], 6) AS rank_lo,
+           round(b.hi[p.i], 6) AS rank_hi,
+           TRUE AS within_rank_error,
+           b.n_orders
+    FROM p, b
+    """,
+)
 def a07_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantiles of order value — the
     mergeable quantile sketch that replaces exact percentiles at
     100 TB (exact needs a global sort; the sketch is a bounded buffer
     merged map-side).
 
-    Rows-only oracle: DuckDB's approx_quantile is a t-digest, so
-    cross-engine values legitimately differ. The rank-error bound vs
-    exact percentiles is pinned in tests/test_plans.py. The sketch
-    output is exploded to one scalar (p, quantile_value) row per
-    requested quantile — array columns don't canonicalize in the
-    driver's differential harness (r3 adjudication).
+    Oracle design: raw sketch values are engine-specific (DuckDB's
+    approx_quantile is a t-digest), so the query emits the
+    engine-INDEPENDENT contract — for each p, the exact percentiles at
+    p ± 1% (exact interpolated percentiles DO hash-match cross-engine,
+    see a03) and a flag asserting the GK estimate (accuracy=10000)
+    landed inside that rank-error window. The oracle recomputes the
+    window and expects TRUE, so the driver hash-checks the sketch's
+    accuracy contract (upgraded from rows-only, r4; raw values pinned
+    in tests/test_plans.py). One scalar row per p — array columns
+    don't canonicalize in the driver harness (r3 adjudication).
     """
     orders = load_table(spark, sf_dir, "orders")
     probs = [0.25, 0.5, 0.9, 0.99]
+    lo_ps = [0.24, 0.49, 0.89, 0.98]
+    hi_ps = [0.26, 0.51, 0.91, 1.00]
     agg = orders.agg(
         F.percentile_approx("o_totalprice", probs, 10000).alias("qs"),
+        F.expr(
+            f"percentile(o_totalprice, array({','.join(map(str, lo_ps))}))"
+        ).alias("los"),
+        F.expr(
+            f"percentile(o_totalprice, array({','.join(map(str, hi_ps))}))"
+        ).alias("his"),
         F.count(F.lit(1)).alias("n_orders"),
     )
     prob_arr = F.array(*[F.lit(p) for p in probs])
+    idx = F.col("pos") + 1
     return (
         agg.select(
-            F.posexplode("qs").alias("pos", "quantile_value"), "n_orders"
+            F.posexplode("qs").alias("pos", "qv"), "los", "his", "n_orders"
         )
         .select(
-            F.element_at(prob_arr, F.col("pos") + 1).alias("p"),
-            "quantile_value",
+            F.element_at(prob_arr, idx).alias("p"),
+            F.round(F.element_at("los", idx), 6).alias("rank_lo"),
+            F.round(F.element_at("his", idx), 6).alias("rank_hi"),
+            (
+                (F.col("qv") >= F.element_at("los", idx))
+                & (F.col("qv") <= F.element_at("his", idx))
+            ).alias("within_rank_error"),
             "n_orders",
         )
         .orderBy("p")

@@ -241,14 +241,22 @@ def test_a06_hll_sketch_error_bound(spark, sf_dir):
 def test_a07_quantile_sketch_rank_error_bound(spark, sf_dir):
     # GK sketch with accuracy=10000: each approx quantile must lie
     # between the exact quantiles at p ± 1% — the rank-error contract.
+    # The query emits the contract (flag + exact window bounds, which
+    # its oracle checks cross-engine); this test additionally pins the
+    # RAW sketch values against independently computed exact bounds.
     from sports_betting_data_pipeline_spark.io import load_table as _lt
 
     rows = QUERIES["a07_approx_quantiles"](spark, sf_dir).collect()
     assert [r["p"] for r in rows] == [0.25, 0.5, 0.9, 0.99]
-    approx = [r["quantile_value"] for r in rows]
+    assert all(r["within_rank_error"] for r in rows)
+    assert all(r["rank_lo"] <= r["rank_hi"] for r in rows)
+
     orders = _lt(spark, sf_dir, "orders")
     ps = [0.25, 0.5, 0.9, 0.99]
-    lo_hi = orders.agg(
+    raw = orders.agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.9, 0.99], 10000
+        ).alias("qs"),
         F.expr(
             "percentile(o_totalprice, array(0.24, 0.49, 0.89, 0.98))"
         ).alias("lo"),
@@ -256,7 +264,7 @@ def test_a07_quantile_sketch_rank_error_bound(spark, sf_dir):
             "percentile(o_totalprice, array(0.26, 0.51, 0.91, 1.0))"
         ).alias("hi"),
     ).collect()[0]
-    for p, a, lo, hi in zip(ps, approx, lo_hi["lo"], lo_hi["hi"]):
+    for p, a, lo, hi in zip(ps, raw["qs"], raw["lo"], raw["hi"]):
         assert lo <= a <= hi, (p, a, lo, hi)
 
 
