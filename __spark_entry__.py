@@ -74,6 +74,10 @@ def _rotation_order() -> list[str]:
         err = row.get("err")
         if err is not None and err != "no_oracle":
             return True
+        if err == "no_oracle" and name in ORACLES:
+            # sampled rows-only before an oracle existed; the new
+            # oracle deserves an immediate driver hash-check
+            return True
         return any(
             row.get(k) is False
             for k in ("rows_match", "schema_match", "hash_match")
