@@ -435,14 +435,16 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     plain SUM aggregates — whole-stage codegen'd hash aggregation, one
     shuffle on id.
 
-    ``explode_outer`` keeps token-less docs as a single null-token row
-    whose null hash drives every ``when`` to its ``otherwise(-1)``
-    branch — all counters negative, signature 0, exactly the
-    empty-fold result of ``simhash64``. That folds the old
-    "second scan + left join to reinstate empty docs" into the one
-    aggregation: half the logical plan, which matters because this
-    subtree is duplicated into both sides of the near-dup self-join
-    (analysis/planning cost is per-query-construction, r4).
+    ``explode_outer`` keeps token-less docs as a single null-token row;
+    its hash is explicitly nulled (``xxhash64(NULL)`` returns the SEED,
+    42 — not NULL; caught by the two-implementation property test), so
+    every ``when`` falls to its ``otherwise(-1)`` branch — all counters
+    negative, signature 0, exactly the empty-fold result of
+    ``simhash64``. That folds the old "second scan + left join to
+    reinstate empty docs" into the one aggregation: half the logical
+    plan, which matters because this subtree is duplicated into both
+    sides of the near-dup self-join (analysis/planning cost is
+    per-query-construction, r4).
     """
     from sports_betting_data_pipeline_spark.io import widen_for_compute
 
@@ -455,7 +457,9 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
             )
         ).alias("_tok"),
-    ).withColumn("_h", F.xxhash64("_tok"))
+    ).withColumn(
+        "_h", F.when(F.col("_tok").isNotNull(), F.xxhash64("_tok"))
+    )
     counters = toks.groupBy("_id").agg(
         *[
             F.sum(

@@ -297,3 +297,104 @@ def test_neardup_state_invariants(sigs, h, cap):
     assert kept2_new == []
     if max(ids) < cap:  # full redelivery of an uncapped bucket
         assert st2_ids == cap_ids and st2_sigs == cap_sigs
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab \t\n"), min_size=0, max_size=40
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_simhash_two_implementations_agree(spark, texts):
+    """The explode+aggregate scale path (simhash_signatures) and the
+    single-expression fold (simhash64) are independent implementations
+    of the same signature — they must agree bit-for-bit on every doc,
+    including token-less docs (signature 0 via explode_outer)."""
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        simhash64,
+        simhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    expr_sigs = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", simhash64("text").alias("sig")
+        ).collect()
+    }
+    agg_sigs = {
+        r["_id"]: r["_sig"]
+        for r in simhash_signatures(df, "doc_id", "text").collect()
+    }
+    assert expr_sigs == agg_sigs
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.integers(0, 10_000),  # doc_id (may collide; dedup below)
+            st.integers(0, 40),      # n_tokens
+            st.floats(0.0, 1.0),     # raw quality
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda d: d[0],
+    ),
+    budget=st.integers(0, 300),
+)
+@settings(**_SETTINGS)
+def test_token_budget_two_phase_equals_naive_global_window(
+    spark, docs, budget
+):
+    """The r4 two-phase distributed prefix sum must keep EXACTLY the
+    rows (and cum_tokens) of the naive single-partition global window
+    it replaced — including ties on quality, zero-token docs, and a
+    budget of 0."""
+    import pandas as pd
+    from pyspark.sql import Window
+
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        token_budget_selection,
+    )
+
+    rows = [
+        (doc_id, " ".join(["w"] * n_toks), round(q, 6))
+        for doc_id, n_toks, q in docs
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "_q"])
+
+    got = (
+        token_budget_selection(df, budget=budget)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+
+    # naive reference: global ordered cumsum in (quality desc, id)
+    from sports_betting_data_pipeline_spark.functions.text import (
+        quality_score,
+        ws_token_count,
+    )
+
+    scored = df.select(
+        "doc_id",
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+        ws_token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= budget)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True)
+    )
