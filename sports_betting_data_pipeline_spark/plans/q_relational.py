@@ -1308,3 +1308,91 @@ def w05_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.min("ts")).alias("start_us"),
         F.unix_micros(F.max("ts")).alias("end_us"),
     )
+
+
+@register(
+    "s04_except_all",
+    oracle="""
+    SELECT l_orderkey AS orderkey,
+           count(*) AS n_extra_copies
+    FROM (
+        SELECT l_orderkey FROM lineitem
+        EXCEPT ALL
+        SELECT o_orderkey FROM orders
+    )
+    GROUP BY 1
+    HAVING count(*) >= 3
+    ORDER BY n_extra_copies DESC, orderkey
+    """,
+)
+def s04_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference (EXCEPT ALL): per-key copy counting, not the
+    set semantics of s01 — an orderkey with 5 lineitems and 1 order row
+    survives with 4 copies. The classic use is diffing two loads of the
+    same feed where duplicate ROWS (not just duplicate keys) matter.
+
+    Scale: Spark plans exceptAll as a tagged union + grouped count-diff
+    + generate — one shuffle on the compared columns, no join; the
+    HAVING keeps the output to the multi-line orders only.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    return (
+        li.exceptAll(orders)
+        .groupBy("orderkey")
+        .agg(F.count(F.lit(1)).alias("n_extra_copies"))
+        .filter(F.col("n_extra_copies") >= 3)
+        .orderBy(F.desc("n_extra_copies"), F.asc("orderkey"))
+    )
+
+
+@register(
+    "w06_ntile_quartiles",
+    oracle="""
+    WITH t AS (
+        SELECT c_mktsegment, c_acctbal,
+               ntile(4) OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY c_acctbal, c_custkey
+               ) AS quartile
+        FROM customer
+    )
+    SELECT c_mktsegment, quartile,
+           count(*) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(avg(c_acctbal), 6) AS avg_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM t
+    GROUP BY c_mktsegment, quartile
+    ORDER BY c_mktsegment, quartile
+    """,
+)
+def w06_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency bucketing: ntile(4) within each market segment,
+    then per-quartile balance stats — the quantile-binning shape used
+    for cohort features (and for choosing range-partition bounds).
+    Tie-broken on c_custkey so bucket edges are engine-independent.
+
+    Scale: one shuffle on c_mktsegment; ntile needs the whole partition
+    ordered, which is exactly what a range-partitioned sort gives. For
+    a skewed segment at 100 TB the same result comes from approx
+    quantile cuts (a07's sketch) + a scan-side bucket join — this query
+    pins the exact small-cardinality form.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return (
+        customer.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )

@@ -350,3 +350,159 @@ def q11_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+      AND l_shipdate >= o_orderdate
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+)
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12 shape: fact-to-fact equi-join with a non-equi residual
+    predicate (shipped on/after order date), then conditional pivot
+    counts (CASE inside SUM) splitting one grouped pass by a dimension
+    attribute of the OTHER table.
+
+    Scale: the date range prunes lineitem at the scan; the only shuffle
+    is the orderkey join (both sides partial-aggregated nothing — the
+    residual l_shipdate >= o_orderdate must evaluate post-join). The
+    conditional counts avoid a second pass or a pivot shuffle: one
+    aggregation produces both columns.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("2000-01-01"))
+            & (F.col("l_shipdate") < _ts("2001-01-01"))
+        )
+        .join(
+            orders,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, count(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13 shape: distribution-of-a-distribution. LEFT OUTER join
+    with an extra predicate INSIDE the join condition (so customers
+    with no recent orders survive with count 0 — moving the date filter
+    to a WHERE would silently turn the join inner), per-customer order
+    counts, then a histogram of those counts.
+
+    Scale: count(o_orderkey) over the outer join counts only matched
+    rows (nulls don't count) — the exact Q13 semantics. Two shuffles by
+    necessity: custkey for the per-customer count, c_count for the
+    histogram; the second input is customer-sized, the histogram output
+    is tiny. The date predicate on the orders side still pushes to its
+    scan (it's inner-side-only, so pushdown is safe under the outer
+    join).
+    """
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    per_cust = (
+        customer.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderdate") >= _ts("2001-01-01")),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+          )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22 shape: an uncorrelated scalar subquery (global average
+    positive balance) gating the outer scan, plus a NOT EXISTS
+    decorrelated into a LEFT ANTI join — above-average-balance
+    customers with no orders in the last fixture year.
+
+    Scale: the scalar average is a 1-row broadcast (the physical form
+    of an uncorrelated scalar subquery — whitelisted in the plan sweep
+    with the other 1-row scalars); the anti join shuffles customer
+    against date-pruned orders keys only (2-col projection). Nothing
+    here grows with lineitem.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    avg_bal = customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= _ts("2001-01-01")).select(
+        "o_custkey"
+    )
+    return (
+        customer.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )

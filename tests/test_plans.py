@@ -152,7 +152,10 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                # 1-row broadcast scalar (corpus token total N)
                "l34_unigram_surprisal",
                # 1-row broadcast scalar (N docs + avg doc length)
-               "l35_bm25_topk"}
+               "l35_bm25_topk",
+               # 1-row broadcast scalar (global avg positive balance) —
+               # the uncorrelated scalar subquery of the Q22 shape
+               "q22_idle_rich_customers"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  # real-codec WAV/BMP synth+decode roundtrips (mapInPandas)
                  "m03_audio_roundtrip", "m04_image_roundtrip",
