@@ -697,3 +697,78 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "l2_d2", "rank")
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.99,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space, then search for
+    near-duplicate pairs ONLY within each cluster — the cluster
+    assignment turns the O(n^2) all-pairs cosine scan into per-cluster
+    blocks, the same candidate-generation trick as LSH but driven by
+    the embedding geometry itself.
+
+    ``corpus`` has (vec_id, vec_col); ``centroids`` has (cent_id, cv).
+    A vector is DROPPED when a same-cluster vector with a smaller
+    vec_id sits at cosine >= threshold (deterministic keep-lowest-id
+    rule). Returns one row per cluster: (cluster_id, n_vectors,
+    n_dup_pairs, n_dropped).
+
+    Scale: the centroid table is tiny (broadcast nested-loop assign,
+    the same C-row crossJoin shape as IVF); the pair search is an
+    equi-join on cluster_id, so cost is sum over clusters of
+    |cluster|^2, not n^2 — with balanced k-means|| centroids
+    (kmeans_centroids) each block is bounded. At 100 TB you cap block
+    cost by splitting oversized clusters (recluster or salt), exactly
+    as the LSH path guards hot buckets via collapse_exact.
+    """
+    assigned = (
+        corpus.crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine(F.col(vec_col), F.col("cv")))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("_sim"), F.asc("cent_id")
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "cent_id", vec_col)
+    )
+    a = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col(vec_col).alias("_va"),
+    )
+    b = assigned.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col(vec_col).alias("_vb"),
+    )
+    pairs = (
+        a.join(b, "cent_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .select("cent_id", "a_id", "b_id")
+    )
+    drops = pairs.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.count_distinct("b_id").alias("n_dropped"),
+    )
+    return (
+        assigned.groupBy("cent_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .join(drops, "cent_id", "left")
+        .select(
+            F.col("cent_id").alias("cluster_id"),
+            "n_vectors",
+            F.coalesce("n_dup_pairs", F.lit(0)).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

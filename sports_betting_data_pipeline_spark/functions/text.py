@@ -252,3 +252,41 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(id_col, "score", "rank")
     )
+
+
+def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every k-token gram, slide a w-hash window over
+    the gram sequence, and keep the minimum hash of each window — the
+    distinct selected hashes are the document's fingerprint set. The
+    guarantee: any shared run of at least w+k-1 tokens between two
+    documents yields at least one shared fingerprint, at ~1/w the
+    storage of the full gram set.
+
+    Pure expression-level (no shuffle, no UDF). Both the token array
+    and the gram-hash array are LET-BOUND through single-element
+    ``transform``s — per text.shingles' lesson, a lambda that captured
+    the md5 pipeline directly would re-evaluate it once per window
+    (O(n*w) md5 calls instead of O(n)).
+
+    Documents shorter than k+w-1 tokens clamp to a single window /
+    single gram (greatest(...) guards); callers wanting exact winnowing
+    semantics should filter those out.
+    """
+
+    def over_hashes(h: Column) -> Column:
+        m = F.size(h)
+        jdx = F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(jdx, lambda j: F.array_min(F.slice(h, j, w)))
+        )
+
+    def over_tokens(toks: Column) -> Column:
+        n = F.size(toks)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        h = F.transform(
+            idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)))
+        )
+        return F.transform(F.array(h), over_hashes)[0]
+
+    return F.transform(F.array(ws_tokens(F.lower(text))), over_tokens)[0]

@@ -52,6 +52,7 @@ def _load_query_modules() -> None:
         q_llm,
         q_odds,
         q_relational,
+        q_sources,
         q_streaming,
         q_temporal,
         q_tpch_extra,

@@ -40,6 +40,7 @@ from sports_betting_data_pipeline_spark.functions.similarity import (
     embedding_neardup_pairs,
     ivf_topk,
     lsh_topk,
+    semdedup,
 )
 from sports_betting_data_pipeline_spark.functions.text import (
     LANG_MARKERS,
@@ -52,6 +53,7 @@ from sports_betting_data_pipeline_spark.functions.text import (
     shingles,
     stopword_ratio,
     uniq_token_ratio,
+    winnow_fingerprints,
     ws_token_count,
     ws_tokens,
 )
@@ -1967,3 +1969,231 @@ def l36_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, queries, codebook, n_centroids=8, nprobe=3, candidates=50, k=10
     )
+
+
+_CMS_ORACLE = f"""
+    WITH tok AS (
+        SELECT unnest({_DTOKS.format(src='lower(text)')}) AS word FROM documents
+    ),
+    exact AS (
+        SELECT word, count(*) AS exact_count FROM tok GROUP BY word
+    ),
+    hashed AS (
+        SELECT word, exact_count, d,
+               substr(md5(word || '#' || CAST(d AS VARCHAR)), 1, 2) AS bucket
+        FROM exact, (SELECT unnest([0, 1, 2, 3]) AS d) dd
+    ),
+    cms AS (
+        SELECT d, bucket, CAST(sum(exact_count) AS BIGINT) AS bucket_total
+        FROM hashed GROUP BY d, bucket
+    ),
+    top AS (
+        SELECT word, exact_count FROM exact
+        ORDER BY exact_count DESC, word LIMIT 20
+    )
+    SELECT t.word, t.exact_count,
+           min(c.bucket_total) AS cms_estimate,
+           min(c.bucket_total) - t.exact_count AS overcount
+    FROM top t
+    JOIN hashed h ON t.word = h.word
+    JOIN cms c ON h.d = c.d AND h.bucket = c.bucket
+    GROUP BY t.word, t.exact_count
+    ORDER BY t.exact_count DESC, t.word
+"""
+
+
+@register("l37_cms_heavy_hitters", oracle=_CMS_ORACLE)
+def l37_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: a d=4 x w=256 CMS over the
+    corpus token stream, queried for the top-20 words — estimate =
+    min over the 4 hash rows of the hashed-bucket totals, never an
+    undercount (the one-sided CMS error contract; ``overcount`` shows
+    the collision inflation directly). Hashing is md5-based and
+    dialect-shared, so the whole sketch is deterministic and the driver
+    hash-checks estimates exactly.
+
+    Scale: THE sketch for streaming/distributed frequency at 100 TB —
+    the table is d*w counters regardless of corpus size, mergeable by
+    cell-wise + (each executor sketches its split, the driver merges).
+    Here the cells are built from the per-word partial counts (sum
+    commutes with bucketing, so sketching counts equals sketching the
+    raw stream), the cms table is 1024 rows -> broadcast, and the
+    top-20 probe is a TakeOrderedAndProject. The exact counts exist
+    only to exhibit the error bound; a pure-sketch deployment drops
+    that branch and the word shuffle with it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(ws_tokens(F.lower(F.col("text")))).alias("word"))
+    exact = tok.groupBy("word").agg(F.count(F.lit(1)).alias("exact_count"))
+    hashed = exact.select(
+        "word",
+        "exact_count",
+        F.explode(F.array([F.lit(i) for i in range(4)])).alias("d"),
+    ).withColumn(
+        "bucket",
+        F.substring(
+            F.md5(F.concat(F.col("word"), F.lit("#"), F.col("d").cast("string"))),
+            1,
+            2,
+        ),
+    )
+    cms = hashed.groupBy("d", "bucket").agg(
+        F.sum("exact_count").alias("bucket_total")
+    )
+    top = exact.orderBy(F.desc("exact_count"), "word").limit(20)
+    return (
+        top.join(hashed.select("word", "d", "bucket"), "word")
+        .join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("bucket_total").alias("cms_estimate"))
+        .select(
+            "word",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+        .orderBy(F.desc("exact_count"), "word")
+    )
+
+
+@register(
+    "l38_semdedup",
+    oracle="""
+    WITH corpus0 AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    planted AS (
+        SELECT vec_id + 10000000 AS vec_id,
+               (list_transform(range(1, 65),
+                    j -> CASE WHEN j = 1 THEN v[1] + 0.01 ELSE v[j] END
+                )::FLOAT[])::DOUBLE[] AS v
+        FROM corpus0 WHERE vec_id % 100 = 0
+    ),
+    corpus AS (
+        SELECT vec_id, v FROM corpus0
+        UNION ALL SELECT vec_id, v FROM planted
+    ),
+    cents AS (
+        SELECT vec_id AS cent_id, v AS cv FROM corpus0 WHERE vec_id < 8
+    ),
+    assigned AS (
+        SELECT vec_id, cent_id, v FROM (
+            SELECT c.vec_id, ct.cent_id, c.v,
+                   row_number() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY list_cosine_similarity(c.v, ct.cv) DESC,
+                                ct.cent_id
+                   ) AS rn
+            FROM corpus c CROSS JOIN cents ct
+        ) WHERE rn = 1
+    ),
+    pairs AS (
+        SELECT a.cent_id, a.vec_id AS a_id, b.vec_id AS b_id
+        FROM assigned a JOIN assigned b
+          ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.99
+    ),
+    drops AS (
+        SELECT cent_id,
+               count(*) AS n_dup_pairs,
+               count(DISTINCT b_id) AS n_dropped
+        FROM pairs GROUP BY cent_id
+    )
+    SELECT a.cent_id AS cluster_id,
+           count(*) AS n_vectors,
+           CAST(coalesce(max(d.n_dup_pairs), 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(max(d.n_dropped), 0) AS BIGINT) AS n_dropped
+    FROM assigned a LEFT JOIN drops d ON a.cent_id = d.cent_id
+    GROUP BY a.cent_id
+    ORDER BY cluster_id
+    """,
+)
+def l38_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster, then near-dup search
+    only WITHIN clusters — functions/similarity.semdedup). The fixture
+    embeddings are near-orthogonal, so l12's planted perturbed copies
+    (every 100th vector, +0.01 on dim 0, float32-cast on both engines
+    for bit parity) are unioned in; each lands in its original's
+    cluster and is recovered as a drop at cosine >= 0.99.
+
+    Scale: the centroid assignment is the IVF broadcast crossJoin; the
+    pairwise stage shuffles once on cluster_id and its cost is
+    sum(|cluster|^2) — bounded by balancing/capping clusters, never
+    the corpus-wide n^2. Hash-checked per-cluster summary (first-8
+    oracle centroids keep the clustering itself dialect-shared).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus0 = emb.select("vec_id", "embedding")
+    planted = corpus0.filter(F.pmod(F.col("vec_id"), F.lit(100)) == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, x + F.lit(0.01)).otherwise(x),
+        )
+        .cast("array<float>")
+        .alias("embedding"),
+    )
+    corpus = corpus0.unionByName(planted)
+    cents = corpus0.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv")
+    )
+    return semdedup(corpus, cents, threshold=0.99)
+
+
+_WINNOW_ORACLE = f"""
+    WITH t AS (
+        SELECT doc_id, {_DTOKS.format(src='lower(text)')} AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks,
+               list_transform(range(1, len(toks) - 1),
+                              i -> md5(array_to_string(toks[i:i+2], ' '))) AS h
+        FROM t WHERE len(toks) >= 6
+    ),
+    w AS (
+        SELECT doc_id, len(h) AS m,
+               list_distinct(list_transform(range(1, len(h) - 2),
+                                            j -> list_min(h[j:j+3]))) AS fps
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(m AS BIGINT) AS n_kgrams,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           list_min(fps) AS fp_min
+    FROM w
+    ORDER BY doc_id
+"""
+
+
+@register("l39_winnowing_fingerprints", oracle=_WINNOW_ORACLE)
+def l39_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (functions/text.winnow_fingerprints,
+    k=3-gram hashes, w=4 windows) per document — the rolling-hash
+    fingerprint family for plagiarism/overlap detection: shared runs of
+    >= w+k-1 tokens are guaranteed a shared fingerprint at ~1/w the
+    gram storage.
+
+    Scale: map-only expression work, no shuffle at all — fingerprints
+    stream out of the scan; downstream overlap detection is an
+    equi-join on fingerprint (the LSH-bucket shape). Short docs
+    (< k+w-1 tokens) are filtered on BOTH engines so the window
+    arithmetic stays exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ws_tokens(F.lower(F.col("text")))
+    out = (
+        docs.select("doc_id", F.col("text"))
+        .filter(F.size(toks) >= 6)
+        .select(
+            "doc_id",
+            (F.size(toks) - 2).cast("long").alias("n_kgrams"),
+            winnow_fingerprints(F.col("text"), k=3, w=4).alias("_fps"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_kgrams",
+        F.size("_fps").cast("long").alias("n_fingerprints"),
+        F.array_min("_fps").alias("fp_min"),
+    ).orderBy("doc_id")

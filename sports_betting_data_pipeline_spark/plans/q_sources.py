@@ -1,0 +1,133 @@
+"""Source-format roundtrip queries (SURVEY.md §2.1 S5 family).
+
+The driver fixtures are parquet; a real deployment of this engine also
+ingests delimited text and JSON feeds (the reference's own wire format
+is JSON — mm_calls.py consumes REST JSON bodies end-to-end). These
+queries prove the CSV and JSON read paths with EXPLICIT declared
+schemas (never inference — SURVEY.md §1.3's "implicit schema is the
+reference's biggest weakness" stance): write the fixture out in the
+text format, read it back through the declared StructType, and
+aggregate; the oracle runs the same aggregate over the original
+parquet, so any loss in the encode→decode roundtrip (quoting, header
+handling, timestamp rendering, type coercion) breaks the hash match.
+
+Scratch data goes under <repo>/.scratch/ (gitignored), keyed by the
+sf dir so concurrent sf0.01/sf0.1 runs don't collide.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sports_betting_data_pipeline_spark.io import load_table
+from sports_betting_data_pipeline_spark.plans.catalog import register
+
+_REPO = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+CUSTOMER_CSV = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+ORDERS_JSON = T.StructType(
+    [
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderdate", T.TimestampType()),
+        T.StructField("o_orderpriority", T.StringType()),
+    ]
+)
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(_REPO, ".scratch", f"{tag}_{name}")
+
+
+@register(
+    "src01_csv_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance,
+           min(c_name) AS first_name
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def src01_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source path: encode customer to headered CSV, decode through
+    the declared schema, aggregate. min(c_name) rides along so string
+    quoting/escaping faults can't hide behind numeric totals.
+
+    Scale: CSV is the interchange format, not the lake format — no
+    column pruning, no predicate pushdown, full-row parse. The engine
+    reads it once at the edge and lands parquet; this query pins that
+    edge's fidelity. The write splits across tasks and the read
+    parallelizes per file split, so the roundtrip itself is
+    distributed end to end.
+    """
+    path = _scratch(sf_dir, "customer_csv")
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").option(
+        "header", True
+    ).csv(path)
+    back = spark.read.schema(CUSTOMER_CSV).option("header", True).csv(path)
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.min("c_name").alias("first_name"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "src02_json_roundtrip",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           max(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def src02_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source path (the reference's actual wire format):
+    encode orders to JSONL, decode through the declared schema —
+    including the timestamp column, whose ISO rendering must survive
+    the roundtrip — and aggregate.
+
+    Scale: same edge-ingest posture as src01; JSONL splits by line so
+    the read parallelizes without a preparse. Schema-on-read with a
+    DECLARED StructType (inference would scan twice and guess types).
+    """
+    path = _scratch(sf_dir, "orders_json")
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").json(path)
+    back = spark.read.schema(ORDERS_JSON).json(path)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+        .orderBy("o_orderpriority")
+    )

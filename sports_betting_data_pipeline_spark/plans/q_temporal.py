@@ -139,3 +139,89 @@ def c06_time_bucketing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "hr", "event_type")
     )
+
+
+@register(
+    "ts01_gap_fill_forward",
+    oracle="""
+    WITH d AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               round(sum(value), 2) AS revenue
+        FROM events
+        WHERE event_type = 'purchase' AND user_id < 5
+        GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT u.user_id, CAST(gs.gs AS DATE) AS day
+        FROM (SELECT DISTINCT user_id FROM d) u,
+             generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                             INTERVAL 1 DAY) AS gs(gs)
+    ),
+    j AS (
+        SELECT s.user_id, s.day, d.revenue
+        FROM spine s LEFT JOIN d ON s.user_id = d.user_id AND s.day = d.day
+    )
+    SELECT user_id, day,
+           coalesce(last_value(revenue IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0) AS revenue_ffill,
+           revenue IS NULL AS was_gap
+    FROM j
+    ORDER BY user_id, day
+    """,
+)
+def ts01_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling + forward fill: materialize the full
+    per-user day spine (no join — the spine explodes out of a
+    ``sequence()`` literal per user), left-join the observed daily
+    revenue onto it, and carry the last observation forward over the
+    gaps (``last(..., ignorenulls=True)`` over an unbounded-preceding
+    frame). The regularization step every downstream window/forecast
+    model needs, since raw event data has holes.
+
+    Scale: the spine is |users| x |days| rows generated map-side (one
+    ``explode``, no cartesian shuffle); the left join and the fill
+    window both partition on user_id, so AQE plans a single user_id
+    exchange reused by both. Nothing scans more than the date-pruned
+    purchase rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = (
+        events.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 5))
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 2).alias("revenue"))
+    )
+    spine = (
+        daily.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.lit("2024-01-01").cast("date"),
+                    F.lit("2024-01-30").cast("date"),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("day"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce(
+                F.last("revenue", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("revenue_ffill"),
+            F.col("revenue").isNull().alias("was_gap"),
+        )
+        .orderBy("user_id", "day")
+    )

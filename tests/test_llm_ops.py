@@ -668,3 +668,83 @@ def test_ivfpq_recall_and_pruning(spark, sf_dir):
         )[:3]
         for v in found:
             assert cell(vecs[v]) in probed, (qid, v)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (l39)
+# ---------------------------------------------------------------------------
+def test_winnowing_shared_run_guarantee(spark):
+    # Schleimer et al.'s core property: documents sharing a token run of
+    # at least w+k-1 tokens (here 4+3-1=6) share at least one selected
+    # fingerprint, despite each doc keeping only ~1/w of its gram hashes.
+    from sports_betting_data_pipeline_spark.functions.text import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot"
+    rows = [
+        (1, f"unique1 prefix {shared} tail one two"),
+        (2, f"другой start {shared} completely different ending here"),
+        (3, "no overlap with anything else at all in this text body"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).select(
+        "doc_id", winnow_fingerprints(F.col("text"), k=3, w=4).alias("fps")
+    )
+    got = {r["doc_id"]: set(r["fps"]) for r in df.collect()}
+    assert got[1] & got[2], "shared 6-token run must share a fingerprint"
+    assert not (got[1] & got[3]) and not (got[2] & got[3])
+
+
+def test_winnowing_compresses_vs_gram_count(spark):
+    # Fingerprint sets must be (a) nonempty and (b) no larger than the
+    # gram count — winnowing is a selection, not an expansion.
+    from sports_betting_data_pipeline_spark.plans.catalog import QUERIES
+
+    out = QUERIES["l39_winnowing_fingerprints"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 1 <= r["n_fingerprints"] <= r["n_kgrams"]
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (l38)
+# ---------------------------------------------------------------------------
+def test_semdedup_drops_planted_copy(spark):
+    from sports_betting_data_pipeline_spark.functions.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    # Near-copy of vector 3 under a fresh id; tiny perturbation keeps
+    # cosine ~0.9999.
+    dup = [float(x) for x in (base[3] + 0.001)]
+    rows.append((100, dup))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = (
+        corpus.filter(F.col("vec_id") < 4)
+        .select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cv"))
+    )
+    out = semdedup(corpus, cents, threshold=0.99).collect()
+    assert sum(r["n_vectors"] for r in out) == 21
+    assert sum(r["n_dropped"] for r in out) == 1
+    assert sum(r["n_dup_pairs"] for r in out) == 1
+    # The keep-lowest-id rule drops the PLANTED id, never the original.
+    assert all(r["n_dropped"] <= r["n_vectors"] for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (l37)
+# ---------------------------------------------------------------------------
+def test_cms_estimate_never_undercounts(spark):
+    # The one-sided CMS contract: estimate >= exact for every queried
+    # word (hash collisions only ever inflate counts).
+    from sports_betting_data_pipeline_spark.plans.catalog import QUERIES
+
+    out = QUERIES["l37_cms_heavy_hitters"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) == 20
+    for r in out:
+        assert r["cms_estimate"] >= r["exact_count"]
+        assert r["overcount"] == r["cms_estimate"] - r["exact_count"]
+        assert r["overcount"] >= 0

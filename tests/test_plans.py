@@ -139,6 +139,8 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                "l23_ann_ivf_kmeans",
                # IVF-PQ: same C-row centroid-assignment crossJoin
                "l36_ann_ivfpq",
+               # SemDeDup: same 8-row centroid-assignment crossJoin
+               "l38_semdedup",
                # 1-row broadcast scalar (corpus size N) — the physical
                # form of an uncorrelated scalar subquery
                "l19_tfidf_top_terms",
