@@ -101,3 +101,59 @@ def rj01_views_in_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_seconds=3600,
         count_alias="n_views",
     )
+
+
+@register(
+    "j05_salted_supplier_revenue",
+    oracle="""
+    SELECT s_suppkey, s_name,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+    WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
+    GROUP BY s_suppkey, s_name
+    """,
+)
+def j05_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact↔dim join via ``salted_join``: lineitem's
+    l_suppkey keyspace is only |supplier| wide (100 at sf0.01), the
+    canonical hot-key shape — a plain shuffle join would land every
+    fact row for one supplier on one reducer. The salt spreads each
+    supplier across 8 reducers; the supplier side replicates ×8.
+
+    The salt provably cannot change the join's semantics (every
+    (key, salt) pair on the fact side finds exactly one replicated dim
+    row), which is what the oracle — a plain unsalted join — pins.
+
+    Scale: at fixture SF Spark would broadcast supplier and no salting
+    is needed; this query pins the MECHANICS for the 100 TB case where
+    BOTH sides exceed the broadcast threshold and one key is hot (AQE
+    skew splitting only rebalances sort-merge joins post-hoc; salting
+    fixes the partition histogram before the shuffle). The final
+    per-supplier aggregate is map-side-combined on (suppkey, name).
+    """
+    from sports_betting_data_pipeline_spark.operators.relational import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    fact = li.filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+    ).withColumn("l_suppkey_j", F.col("l_suppkey"))
+    joined = salted_join(
+        fact,
+        supplier.withColumnRenamed("s_suppkey", "l_suppkey_j"),
+        on="l_suppkey_j",
+        buckets=8,
+    )
+    return joined.groupBy(
+        F.col("l_suppkey").alias("s_suppkey"), "s_name"
+    ).agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )

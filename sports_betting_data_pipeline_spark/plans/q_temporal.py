@@ -225,3 +225,53 @@ def ts01_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "ts02_ohlc_resample",
+    oracle="""
+    SELECT event_type,
+           epoch_us(ts) // 21600000000 * 21600000000 AS bucket_us,
+           round(arg_min(value, ts), 4) AS open_value,
+           round(max(value), 4) AS high_value,
+           round(min(value), 4) AS low_value,
+           round(arg_max(value, ts), 4) AS close_value,
+           CAST(count(*) AS BIGINT) AS volume,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts02_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC downsampling (the hypertable-rollup shape):
+    per event type and 6-hour bucket, the first/highest/lowest/last
+    observed value plus volume — the classic odds-movement /
+    price-candle resample a betting analytics stack charts.
+
+    open/close use ``min_by``/``max_by`` keyed on the event timestamp
+    — single-pass partial-aggregable arg-extremes, no window, no
+    self-join. The fixture generator never emits two events of one
+    type in the same microsecond, so the arg ordering is total; at
+    scale key min_by on a (ts, event_id) struct to make the tiebreak
+    explicit.
+
+    Scale: one map-side-combined shuffle on (event_type, bucket);
+    every aggregate here (including the arg-extremes) has a partial
+    form, so the shuffle carries one row per group per task — the
+    rollup stays O(groups), not O(events), no matter how many rows
+    feed it. Bucket start is integer epoch-division (µs), identical
+    arithmetic to the streaming tumbling window's bucketing.
+    """
+    events = load_table(spark, sf_dir, "events")
+    bucket_us = F.expr("unix_micros(ts) div 21600000000 * 21600000000")
+    return (
+        events.groupBy("event_type", bucket_us.alias("bucket_us"))
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("open_value"),
+            F.round(F.max("value"), 4).alias("high_value"),
+            F.round(F.min("value"), 4).alias("low_value"),
+            F.round(F.max_by("value", "ts"), 4).alias("close_value"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -506,3 +506,189 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON p_partkey = ps.l_partkey
+    WHERE p_brand <> 'Brand#45'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+          )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16 shape: supplier diversity per part group with a NOT IN
+    blacklist subquery. The fixture set has no partsupp table, so the
+    observed (l_partkey, l_suppkey) pairs from lineitem stand in for it
+    (same role: which suppliers can supply which parts).
+
+    Scale: the distinct pair set is one map-side-combined shuffle on
+    (partkey, suppkey) — far smaller than lineitem itself. The NOT IN
+    becomes a broadcast LEFT ANTI join (supplier is a dimension; the
+    null-semantics trap of NOT IN doesn't bite because s_suppkey is a
+    key, never null). part is broadcast after its selective
+    brand/type/size filter. The final count-distinct re-shuffles only
+    the surviving pairs on the 3-col group key.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+
+    pairs = li.distinct()
+    blacklist = supplier.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    part_f = part.filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        pairs.join(
+            F.broadcast(blacklist),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part_f), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q20_promotion_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'red %'
+              )
+          AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING sum(l_quantity) > 400.0
+    )
+    """,
+)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20 shape: chained IN subqueries — suppliers who moved a
+    material volume (>400 units in fixture-1998) of 'red *' parts.
+    Both INs decorrelate into semi-join shapes; the inner one carries a
+    HAVING-guarded aggregate.
+
+    Scale: part's name filter prunes to a small partkey set that
+    BROADCASTS into lineitem's scan (a semi join that never shuffles
+    the fact); the per-supplier aggregate output is supplier-sized, so
+    the outer IN is a broadcast LEFT SEMI against the supplier
+    dimension. lineitem is scanned once, shuffled only map-side-combined
+    on l_suppkey (100 distinct keys).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    red_parts = part.filter(F.col("p_name").like("red %")).select("p_partkey")
+    movers = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1998-01-01"))
+            & (F.col("l_shipdate") < _ts("1999-01-01"))
+        )
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_total_qty"))
+        .filter(F.col("_total_qty") > 400.0)
+        .select("l_suppkey")
+    )
+    return supplier.join(
+        F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+    )
+
+
+@register(
+    "q21_sole_late_shipper",
+    oracle="""
+    WITH flagged AS (
+        SELECT l_orderkey, l_suppkey,
+               max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS late
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        GROUP BY l_orderkey, l_suppkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM flagged f1
+    JOIN supplier ON s_suppkey = f1.l_suppkey
+    WHERE f1.late = 1
+      AND EXISTS (
+            SELECT 1 FROM flagged f2
+            WHERE f2.l_orderkey = f1.l_orderkey
+              AND f2.l_suppkey <> f1.l_suppkey
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM flagged f3
+            WHERE f3.l_orderkey = f1.l_orderkey
+              AND f3.l_suppkey <> f1.l_suppkey
+              AND f3.late = 1
+          )
+    GROUP BY s_name
+    """,
+)
+def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21 shape: suppliers who were the ONLY late shipper
+    (>90 days after the order date) on a multi-supplier order. The
+    reference semantics are EXISTS + NOT EXISTS self-joins (the oracle
+    states them literally); the Spark plan replaces both correlated
+    subqueries with ONE per-order aggregate — over the deduped
+    (order, supplier, late) grid, ``exists other supplier`` is
+    ``count(*) > 1`` and ``not exists other late supplier`` is
+    ``sum(late) = 1`` for a row with late=1.
+
+    Scale: Q21 is notorious for tripling the lineitem scan (two
+    correlated self-joins; a naive groupBy-then-join-back diamond
+    still scans it twice because the branches' pushed filters diverge
+    and defeat exchange reuse — pinned by
+    ``test_q21_single_lineitem_scan``). The window form scans lineitem
+    ONCE: the order-level counts are unbounded-frame window aggregates
+    over the flagged grid, whose l_orderkey partitioning the grid's
+    own shuffle already established. Supplier names arrive by
+    broadcast at the very end.
+    """
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    is_late = (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).cast("int")
+    flagged = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(is_late).alias("late"))
+    )
+    w_order = Window.partitionBy("l_orderkey")
+    return (
+        flagged.withColumn("_n_sup", F.count(F.lit(1)).over(w_order))
+        .withColumn("_n_late", F.sum("late").over(w_order))
+        .filter(
+            (F.col("late") == 1) & (F.col("_n_sup") > 1) & (F.col("_n_late") == 1)
+        )
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

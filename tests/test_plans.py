@@ -328,3 +328,31 @@ def test_m03_payload_never_crosses_the_plan(spark, sf_dir):
     plan = plan_text(QUERIES["m03_audio_roundtrip"](spark, sf_dir))
     assert "MapInPandas" in plan
     assert "payload" not in plan
+
+
+def test_src03_catalog_query_prunes_partitions(spark, sf_dir):
+    """The src03 readback's event_type IN-list must resolve as a
+    PartitionFilter (directory pruning) — not a post-scan data filter."""
+    plan = plan_text(QUERIES["src03_partitioned_roundtrip"](spark, sf_dir))
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines, plan
+    assert any("event_type" in ln for ln in part_lines), part_lines
+
+
+def test_q21_single_lineitem_scan(spark, sf_dir):
+    """The Q21 shape must NOT triple-scan lineitem the way the literal
+    EXISTS/NOT-EXISTS translation would: the aggregate formulation
+    reads lineitem once and derives both order-level predicates from
+    the flagged grid."""
+    plan = plan_text(QUERIES["q21_sole_late_shipper"](spark, sf_dir), "simple")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_ts02_arg_extremes_are_partial_aggregable(spark, sf_dir):
+    """OHLC open/close (min_by/max_by) must plan as a two-phase hash
+    aggregate (partial_ prefix in the merge plan) — no window, no sort,
+    no self-join."""
+    plan = plan_text(QUERIES["ts02_ohlc_resample"](spark, sf_dir), "simple")
+    assert "partial_min_by" in plan or "partial_minby" in plan.lower(), plan
+    assert "Window" not in plan
+    assert plan.count("events.parquet") == 1, plan
