@@ -131,3 +131,93 @@ def src02_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "src03_partitioned_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS total_value
+    FROM events
+    WHERE event_type IN ('purchase', 'error')
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def src03_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout: land events partitioned by
+    event_type (``write.partitionBy``), then read back ONLY two
+    partitions. The filter on the partition column must resolve at
+    PLANNING time — partition pruning, zero I/O for the other three
+    directories — which `tests/test_plans.py` pins on this exact shape
+    (PartitionFilters, not PushedFilters).
+
+    Scale: partition-by-low-cardinality-column is THE 100 TB table
+    layout (date/source/type); a pruned read turns a full-lake scan
+    into a directory listing plus the matching files. The write side
+    shuffles nothing — each task fans its rows into per-partition
+    files (dynamic partition insert).
+    """
+    path = _scratch(sf_dir, "events_by_type")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    events.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("event_type").isin("purchase", "error"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "src04_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2000-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def src04_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC lake format: land the date-filtered lineitem slice as ORC,
+    read it back, and run the pricing-summary aggregate over it. ORC
+    is the second first-class columnar format a lake engine must
+    ingest (Hive-era tables); like parquet it carries its schema and
+    serves predicate pushdown + column pruning from stripe metadata.
+
+    The date filter is applied on the PARQUET side before the write
+    and re-checked here only via the oracle equivalence — the ORC read
+    back feeds the aggregate directly, so a type/precision loss in the
+    ORC encode→decode (timestamps, doubles) breaks the hash.
+
+    Scale: same scan posture as parquet — the engine treats lake
+    format as a per-table property, not an architecture decision.
+    """
+    path = _scratch(sf_dir, "lineitem_orc")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("2000-06-01").cast("timestamp")
+    )
+    li.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
