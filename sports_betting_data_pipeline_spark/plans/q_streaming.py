@@ -356,3 +356,74 @@ def st10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
     return out.join(exact_users, on="segment")
+
+
+@register(
+    "st11_stream_left_outer_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           v.event_id AS view_id,
+           epoch_us(p.ts) AS purchase_ts_us,
+           epoch_us(v.ts) AS view_ts_us
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND user_id % 2 = 0) p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'view' AND user_id % 2 = 0) v
+      ON v.user_id = p.user_id
+     AND v.ts <= p.ts
+     AND v.ts >= p.ts - INTERVAL 1 HOUR
+    WHERE v.event_id IS NOT NULL
+       OR p.ts < least(
+            (SELECT max(ts) FROM events
+             WHERE event_type = 'purchase' AND user_id % 2 = 0),
+            (SELECT max(ts) FROM events
+             WHERE event_type = 'view' AND user_id % 2 = 0)
+          ) - INTERVAL 10 MINUTE
+    """,
+)
+def st11_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join: every purchase, with
+    its preceding-hour views or a null-padded row if none arrived.
+    The outer row for an unmatched purchase emits only once the
+    watermark proves no matching view can still come, and the oracle
+    encodes the engine's exact finalization rule, making the
+    append-mode late-data semantics themselves hash-checked rather
+    than hand-waved. Two pieces, both verified empirically against the
+    drain:
+
+    - the query watermark is the MIN across both legs' watermark
+      operators (``multipleWatermarkPolicy=min`` default) — each leg's
+      watermark derives from ITS OWN max event time, and at small SF
+      the filtered views leg ends hours before the purchases leg;
+    - a purchase's state finalizes when that watermark passes l_ts:
+      any still-to-arrive view has r_ts > watermark, and a match
+      requires r_ts ≤ l_ts, so l_ts ≤ watermark proves no future
+      match. (The −1h window bound constrains the VIEWS side's state
+      lifetime instead: a view can match purchases up to an hour
+      after it.)
+
+    So unmatched purchases emit iff
+    ``p.ts < least(max_purchase_ts, max_view_ts) − 10min``;
+    matched rows always emit.
+
+    Scale: identical state posture to st07 — both sides' state is
+    evicted as the watermark passes the hour window; the outer side
+    adds only the held-back unmatched rows, bounded by the watermark
+    horizon, not stream history.
+    """
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        stream_stream_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    purchases = ev.filter(
+        (F.col("event_type") == "purchase") & (F.pmod("user_id", F.lit(2)) == 0)
+    )
+    views = ev.filter(
+        (F.col("event_type") == "view") & (F.pmod("user_id", F.lit(2)) == 0)
+    )
+    joined = stream_stream_join(
+        purchases, views, key="user_id", window_seconds=3600, how="left_outer"
+    )
+    return run_stream_to_table(
+        joined, "st11_ssloj", output_mode="append", state_partitions=4
+    )

@@ -405,8 +405,9 @@ def stream_stream_join(
     right: DataFrame,
     key: str,
     window_seconds: int,
+    how: str = "inner",
 ) -> DataFrame:
-    """Watermarked stream-stream inner join: right rows within
+    """Watermarked stream-stream join: right rows within
     ``window_seconds`` BEFORE each left row, same key (the "views
     leading up to this purchase" shape).
 
@@ -415,6 +416,15 @@ def stream_stream_join(
     state once the watermark passes the window — without the bound,
     stream-stream join state grows forever. Over a finite availableNow
     drain the emitted matches equal the batch inequality join.
+
+    ``how='left_outer'`` additionally emits a null-padded row for each
+    unmatched left row — but only once the watermark PASSES that row's
+    join window (the engine must hold the row back until no matching
+    right row can still arrive). Left rows inside the final watermark
+    delay of stream end therefore never finalize in a drain: the
+    append-mode late-data semantics this repo pins for windowed
+    aggregates (SCALE.md) apply to outer joins identically, and st11's
+    oracle encodes exactly that cutoff.
     """
     l = left.select(
         F.col(key).alias("l_key"),
@@ -431,7 +441,9 @@ def stream_stream_join(
         & (F.col("r_ts") <= F.col("l_ts"))
         & (F.col("r_ts") >= F.col("l_ts") - F.expr(f"INTERVAL {window_seconds} SECOND"))
     )
-    return l.join(r, cond, "inner").select(
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"stream_stream_join supports inner/left_outer, got {how!r}")
+    return l.join(r, cond, how).select(
         F.col("l_key").alias("user_id"),
         F.col("l_id").alias("purchase_id"),
         F.col("r_id").alias("view_id"),
