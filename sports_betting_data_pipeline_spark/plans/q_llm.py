@@ -57,7 +57,7 @@ from sports_betting_data_pipeline_spark.functions.text import (
     ws_token_count,
     ws_tokens,
 )
-from sports_betting_data_pipeline_spark.io import load_table
+from sports_betting_data_pipeline_spark.io import load_table, widen_for_compute
 from sports_betting_data_pipeline_spark.plans.catalog import register
 
 # DuckDB fragment equal to text.ws_tokens.
@@ -2350,7 +2350,15 @@ def l41_gopher_rule_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_betting_data_pipeline_spark.functions.text import gopher_rules
 
     docs = load_table(spark, sf_dir, "documents")
-    r = docs.select("source", gopher_rules(F.col("text")).alias("r"))
+    # widen_for_compute: the fixture scan is one row-group → one task,
+    # which serializes the CPU-heavy rule expressions on a single core
+    # (11.2 s → 1.1 s at sf0.1 on local[32]; measured against an
+    # explode(array(...)) let-binding boundary too, which was SLOWER —
+    # 18.6 s — the generator adds per-row overhead without saving the
+    # struct re-expansion). No-op at real scale where splits abound.
+    r = widen_for_compute(docs).select(
+        "source", gopher_rules(F.col("text")).alias("r")
+    )
     return r.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("r.keep"), 1).otherwise(0)).alias("n_kept"),
