@@ -157,3 +157,67 @@ def j05_salted_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "j06_bloom_prefilter_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice), 2) AS total_price
+    FROM lineitem
+    WHERE l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND o_orderdate >= TIMESTAMP '2001-01-01 00:00:00'
+    )
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def j06_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned selective semi-join: lineitem rows for this year's
+    urgent orders (~2% of orders). The probe side first passes through
+    ``bloom_prefilter`` — a dataframe-built, broadcast-probed Bloom
+    filter over the urgent order keys — and only bloom-positive rows
+    reach the exact semi-join that removes the false positives. The
+    oracle is the plain IN-subquery: the composition is semantically
+    invisible (no false negatives by construction), which is the whole
+    point — and exactly what the hash check pins.
+
+    Scale: the filter table is ≤num_words rows (KBs) however large the
+    build side; at 100 TB the exact join's shuffle carries only the
+    ~2% bloom-positive slice of the fact instead of all of it. The
+    user-level form of runtime bloom-join pruning, usable where AQE's
+    automatic variant doesn't reach (e.g. pre-aggregations before the
+    join).
+    """
+    from sports_betting_data_pipeline_spark.operators.relational import (
+        bloom_prefilter,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey")
+    )
+    candidates = bloom_prefilter(
+        li, "l_orderkey", urgent, "o_orderkey", num_words=1024, num_hashes=3
+    )
+    return (
+        candidates.join(
+            urgent, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("l_returnflag")
+    )

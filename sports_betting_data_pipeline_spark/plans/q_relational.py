@@ -1396,3 +1396,47 @@ def w06_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "quartile")
     )
+
+
+@register(
+    "w07_time_range_moving_avg",
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_hour,
+           round(avg(value) OVER w, 6) AS avg_in_hour
+    FROM events
+    WHERE user_id < 30
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w07_time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, the count and mean of
+    event values in the trailing hour at each event — the moving
+    average every odds/price stream chart draws, and the frame type
+    ROWS windows cannot express (events are irregularly spaced, so
+    "last N rows" is not "last hour").
+
+    Scale: one shuffle on user_id + per-partition sort on ts — the
+    RANGE frame is evaluated by a sliding two-pointer pass over each
+    sorted partition, O(rows) amortized, state bounded by the widest
+    hour. Spark's RANGE frames need a numeric ordering key, so the
+    frame orders by epoch seconds (identical ordering to ts; the
+    rendered ts_us output column stays exact µs).
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 30)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3600 * 1000 * 1000, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.count(F.lit(1)).over(w).alias("n_in_hour"),
+        F.round(F.avg("value").over(w), 6).alias("avg_in_hour"),
+    )

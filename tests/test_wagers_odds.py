@@ -248,3 +248,50 @@ def test_approx_count_distinct_within_tolerance(spark):
     ).collect()
     assert row.exact == 1997
     assert abs(row.approx - row.exact) / row.exact < 0.05
+
+
+def test_bloom_prefilter_no_false_negatives_and_selective(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sports_betting_data_pipeline_spark.io import load_table
+    from sports_betting_data_pipeline_spark.operators.relational import (
+        bloom_prefilter,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .filter(F.col("o_orderkey") % 10 == 0)
+        .select("o_orderkey")
+    )
+    pre = bloom_prefilter(li, "l_orderkey", build, "o_orderkey", num_words=512)
+
+    # no false negatives: exact-join results identical with and
+    # without the prefilter
+    exact = li.join(build, li.l_orderkey == build.o_orderkey, "left_semi")
+    pre_exact = pre.join(build, pre.l_orderkey == build.o_orderkey, "left_semi")
+    assert pre_exact.count() == exact.count()
+
+    # the prefilter must actually prune: bloom-positive rows are a
+    # strict subset of the probe, within ~2x of the true match count
+    n_probe, n_pre, n_true = li.count(), pre.count(), exact.count()
+    assert n_pre < n_probe
+    assert n_pre <= max(2 * n_true, n_true + 64)
+
+
+def test_bloom_prefilter_mask_table_is_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sports_betting_data_pipeline_spark.io import load_table
+    from sports_betting_data_pipeline_spark.operators.relational import (
+        bloom_prefilter,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    build = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    pre = bloom_prefilter(li, "l_orderkey", build, "o_orderkey", num_words=64)
+    # every broadcast side in the plan is the folded mask table —
+    # num_words rows max, however many build keys went in
+    plan = pre._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
