@@ -738,22 +738,42 @@ def semdedup(
             ),
         )
         .filter(F.col("_rn") == 1)
-        .select("vec_id", "cent_id", vec_col)
+        # per-vector norm computed ONCE here: the pair stage below
+        # evaluates O(sum |cluster|^2) comparisons, and recomputing
+        # both norms per pair (cosine()) tripled its array work
+        .select("vec_id", "cent_id", vec_col, l2_norm(F.col(vec_col)).alias("_n"))
     )
+    # The pair join's key space is only |centroids| wide — without a
+    # salt the per-cluster O(|cluster|^2) cosine blocks land on C
+    # reducers no matter how many cores exist (8 clusters pinned 8 of
+    # 32 cores at sf0.1). Salting the a-side deterministically and
+    # replicating b across the salt spreads each block over
+    # C × _PAIR_SALTS partitions; the pair set is unchanged.
+    _PAIR_SALTS = 8
     a = assigned.select(
         F.col("cent_id"),
+        F.pmod(F.col("vec_id"), F.lit(_PAIR_SALTS)).alias("_salt"),
         F.col("vec_id").alias("a_id"),
         F.col(vec_col).alias("_va"),
+        F.col("_n").alias("_na"),
     )
     b = assigned.select(
         F.col("cent_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(_PAIR_SALTS - 1)).cast("array<bigint>")
+        ).alias("_salt"),
         F.col("vec_id").alias("b_id"),
         F.col(vec_col).alias("_vb"),
+        F.col("_n").alias("_nb"),
     )
     pairs = (
-        a.join(b, "cent_id")
+        a.join(b, ["cent_id", "_salt"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .filter(cosine(F.col("_va"), F.col("_vb")) >= F.lit(threshold))
+        .filter(
+            dot(F.col("_va"), F.col("_vb"))
+            / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-12))
+            >= F.lit(threshold)
+        )
         .select("cent_id", "a_id", "b_id")
     )
     drops = pairs.groupBy("cent_id").agg(
