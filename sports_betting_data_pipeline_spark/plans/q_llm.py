@@ -2375,3 +2375,83 @@ def l41_gopher_rule_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_fail_repetition"
         ),
     )
+
+
+@register(
+    "l42_bitext_mining",
+    oracle="""
+    WITH a AS (
+        SELECT vec_id AS a_id, embedding::DOUBLE[] AS va
+        FROM embeddings WHERE label % 2 = 0
+    ), b AS (
+        SELECT vec_id AS b_id, embedding::DOUBLE[] AS vb
+        FROM embeddings WHERE label % 2 = 1
+    ), x AS (
+        SELECT a_id, b_id,
+               list_cosine_similarity(va, vb) AS cos_sim
+        FROM a CROSS JOIN b
+    ), r AS (
+        SELECT a_id, b_id, cos_sim,
+               row_number() OVER (PARTITION BY a_id
+                                  ORDER BY cos_sim DESC, b_id) AS rn_a,
+               row_number() OVER (PARTITION BY b_id
+                                  ORDER BY cos_sim DESC, a_id) AS rn_b
+        FROM x
+    )
+    SELECT a_id, b_id, round(cos_sim, 6) AS cos_sim
+    FROM r WHERE rn_a = 1 AND rn_b = 1
+    """,
+)
+def l42_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitext mining / cross-corpus alignment by MUTUAL nearest
+    neighbor (the margin-free core of Artetxe & Schwenk's public
+    LASER mining recipe): split the embedding space into two "corpora"
+    (even/odd labels standing in for two languages) and keep only
+    pairs where each side is the other's top-1 cosine match — the
+    standard filter that kills hub vectors one-directional retrieval
+    lets through.
+
+    Spark-first shape: ONE cross product computes each pair's cosine
+    once; BOTH direction argmaxes are row_number windows over that
+    same relation (partition by a_id, then by b_id) — versus running
+    two independent retrievals and re-scoring twice. Norms fold into
+    the cosine via per-side precomputed columns.
+
+    Scale: exact mutual-NN is O(|A|×|B|) and correct HERE because the
+    fixture sides are ~250 rows; at 100 TB each direction's candidate
+    set comes from the ANN index (l36's IVF-PQ probes), and this
+    query's mutual-filter windows run unchanged over the candidate
+    pairs instead of the full product.
+    """
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        dot,
+        l2_norm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.pmod("label", F.lit(2)) == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("_va"),
+        l2_norm(F.col("embedding")).alias("_na"),
+    )
+    b = emb.filter(F.pmod("label", F.lit(2)) == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("_vb"),
+        l2_norm(F.col("embedding")).alias("_nb"),
+    )
+    x = widen_for_compute(a).crossJoin(F.broadcast(b)).select(
+        "a_id",
+        "b_id",
+        (
+            dot(F.col("_va"), F.col("_vb"))
+            / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-12))
+        ).alias("cos_sim"),
+    )
+    w_a = Window.partitionBy("a_id").orderBy(F.desc("cos_sim"), F.asc("b_id"))
+    w_b = Window.partitionBy("b_id").orderBy(F.desc("cos_sim"), F.asc("a_id"))
+    return (
+        x.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_b", F.row_number().over(w_b))
+        .filter((F.col("rn_a") == 1) & (F.col("rn_b") == 1))
+        .select("a_id", "b_id", F.round("cos_sim", 6).alias("cos_sim"))
+    )

@@ -1440,3 +1440,71 @@ def w07_time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_in_hour"),
         F.round(F.avg("value").over(w), 6).alias("avg_in_hour"),
     )
+
+
+@register(
+    "a08_equiheight_histogram",
+    oracle="""
+    WITH cuts AS (
+        SELECT list_transform(
+                   quantile_cont(l_extendedprice,
+                                 [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+                   q -> round(q, 4)
+               ) AS qs
+        FROM lineitem
+    )
+    SELECT CAST(len(list_filter(qs, q -> l_extendedprice > q)) AS INT)
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi
+    FROM lineitem, cuts
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def a08_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-height (equi-depth) histogram — the statistic every
+    cost-based optimizer keeps per column: exact interpolated decile
+    cuts, then each row bucketed by how many cuts it exceeds. Bucket
+    populations should be ~10% each; the (lo, hi) bounds expose the
+    value ranges.
+
+    Cuts are rounded to 4dp on BOTH engines before bucketing so the
+    boundary comparisons are bit-identical (an interpolated cut is
+    arithmetic-order-sensitive in its last ulp; a 2dp price never
+    collides with a 4dp-rounded cut except when the cut IS that exact
+    data point, which rounds exactly on both sides).
+
+    Scale: pass 1 computes the cuts (partial-aggregable percentile
+    sketch per task, one 1-row result); pass 2 re-scans with the cuts
+    BROADCAST as a 1-row scalar and buckets map-side — the same
+    two-pass scan-heavy/shuffle-light shape as l33's budget cutoff.
+    At 100 TB swap pass 1's exact percentile for approx_percentile
+    and nothing else changes.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    cuts = li.agg(
+        F.transform(
+            F.percentile(
+                F.col("l_extendedprice"),
+                F.array(*[F.lit(p / 10.0) for p in range(1, 10)]),
+            ),
+            lambda q: F.round(q, 4),
+        ).alias("qs")
+    )
+    bucket = F.aggregate(
+        F.col("qs"),
+        F.lit(0),
+        lambda acc, q: acc + F.when(F.col("l_extendedprice") > q, 1).otherwise(0),
+    )
+    return (
+        li.join(F.broadcast(cuts))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

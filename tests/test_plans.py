@@ -157,7 +157,12 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                "l35_bm25_topk",
                # 1-row broadcast scalar (global avg positive balance) —
                # the uncorrelated scalar subquery of the Q22 shape
-               "q22_idle_rich_customers"}
+               "q22_idle_rich_customers",
+               # 1-row broadcast scalar (the decile-cut array)
+               "a08_equiheight_histogram",
+               # mutual-NN mining: the A×B cosine product IS the
+               # algorithm (candidate generation moves to ANN at scale)
+               "l42_bitext_mining"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  # real-codec WAV/BMP synth+decode roundtrips (mapInPandas)
                  "m03_audio_roundtrip", "m04_image_roundtrip",
