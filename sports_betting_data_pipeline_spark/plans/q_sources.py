@@ -221,3 +221,49 @@ def src04_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "src05_schema_evolution",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CASE WHEN user_id >= 75 THEN 1 END) AS BIGINT)
+               AS n_with_props_len,
+           CAST(sum(CASE WHEN user_id >= 75 THEN length(props) END)
+               AS BIGINT) AS total_props_len,
+           round(sum(value), 2) AS total_value
+    FROM events
+    """,
+)
+def src05_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: the lake accretes columns over time.
+    Batch 1 (user_id < 75) lands WITHOUT the ``props_len`` column;
+    batch 2 (the rest) lands WITH it; the read unifies both vintages
+    via ``mergeSchema`` — old files surface the new column as null.
+    The aggregate counts/sums the evolved column, so a wrong null-fill
+    or a dropped vintage breaks the hash against the oracle computed
+    from the ORIGINAL un-split table.
+
+    Scale: mergeSchema reconciles footers at planning time (cost is
+    per-FILE metadata, once; production pins the merged schema in the
+    table catalog instead of re-deriving it). Reading old files never
+    rewrites them — additive evolution is free; that is the property
+    this query pins.
+    """
+    path = _scratch(sf_dir, "events_evolving")
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "props"
+    )
+    old = events.filter(F.col("user_id") < 75).drop("props")
+    new = events.filter(F.col("user_id") >= 75).withColumn(
+        "props_len", F.length("props").cast("long")
+    ).drop("props")
+    old.write.mode("overwrite").parquet(path)
+    new.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("props_len").alias("n_with_props_len"),
+        F.sum("props_len").alias("total_props_len"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
