@@ -1,5 +1,5 @@
-"""Classic decision-support plan shapes (TPC-H Q6/Q10/Q14/Q15/Q17/Q18/Q19
-analogs) over the driver's tables.
+"""Classic decision-support plan shapes (TPC-H Q6/Q7/Q8/Q9/Q10/Q12/Q13/
+Q14/Q15/Q16/Q17/Q18/Q19/Q20/Q21/Q22 analogs) over the driver's tables.
 
 The reference has no analytics surface at all (SURVEY.md §2.7), but the
 engine must expose the full one; these queries pin the plan shapes the
@@ -691,4 +691,239 @@ def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "q17_nation_trade_volume",
+    oracle="""
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               l_extendedprice * (1 - l_discount) AS volume
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q17_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7 shape: bilateral trade volume between two nations by
+    year — a 6-table star with a symmetric OR over the two nation
+    roles.
+
+    Scale: every dimension (customer, supplier, nation×2) broadcasts;
+    lineitem⋈orders is the only fact-fact shuffle and the date filter
+    prunes it first. The nation-pair OR cannot push below the joins
+    (it spans two dimensions) but evaluates on broadcast-joined rows
+    map-side. One final map-side-combined shuffle on the 3-col group.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1998-01-01"))
+        & (F.col("l_shipdate") < _ts("2000-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | (
+        (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
+        .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q18_market_share",
+    oracle="""
+    SELECT o_year,
+           round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               l_extendedprice * (1 - l_discount) AS volume,
+               n2.n_name AS nation
+        FROM lineitem
+        JOIN part     ON p_partkey = l_partkey
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n1 ON n1.n_nationkey = c_nationkey
+        JOIN region   ON r_regionkey = n1.n_regionkey
+        JOIN nation n2 ON n2.n_nationkey = s_nationkey
+        WHERE r_name = 'AMERICA' AND p_type = 'STANDARD'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q18_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8 shape: one supplier nation's market share, by year,
+    of STANDARD-part volume sold to AMERICA-region customers — an
+    8-table star whose share numerator is a conditional aggregate over
+    the same rows as the denominator (no second pass).
+
+    Scale: the region filter prunes the customer side to 1/5 of
+    nations BEFORE the fact join (filter pushed through the n1⋈region
+    broadcast chain); part's type filter prunes 1/6 of the fact at the
+    scan-adjacent join. All dims broadcast; the only big shuffle is
+    lineitem⋈orders.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    ).select("p_partkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust_in_america = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+                    F.col("r_regionkey") == F.col("n_regionkey"),
+                ).select(F.col("n_nationkey").alias("cn_key"))
+            ),
+            F.col("cn_key") == F.col("c_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust_in_america), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("sn_key") == F.col("s_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("nation") == "NATION_3", volume).otherwise(0.0))
+                / F.sum(volume),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q19_product_type_profit",
+    oracle="""
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           round(sum(CAST(round(100 * (l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity), 0) AS BIGINT))
+                 / 100.0, 2) AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%cold%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q19_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9 shape: profit by supplier nation and year over a part
+    name LIKE filter. The fixture set has no partsupp.ps_supplycost,
+    so cost is proxied as half the part's retail price per unit — the
+    plan shape (5-table star, LIKE-filtered part dim, two-level group)
+    is what this query pins, per the engine-analog discipline of
+    q16/q20.
+
+    Scale: the LIKE '%cold%' filter cannot use row-group stats but
+    runs on the part DIMENSION (SF×200k rows) before broadcasting —
+    never on the fact. lineitem⋈orders is again the only big shuffle;
+    profit arithmetic happens map-side on broadcast-joined rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%cold%")
+    ).select("p_partkey", "p_retailprice")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    # Summed in exact integer CENTS: profit has catastrophic
+    # cancellation (revenue minus cost), and double sums of ~300-row
+    # groups drift across engines by more than the 2dp rounding can
+    # absorb (3 of 175 groups mismatched when summing doubles). The
+    # per-row double expression is bit-identical on both engines, so
+    # rounding each ROW to a cent-integer first makes the SUM exact.
+    profit_cents = F.round(
+        100
+        * (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+        ),
+        0,
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.round(F.sum(profit_cents) / 100.0, 2).alias("sum_profit")
+        )
     )
