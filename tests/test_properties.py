@@ -398,3 +398,25 @@ def test_token_budget_two_phase_equals_naive_global_window(
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), want.reset_index(drop=True)
     )
+
+
+@given(
+    probe=st.lists(st.integers(0, 500), min_size=1, max_size=60),
+    build=st.lists(st.integers(0, 500), min_size=0, max_size=25),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bloom_prefilter_never_drops_a_match(spark, probe, build):
+    """For ANY key sets, bloom_prefilter(probe) ⊇ probe ∩ build — the
+    no-false-negative law that makes prefilter+exact ≡ exact."""
+    from sports_betting_data_pipeline_spark.operators.relational import (
+        bloom_prefilter,
+    )
+
+    pdf = spark.createDataFrame([(k,) for k in probe], "k: bigint")
+    bdf = spark.createDataFrame([(k,) for k in build], "bk: bigint")
+    kept = {
+        r.k for r in bloom_prefilter(pdf, "k", bdf, "bk", num_words=8).collect()
+    }
+    required = {k for k in probe if k in set(build)}
+    assert required <= kept
