@@ -2455,3 +2455,134 @@ def l42_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn_a") == 1) & (F.col("rn_b") == 1))
         .select("a_id", "b_id", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+_PL03_QUERY_IDS = (0, 101, 202)
+
+
+@register(
+    "pl03_hybrid_retrieval",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT d.doc_id AS id,
+               {_DSH3.format(toks=_DTOKS.format(src='lower(d.text)'))} AS sh,
+               e.embedding::DOUBLE[] AS v
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    q AS (
+        SELECT id AS query_id, sh AS qsh, v AS qv FROM corpus
+        WHERE id IN (0, 101, 202)
+    ),
+    cand AS (
+        SELECT id AS cand_id, sh, v FROM corpus
+        WHERE id NOT IN (0, 101, 202)
+    ),
+    scored AS (
+        SELECT q.query_id, c.cand_id,
+               CAST(len(list_intersect(c.sh, q.qsh)) AS DOUBLE)
+                   / (len(c.sh) + len(q.qsh)
+                      - len(list_intersect(c.sh, q.qsh))) AS lex,
+               list_cosine_similarity(c.v, q.qv) AS vec
+        FROM q CROSS JOIN cand c
+    ),
+    ranked AS (
+        SELECT query_id, cand_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY lex DESC, cand_id) AS BIGINT)
+                   AS lex_rank,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY vec DESC, cand_id) AS BIGINT)
+                   AS vec_rank
+        FROM scored
+    ),
+    fused AS (
+        SELECT query_id, cand_id, lex_rank, vec_rank,
+               round(1.0 / (60 + lex_rank) + 1.0 / (60 + vec_rank), 6)
+                   AS rrf_score
+        FROM ranked
+    )
+    SELECT query_id, cand_id, lex_rank, vec_rank, rrf_score
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_score DESC, cand_id) AS rn
+        FROM fused
+    ) WHERE rn <= 10
+    """,
+)
+def pl03_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion —
+    the modern RAG/search-serving pipeline composed from the engine's
+    own primitives: 3-gram Jaccard (the shingle machinery of l07/l24)
+    as the lexical leg, embedding cosine (the ANN machinery's exact
+    scorer) as the semantic leg, RRF (Cormack et al.'s public
+    score-free fusion, 1/(60+rank) per leg) to merge the two ranklists
+    without score calibration. Corpus = the id-paired slice of
+    documents⋈embeddings; three query items retrieve from the rest.
+
+    Scale: the query set broadcasts (queries are always the tiny side
+    in serving); lexical and vector scores compute in ONE pass over
+    the broadcast cross product, and both rank legs are windows over
+    that same scored relation (same single-relation discipline as
+    l42's mutual-NN). At corpus scale each leg's candidate set comes
+    from its index (BM25 posting join / IVF-PQ probes) and the fusion
+    windows run unchanged over candidates instead of the full corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        dot,
+        l2_norm,
+    )
+
+    corpus = docs.join(
+        emb, F.col("vec_id") == F.col("doc_id")
+    ).select(
+        F.col("doc_id").alias("id"),
+        shingles(F.lower(F.col("text")), 3).alias("sh"),
+        F.col("embedding").alias("v"),
+        l2_norm(F.col("embedding")).alias("_n"),
+    )
+    qids = list(_PL03_QUERY_IDS)
+    q = corpus.filter(F.col("id").isin(qids)).select(
+        F.col("id").alias("query_id"),
+        F.col("sh").alias("qsh"),
+        F.col("v").alias("qv"),
+        F.col("_n").alias("_qn"),
+    )
+    cand = corpus.filter(~F.col("id").isin(qids)).select(
+        F.col("id").alias("cand_id"), "sh", "v", "_n"
+    )
+    n_inter = F.size(F.array_intersect(F.col("sh"), F.col("qsh")))
+    scored = widen_for_compute(cand).crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        (
+            n_inter.cast("double")
+            / (F.size("sh") + F.size("qsh") - n_inter)
+        ).alias("lex"),
+        (
+            dot(F.col("v"), F.col("qv"))
+            / F.greatest(F.col("_n") * F.col("_qn"), F.lit(1e-12))
+        ).alias("vec"),
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("lex"), F.asc("cand_id"))
+    w_vec = Window.partitionBy("query_id").orderBy(F.desc("vec"), F.asc("cand_id"))
+    fused = (
+        scored.withColumn("lex_rank", F.row_number().over(w_lex).cast("long"))
+        .withColumn("vec_rank", F.row_number().over(w_vec).cast("long"))
+        .withColumn(
+            "rrf_score",
+            F.round(
+                1.0 / (60 + F.col("lex_rank")) + 1.0 / (60 + F.col("vec_rank")),
+                6,
+            ),
+        )
+    )
+    w_rrf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("cand_id")
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w_rrf))
+        .filter(F.col("rn") <= 10)
+        .select("query_id", "cand_id", "lex_rank", "vec_rank", "rrf_score")
+    )

@@ -162,7 +162,10 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                "a08_equiheight_histogram",
                # mutual-NN mining: the A×B cosine product IS the
                # algorithm (candidate generation moves to ANN at scale)
-               "l42_bitext_mining"}
+               "l42_bitext_mining",
+               # 3-query broadcast × candidates: the serving-side
+               # scoring pass (index-pruned candidates at scale)
+               "pl03_hybrid_retrieval"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  # real-codec WAV/BMP synth+decode roundtrips (mapInPandas)
                  "m03_audio_roundtrip", "m04_image_roundtrip",
