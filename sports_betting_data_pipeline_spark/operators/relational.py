@@ -276,3 +276,42 @@ def bloom_prefilter(
             .drop(f"_pw{i}", f"_pb{i}", f"_w{i}", f"_mask{i}")
         )
     return out
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_cols: Sequence[str],
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res, public algorithm): each row draws a
+    uniform u from the md5 of its key columns and competes on
+    ``ln(u)/weight`` — the top-k keys are a weighted sample, exactly
+    the "sample corpora proportional to quality/size" primitive a
+    training-data pipeline needs.
+
+    The uniform is md5-derived (first 8 hex chars → uint32 → (h+1)/2^32,
+    the repo's engine-portable randomness discipline, as l26/wg01), so
+    the draw is reproducible across runs AND engines — a DuckDB oracle
+    computes the identical sample.
+
+    Scale: one map-side key computation + one per-partition top-k
+    (WindowGroupLimit prunes before the shuffle when partitioned;
+    global top-k becomes TakeOrdered). Weights must be > 0 — caller
+    filters.
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.concat_ws("|", *key_cols)), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / F.lit(4294967296.0)
+    es_key = F.log(u) / F.col(weight_col)
+    w = (
+        Window.partitionBy(partition_by) if partition_by else Window.partitionBy()
+    ).orderBy(F.desc(es_key), *[F.asc(c) for c in key_cols])
+    return (
+        df.withColumn("_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("_rank") <= k)
+    )

@@ -1508,3 +1508,64 @@ def a08_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "f08_weighted_sample",
+    oracle="""
+    WITH keyed AS (
+        SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS weight,
+               ln((('0x' || left(md5(CAST(c_custkey AS VARCHAR)), 8))::BIGINT
+                   + 1.0) / 4294967296.0) / c_acctbal AS es_key
+        FROM customer
+        WHERE c_acctbal > 0.0
+    )
+    SELECT c_mktsegment, c_custkey, weight, rank
+    FROM (
+        SELECT c_mktsegment, c_custkey, weight,
+               CAST(row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY es_key DESC, c_custkey
+               ) AS BIGINT) AS rank
+        FROM keyed
+    ) WHERE rank <= 5
+    """,
+)
+def f08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): 5 customers per market segment, drawn
+    with probability proportional to account balance — the
+    quality-weighted corpus-sampling primitive (sample shards
+    proportional to quality score, upsample high-value sources).
+
+    The per-row uniform is md5-derived (engine-portable randomness, as
+    l26/wg01): u = (uint32 of the first 8 md5 hex chars + 1)/2^32;
+    rows compete on ln(u)/weight and the top-5 per segment win. Both
+    engines compute the identical draw, so the "random" sample itself
+    is hash-checked.
+
+    Scale: key computation is map-only; the per-group top-5 is a
+    WindowGroupLimit-pruned shuffle on the segment key — the same
+    one-shuffle top-k shape as w01, with the weighting folded into the
+    sort key instead of a separate pass.
+    """
+    from sports_betting_data_pipeline_spark.operators.relational import (
+        weighted_sample,
+    )
+
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 0.0
+    )
+    out = weighted_sample(
+        customer,
+        k=5,
+        weight_col="c_acctbal",
+        key_cols=["c_custkey"],
+        partition_by="c_mktsegment",
+    )
+    return out.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round("c_acctbal", 2).alias("weight"),
+        F.col("_rank").alias("rank"),
+    )

@@ -420,3 +420,41 @@ def test_bloom_prefilter_never_drops_a_match(spark, probe, build):
     }
     required = {k for k in probe if k in set(build)}
     assert required <= kept
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.floats(0.01, 100.0)),
+        min_size=1, max_size=25, unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_weighted_sample_matches_python_reference(spark, rows):
+    """weighted_sample's md5-derived A-Res draw must equal the same
+    algorithm computed in pure Python (hashlib md5 → uint32 →
+    ln(u)/w, top-3 by key desc then id asc)."""
+    import hashlib
+    import math
+
+    from sports_betting_data_pipeline_spark.operators.relational import (
+        weighted_sample,
+    )
+
+    def es_key(key_id, w):
+        h = int(hashlib.md5(str(key_id).encode()).hexdigest()[:8], 16)
+        return math.log((h + 1.0) / 4294967296.0) / w
+
+    expected = [
+        kid for kid, _ in sorted(
+            rows, key=lambda t: (-es_key(t[0], t[1]), t[0])
+        )[:3]
+    ]
+    df = spark.createDataFrame(rows, "id: bigint, w: double")
+    got = [
+        r.id
+        for r in weighted_sample(df, k=3, weight_col="w", key_cols=["id"])
+        .orderBy("_rank")
+        .collect()
+    ]
+    assert got == expected
