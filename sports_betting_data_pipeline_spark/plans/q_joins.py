@@ -221,3 +221,76 @@ def j06_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "j07_fuzzy_match_pairs",
+    oracle="""
+    SELECT a.c_custkey AS a_key, b.c_custkey AS b_key,
+           a.c_name AS a_name, b.c_name AS b_name
+    FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) a
+    JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) b
+      ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def j07_fuzzy_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (edit-distance ≤ 1) self-join — entity-resolution /
+    near-identical-record detection. The oracle is the transparent
+    all-pairs Levenshtein filter; the ENGINE never goes O(n²): each
+    name explodes into its 9 one-digit-wildcard variants
+    ('Customer#00000?001', …) and candidates equi-join on the variant
+    key — two equal-length names at distance 1 differ in exactly one
+    position, so they collide on exactly that wildcard (and identical
+    positions elsewhere), making the blocking lossless for this name
+    shape. The hash check against the all-pairs oracle IS the proof
+    no pair was missed.
+
+    Scale: n×9 narrow (variant, key, name) rows, one equi-join whose
+    block sizes are the number of names sharing 8 of 9 digits (tiny,
+    data-dependent), then exact-distance verification on candidates
+    only — the same block-then-verify posture as MinHash-LSH (l08),
+    applied to string keys. The %3 key filter keeps the ORACLE's n²
+    tractable at verification SFs; the engine side scales past it
+    unchanged.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.pmod("c_custkey", F.lit(3)) == 0)
+        .select("c_custkey", "c_name")
+    )
+    # one-digit wildcard neighborhood over the 9-digit numeric suffix
+    # (positions 10..18, 1-based) of the 18-char name
+    variants = cust.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.array(
+                *[
+                    F.concat(
+                        F.substring("c_name", 1, 9 + i),
+                        F.lit("?"),
+                        F.substring("c_name", 11 + i, 8 - i),
+                    )
+                    for i in range(9)
+                ]
+            )
+        ).alias("variant"),
+    )
+    a = variants.select(
+        F.col("variant"),
+        F.col("c_custkey").alias("a_key"),
+        F.col("c_name").alias("a_name"),
+    )
+    b = variants.select(
+        F.col("variant"),
+        F.col("c_custkey").alias("b_key"),
+        F.col("c_name").alias("b_name"),
+    )
+    return (
+        a.join(b, "variant")
+        .filter(F.col("a_key") < F.col("b_key"))
+        .filter(F.levenshtein("a_name", "b_name") <= 1)
+        .select("a_key", "b_key", "a_name", "b_name")
+        .distinct()
+    )
