@@ -427,3 +427,36 @@ def st11_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         joined, "st11_ssloj", output_mode="append", state_partitions=4
     )
+
+
+@register(
+    "st12_stream_ohlc",
+    oracle="""
+    SELECT event_type,
+           epoch_us(ts) // 21600000000 * 21600000000 AS bucket_us,
+           round(arg_min(value, ts), 4) AS open_value,
+           round(max(value), 4) AS high_value,
+           round(min(value), 4) AS low_value,
+           round(arg_max(value, ts), 4) AS close_value,
+           CAST(count(*) AS BIGINT) AS volume,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def st12_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC candles (the live odds-movement feed): 6-hour
+    price candles per event type maintained incrementally — drained
+    with availableNow the table is row-identical to the batch ts02
+    resample, which is exactly what the shared oracle pins. The
+    arg-extreme aggregates (min_by/max_by on event time) keep one
+    small struct of state per open (type, bucket) group; complete
+    mode emits the full candle table each trigger (a real deployment
+    uses update mode + an upsert sink, st04's pattern).
+    """
+    from sports_betting_data_pipeline_spark.streaming.jobs import ohlc_candles
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(
+        ohlc_candles(stream), "st12_ohlc", output_mode="complete"
+    )

@@ -674,3 +674,29 @@ def streaming_neardup_filter(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def ohlc_candles(events: DataFrame, width_us: int = 21600000000) -> DataFrame:
+    """Streaming OHLC candle aggregation — the live twin of the batch
+    ts02 resample: per event type and fixed bucket, first/highest/
+    lowest/last value plus volume, maintained incrementally as events
+    arrive. open/close are ``min_by``/``max_by`` keyed on event time —
+    fully partial-aggregable, so streaming state per (type, bucket) is
+    one small struct, merged map-side each microbatch.
+
+    Bucketing uses the same integer epoch-µs division as ts02 so the
+    drained table is row-identical to the batch rollup.
+    """
+    bucket_us = F.expr(f"unix_micros(ts) div {width_us} * {width_us}")
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("event_type", bucket_us.alias("bucket_us"))
+        .agg(
+            F.round(F.min_by("value", "ts"), 4).alias("open_value"),
+            F.round(F.max("value"), 4).alias("high_value"),
+            F.round(F.min("value"), 4).alias("low_value"),
+            F.round(F.max_by("value", "ts"), 4).alias("close_value"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
