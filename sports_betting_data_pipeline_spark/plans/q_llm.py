@@ -2586,3 +2586,60 @@ def pl03_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 10)
         .select("query_id", "cand_id", "lex_rank", "vec_rank", "rrf_score")
     )
+
+
+@register(
+    "l44_train_val_test_split",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, source,
+               CASE
+                 WHEN ('0x' || left(md5(CAST(doc_id AS VARCHAR)), 8))::BIGINT
+                      % 100 < 90 THEN 'train'
+                 WHEN ('0x' || left(md5(CAST(doc_id AS VARCHAR)), 8))::BIGINT
+                      % 100 < 95 THEN 'val'
+                 ELSE 'test'
+               END AS split
+        FROM documents
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM assigned
+    GROUP BY source, split
+    """,
+)
+def l44_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test corpus split: each document
+    lands in exactly one split by the md5 of its OWN id — stable
+    under re-runs, re-partitioning, AND corpus growth (adding
+    documents never moves an existing one between splits, the property
+    row_number-based splits lack and the one that prevents silent
+    train/test contamination across dataset versions). The md5-derived
+    assignment is the repo's engine-portable randomness discipline
+    (f08/l26/wg01), so the split membership itself is hash-checked.
+
+    Scale: pure map-side assignment + one map-side-combined shuffle on
+    the tiny (source, split) key — the split of a 100 TB corpus costs
+    one scan. min/max doc_id per cell ride along so the oracle pins
+    membership, not just counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
