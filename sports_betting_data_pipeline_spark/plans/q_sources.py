@@ -267,3 +267,68 @@ def src05_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("props_len").alias("total_props_len"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+ORDERS_JSON_PERMISSIVE = T.StructType(
+    list(ORDERS_JSON.fields) + [T.StructField("_corrupt_record", T.StringType())]
+)
+
+
+@register(
+    "src06_corrupt_json_handling",
+    oracle="""
+    SELECT CAST(count(CASE WHEN o_orderkey % 10 <> 3 THEN 1 END) AS BIGINT)
+               AS n_good,
+           CAST(count(CASE WHEN o_orderkey % 10 = 3 THEN 1 END) AS BIGINT)
+               AS n_quarantined,
+           round(sum(CASE WHEN o_orderkey % 10 <> 3 THEN o_totalprice END), 2)
+               AS good_total_price
+    FROM orders
+    """,
+)
+def src06_corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input resilience at the ingest edge: a JSONL feed
+    where every orderkey≡3 (mod 10) record is truncated mid-object
+    (the torn-write/partial-flush failure real feeds produce) is read
+    in PERMISSIVE mode with a declared ``_corrupt_record`` column —
+    good rows parse, bad rows quarantine with their raw text, and
+    NOTHING is silently dropped. The oracle derives the exact
+    good/quarantined split from the original table, so a reader that
+    drops or mis-classifies even one record breaks the hash.
+
+    Scale: corrupt-record capture is per-row during the single parse
+    pass — no second scan; the quarantine column feeds a dead-letter
+    sink in production (count it, alert on it, never lose it).
+    FAILFAST is the right mode only when upstream guarantees
+    well-formedness; DROPMALFORMED is how data silently vanishes.
+    """
+    path = _scratch(sf_dir, "orders_json_corrupt")
+    orders = load_table(spark, sf_dir, "orders")
+    as_json = orders.select(
+        F.when(
+            F.pmod("o_orderkey", F.lit(10)) == 3,
+            # torn record: drop everything past the 20th character
+            F.substring(F.to_json(F.struct(*orders.columns)), 1, 20),
+        )
+        .otherwise(F.to_json(F.struct(*orders.columns)))
+        .alias("value")
+    )
+    as_json.write.mode("overwrite").text(path)
+    back = (
+        spark.read.schema(ORDERS_JSON_PERMISSIVE)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias(
+            "n_quarantined"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("_corrupt_record").isNull(), F.col("o_totalprice"))
+            ),
+            2,
+        ).alias("good_total_price"),
+    )
