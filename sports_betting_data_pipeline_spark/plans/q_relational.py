@@ -1569,3 +1569,104 @@ def f08_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("c_acctbal", 2).alias("weight"),
         F.col("_rank").alias("rank"),
     )
+
+
+@register(
+    "a09_mode_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderpriority AS mode_priority,
+           CAST(n AS BIGINT) AS n_orders
+    FROM (
+        SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+               row_number() OVER (
+                   PARTITION BY c_mktsegment
+                   ORDER BY count(*) DESC, o_orderpriority
+               ) AS rn
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    ) WHERE rn = 1
+    """,
+)
+def a09_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a DETERMINISTIC tiebreak
+    (highest count, then lexicographically smallest value) — built-in
+    ``mode()`` is non-deterministic on ties in both engines, which is
+    exactly the kind of silent nondeterminism an oracle-checked
+    catalog can't ship.
+
+    Scale: count per (group, value) is one map-side-combined shuffle;
+    the argmax is a WindowGroupLimit-pruned window over the count
+    table (|groups|×|distinct values| rows — tiny), never over the
+    fact.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    counts = (
+        orders.join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("n"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "a10_skew_report",
+    oracle="""
+    WITH counts AS (
+        SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY l_suppkey
+    ), stats AS (
+        SELECT avg(n) AS mean_n, sum(n) AS total_n FROM counts
+    )
+    SELECT l_suppkey,
+           CAST(n AS BIGINT) AS n_rows,
+           round(100.0 * n / total_n, 4) AS pct_of_total,
+           round(n / mean_n, 4) AS skew_factor
+    FROM counts, stats
+    ORDER BY n_rows DESC, l_suppkey
+    LIMIT 5
+    """,
+)
+def a10_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/shuffle-key skew diagnosis — the report you run BEFORE
+    deciding to salt (j05) or split: per-key row counts with each
+    key's share of the table and its skew factor against the mean,
+    top-5 offenders. A skew_factor near 1 means a uniform keyspace;
+    10+ on a big key is the straggler that pins one reducer at 100 TB.
+
+    Scale: one map-side-combined count shuffle (|keys| rows out), the
+    mean/total as a 1-row broadcast scalar, and a TakeOrdered top-5 —
+    the diagnosis costs one scan regardless of table size.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    counts = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.avg("n").alias("_mean_n"), F.sum("n").alias("_total_n")
+    )
+    return (
+        counts.join(F.broadcast(stats))
+        .select(
+            "l_suppkey",
+            F.col("n").alias("n_rows"),
+            F.round(100.0 * F.col("n") / F.col("_total_n"), 4).alias(
+                "pct_of_total"
+            ),
+            F.round(F.col("n") / F.col("_mean_n"), 4).alias("skew_factor"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("l_suppkey"))
+        .limit(5)
+    )

@@ -165,7 +165,9 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                "l42_bitext_mining",
                # 3-query broadcast × candidates: the serving-side
                # scoring pass (index-pruned candidates at scale)
-               "pl03_hybrid_retrieval"}
+               "pl03_hybrid_retrieval",
+               # 1-row broadcast scalar (keyspace mean/total counts)
+               "a10_skew_report"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  # real-codec WAV/BMP synth+decode roundtrips (mapInPandas)
                  "m03_audio_roundtrip", "m04_image_roundtrip",
