@@ -460,3 +460,70 @@ def st12_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         ohlc_candles(stream), "st12_ohlc", output_mode="complete"
     )
+
+
+@register(
+    "pl04_streaming_pipeline",
+    oracle="""
+    WITH wm AS (
+        SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events
+    )
+    SELECT event_type,
+           epoch_us(ts) // 21600000000 * 21600000000 AS bucket_us,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events, wm
+    GROUP BY 1, 2, wm.w
+    HAVING to_timestamp((epoch_us(ts) // 21600000000 * 21600000000
+                         + 21600000000) / 1000000.0) <= wm.w
+    """,
+)
+def pl04_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end streaming ingest pipeline: an at-least-once feed
+    (the stream unioned with itself — every record delivered twice)
+    flows through TWO CHAINED STATEFUL OPERATORS in one query —
+    watermarked dedup (exactly-once repair) feeding a watermarked
+    6-hour tumbling aggregate — the canonical ingest topology
+    (dedupe, then rollup) that requires the engine to coordinate two
+    state stores and their watermarks in a single plan.
+
+    Append mode finalizes a window only once the watermark passes its
+    END, so the fixture's last open bucket is withheld at drain; the
+    oracle applies the same eviction predicate (bucket_end ≤ max(ts)
+    − 10min) — late-data semantics hash-checked, as st03/st11.
+
+    The watermark is defined ONCE, upstream of both operators (Spark
+    disallows redefining it between chained stateful stages): the
+    10-minute delay is simultaneously the dedup horizon — ample for
+    same-batch redelivery; a feed with hours-late duplicates would
+    split the pipeline at a sink instead — and the window-eviction
+    clock.
+
+    Scale: dedup state is bounded by the redelivery horizon, window
+    state by open windows × types; each stage shuffles once on its
+    own key (event_id hash, then (window, type)).
+    """
+    stream = read_events_stream(spark, sf_dir)
+    redelivered = stream.unionByName(stream)
+    deduped = redelivered.withWatermark(
+        "ts", "10 minutes"
+    ).dropDuplicatesWithinWatermark(["event_id"])
+    agg = (
+        deduped.groupBy(
+            F.window("ts", "6 hours").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "n",
+            "total_value",
+        )
+    )
+    return run_stream_to_table(
+        agg, "pl04_pipeline", output_mode="append", state_partitions=4
+    )
