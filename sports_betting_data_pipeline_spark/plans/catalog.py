@@ -48,6 +48,7 @@ def _load_query_modules() -> None:
     # Imported for their @register side effects.
     from sports_betting_data_pipeline_spark.plans import (  # noqa: F401
         q_flatten,
+        q_graph,
         q_joins,
         q_llm,
         q_odds,

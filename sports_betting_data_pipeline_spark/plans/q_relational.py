@@ -1670,3 +1670,117 @@ def a10_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc("l_suppkey"))
         .limit(5)
     )
+
+
+@register(
+    "a11_weighted_median",
+    oracle="""
+    WITH cum AS (
+        SELECT l_returnflag, l_extendedprice, l_quantity,
+               sum(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_w,
+               sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total_w
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           round(min(l_extendedprice), 2) AS weighted_median,
+           round(max(total_w), 2) AS total_weight
+    FROM cum
+    WHERE cum_w >= total_w / 2
+    GROUP BY l_returnflag
+    """,
+)
+def a11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median per group: the smallest l_extendedprice whose
+    cumulative l_quantity weight reaches half the group's total — the
+    robust "typical price per shipped unit" statistic that a plain
+    median (each ROW weighted equally) misstates whenever quantity and
+    price correlate. Neither engine has a weighted-median builtin; the
+    cumulative-weight formulation is the standard distributed one.
+
+    Ordering ties are broken by (l_orderkey, l_linenumber) so the
+    running weight — and therefore the selected row — is fully
+    deterministic in both engines.
+
+    Scale: one composite sort-window per group partition plus a
+    trivial aggregate; partitions by l_returnflag (low cardinality —
+    at 100 TB swap in a higher-cardinality group key or pre-bucket by
+    (flag, price-range) and merge partial CDFs; the window itself is
+    sort-based, it spills rather than OOMs).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wcum).alias("cum_w"),
+        F.sum("l_quantity").over(wall).alias("total_w"),
+    )
+    return (
+        cum.filter(F.col("cum_w") >= F.col("total_w") / 2)
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("weighted_median"),
+            F.round(F.max("total_w"), 2).alias("total_weight"),
+        )
+    )
+
+
+@register(
+    "w08_cumulative_distinct",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+               ) = 1 THEN 1 ELSE 0 END AS first_seen
+        FROM events
+        WHERE user_id < 10
+    )
+    SELECT user_id, event_id,
+           CAST(sum(first_seen) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS types_seen_so_far
+    FROM flagged
+    """,
+)
+def w08_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an ordered stream — how many
+    distinct event types each user has produced as of every event.
+    Neither engine allows DISTINCT inside a running window frame; the
+    standard rewrite marks each (user, type)'s first occurrence with a
+    row_number window, then running-sums the 0/1 marks. Feature
+    engineering's "breadth of behavior so far" signal.
+
+    Scale: two sort-windows, the second's (user_id) partitioning a
+    prefix of the first's (user_id, event_type) — one exchange under
+    AQE; no distinct-state kept per frame (that rewrite is what makes
+    the query linear instead of quadratic in events-per-user).
+    """
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    wfirst = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(wfirst) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(wrun).alias("types_seen_so_far"),
+    )

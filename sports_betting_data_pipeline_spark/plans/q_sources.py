@@ -332,3 +332,105 @@ def src06_corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("good_total_price"),
     )
+
+
+@register(
+    "src07_text_roundtrip",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           min(doc_id) AS first_doc
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def src07_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source path (``spark.read.text`` — the format
+    raw LLM corpora actually arrive in): encode documents as
+    tab-delimited ``doc_id \\t lang \\t text`` lines, decode by
+    splitting each line back apart (split limit 3 so tabs inside text
+    would survive), and aggregate per language. Byte totals ride along
+    so any encode/decode mangling breaks the hash.
+
+    Scale: text files split by line ranges, so the read parallelizes
+    within files, not just across them; like CSV this is the edge
+    format you land into parquet once. The split/cast happens JVM-side
+    (``split``/``element_at``), no Python in the decode.
+    """
+    path = _scratch(sf_dir, "documents_txt")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        F.concat_ws("\t", F.col("doc_id"), F.col("lang"), F.col("text")).alias(
+            "value"
+        )
+    ).write.mode("overwrite").text(path)
+    back = (
+        spark.read.text(path)
+        .select(F.split("value", "\t", 3).alias("parts"))
+        .select(
+            F.element_at("parts", 1).cast("long").alias("doc_id"),
+            F.element_at("parts", 2).alias("lang"),
+            F.element_at("parts", 3).alias("text"),
+        )
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length("text")).alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "src08_binaryfile_source",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def src08_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-asset ingestion via Spark's ``binaryFile`` source — the
+    entry point every multimodal pipeline (m01-m04) starts from when
+    assets live as loose files in object storage rather than packed
+    parquet. Documents doc_id<100 are materialized as one ``.bin``
+    file each (executor-side ``foreachPartition`` writes — the edge
+    sink is distributed, nothing funnels through the driver), then
+    read back through ``binaryFile``; doc identity is recovered from
+    the path, and content md5 + byte length pin fidelity.
+
+    Scale: binaryFile lists files in parallel and maps one file per
+    row with the content as a single binary cell — the pattern is
+    list → read → immediately land as parquet-with-binary-column
+    (m-family shape), because a 100 TB corpus of loose small files is
+    a namespace bottleneck; this query is that landing step.
+    """
+    path = _scratch(sf_dir, "documents_bin")
+    os.makedirs(path, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def write_part(rows):
+        for r in rows:
+            fname = os.path.join(path, f"doc_{r['doc_id']:06d}.bin")
+            with open(fname + ".tmp", "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+            os.replace(fname + ".tmp", fname)
+
+    docs.select("doc_id", "text").foreachPartition(write_part)
+    back = spark.read.format("binaryFile").option(
+        "pathGlobFilter", "*.bin"
+    ).load(path)
+    return back.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

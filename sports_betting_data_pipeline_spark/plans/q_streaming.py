@@ -527,3 +527,48 @@ def pl04_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         agg, "pl04_pipeline", output_mode="append", state_partitions=4
     )
+
+
+@register(
+    "st13_threshold_alerts",
+    oracle="""
+    WITH cum AS (
+        SELECT user_id, event_id,
+               sum(coalesce(value, 0.0)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS rn
+        FROM events
+    ),
+    crossed AS (
+        SELECT user_id, event_id, cum, rn,
+               row_number() OVER (PARTITION BY user_id ORDER BY rn) AS pick
+        FROM cum
+        WHERE cum >= 1500.0
+    )
+    SELECT user_id,
+           event_id AS alert_event_id,
+           round(cum, 2) AS cum_value,
+           CAST(rn AS BIGINT) AS n_events_before
+    FROM crossed
+    WHERE pick = 1
+    """,
+)
+def st13_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful first-crossing alert: one row per user at the first
+    event where their running value total reaches 1500 — push-based
+    exposure alerting with O(users) state (two scalars per key), the
+    streaming upgrade of the reference's poll-the-balance loop.
+    Drained with availableNow the alert set equals the batch
+    first-row-over-threshold window query."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        threshold_alerts,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(
+        threshold_alerts(stream), "st13_alerts", output_mode="update"
+    )

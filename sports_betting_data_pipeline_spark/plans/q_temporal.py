@@ -275,3 +275,121 @@ def ts02_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "ts03_twap",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, event_type, value,
+               epoch_us(lead(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               )) - epoch_us(ts) AS dur_us
+        FROM events
+        WHERE user_id < 20
+    )
+    SELECT user_id, event_type,
+           round(sum(value * dur_us) / sum(dur_us), 4) AS twap,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM seg
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id, event_type
+    """,
+)
+def ts03_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP) per (user, event type): each
+    observation is weighted by how long it remained the current value
+    (duration to the next event in the same series). The canonical
+    irregular-time-series average — a plain AVG over-weights bursts —
+    and the shape an odds/price feed needs (the reference's odds stream
+    carries irregular updates, src/mm_calls.py handlers).
+
+    The last observation of each series has no successor and is
+    excluded (open-ended interval), matching the standard
+    left-closed-segment TWAP definition.
+
+    Scale: one window (lead) and one aggregate, both keyed on the SAME
+    composite (user_id, event_type) — AQE reuses a single exchange; no
+    single-partition window anywhere. Durations are integer
+    microseconds so weights are engine-exact; only the final division
+    is floating point.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seg = events.select(
+        "user_id",
+        "event_type",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    )
+    return (
+        seg.filter(F.col("dur_us").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4).alias(
+                "twap"
+            ),
+            F.count(F.lit(1)).alias("n_segments"),
+        )
+    )
+
+
+@register(
+    "ts04_ewma",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT user_id,
+           CAST(max(n) AS BIGINT) AS n_obs,
+           round(sum(CASE WHEN rn = 1 THEN power(0.7, n - 1)
+                          ELSE 0.3 * power(0.7, n - rn) END * value), 4)
+               AS ewma
+    FROM ordered
+    GROUP BY user_id
+    """,
+)
+def ts04_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=0.3) of each
+    user's purchase values, reported at the final observation.
+
+    The recursion ``ewma_i = a*x_i + (1-a)*ewma_{i-1}`` (seeded
+    ``ewma_1 = x_1``) is re-expressed in closed form as a weighted sum
+    — ``x_i`` contributes ``a*(1-a)^(n-i)`` (the seed ``(1-a)^(n-1)``)
+    — so a sequential per-row loop becomes ONE window + ONE partial-agg
+    sum, fully parallel and oracle-checkable.
+
+    Scale: no iterative state and no per-row Python; the row_number
+    window and the final groupBy share the user_id partitioning. The
+    geometric weights underflow to 0 beyond ~700 observations back
+    (double precision), which is exactly EWMA's forgetting property —
+    numerically identical to the recursive form at any series length.
+    """
+    from pyspark.sql.window import Window
+
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wp = Window.partitionBy("user_id")
+    ordered = events.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(0.7), F.col("n") - 1)
+    ).otherwise(F.lit(0.3) * F.pow(F.lit(0.7), F.col("n") - F.col("rn")))
+    return ordered.groupBy("user_id").agg(
+        F.max("n").alias("n_obs"),
+        F.round(F.sum(weight * F.col("value")), 4).alias("ewma"),
+    )

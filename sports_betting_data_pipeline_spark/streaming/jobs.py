@@ -700,3 +700,69 @@ def ohlc_candles(events: DataFrame, width_us: int = 21600000000) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+def threshold_alerts(events: DataFrame, threshold: float = 1500.0) -> DataFrame:
+    """Stateful first-crossing alert: per user, emit exactly ONE row at
+    the first event where the running value total reaches ``threshold``
+    — the "bankroll exposure breached" alert a live wagering pipeline
+    fires (the reference's balance checks, mm_calls.py, are
+    poll-per-loop; this is the push-based streaming version).
+
+    State per user is (cumulative_sum, alerted) — two scalars, so the
+    store stays O(users) forever. Each microbatch sorts its group rows
+    by (ts, event_id) before accumulating, making the crossing point
+    deterministic regardless of Arrow batch order; once alerted, later
+    batches short-circuit without emitting. Drained with availableNow
+    the alert set equals the batch "first row whose running sum >= T"
+    window query, which is what the oracle checks.
+    """
+    import pandas as pd  # executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("alert_event_id", T.LongType()),
+            T.StructField("cum_value", T.DoubleType()),
+            T.StructField("n_events_before", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("cum", T.DoubleType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("alerted", T.BooleanType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        cum, n, alerted = state.get if state.exists else (0.0, 0, False)
+        rows = [pdf for pdf in pdf_iter]
+        if alerted:
+            state.update((cum, n, True))
+            return
+        pdf = pd.concat(rows).sort_values(["ts", "event_id"])
+        for eid, v in zip(pdf["event_id"], pdf["value"].fillna(0.0)):
+            cum += float(v)
+            n += 1
+            if cum >= threshold:
+                state.update((cum, n, True))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "alert_event_id": [int(eid)],
+                        "cum_value": [round(cum, 2)],
+                        "n_events_before": [n],
+                    }
+                )
+                return
+        state.update((cum, n, False))
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
