@@ -2643,3 +2643,88 @@ def l44_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@register(
+    "l45_hashed_features",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+        WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST((('0x' || left(md5(tok), 8))::BIGINT % 16) AS BIGINT)
+               AS bucket,
+           count(*) AS tf
+    FROM toks
+    GROUP BY 1, 2
+    """,
+)
+def l45_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick feature vectorizer (the HashingVectorizer /
+    feature-hashing step in front of any linear model or LSH stage):
+    each token is hashed into one of 16 buckets and the per-doc bucket
+    term frequencies form the fixed-width sparse feature vector — no
+    vocabulary build, no dictionary broadcast, unbounded vocab at
+    constant memory. Output stays EXPLODED as (doc_id, bucket, tf)
+    rows rather than an array column — the relational form downstream
+    joins consume, and the form the driver's canonicalizer can hash
+    (the a07 lesson).
+
+    The bucket hash is md5-derived (first 8 hex chars → uint32 → mod
+    n_buckets), the engine-portable idiom f06/f08 established, so the
+    oracle computes bit-identical buckets.
+
+    Scale: explode → one map-side-combined count shuffle keyed
+    (doc_id, bucket); everything JVM-side. n_buckets trades collision
+    rate for width — production uses 2^18+, the catalog uses 16 so
+    collisions are actually exercised.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 16
+    ).alias("bucket")
+    return toks.groupBy("doc_id", bucket).agg(F.count(F.lit(1)).alias("tf"))
+
+
+@register(
+    "m05_audio_frame_energy",
+    oracle="""
+    WITH samples AS (
+        SELECT d.doc_id,
+               gs.g // 16 AS frame_idx,
+               (d.doc_id * (gs.g + 1)) % 7 - 3 AS amp
+        FROM (SELECT doc_id FROM documents WHERE doc_id < 20) d,
+             generate_series(0, 63) AS gs(g)
+    )
+    SELECT doc_id AS asset_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           round(sqrt(sum(amp * amp) / 16.0), 6) AS rms,
+           CAST(max(abs(amp)) AS BIGINT) AS peak
+    FROM samples
+    GROUP BY 1, 2
+    """,
+)
+def m05_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction through a REAL codec: a
+    varying int16 signal per document is WAV-encoded, decoded back,
+    and segmented into 4×16-sample frames whose RMS energy and
+    absolute peak are emitted per frame — the VAD/loudness feature
+    pass (the step after m03's whole-file roundtrip). Integer-exact
+    amplitudes keep the decode hash-checked against a generate_series
+    oracle that recomputes the signal arithmetically."""
+    from sports_betting_data_pipeline_spark.functions.multimodal import (
+        audio_frame_energy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return audio_frame_energy(docs).select(
+        "asset_id",
+        "frame_idx",
+        F.round("rms", 6).alias("rms"),
+        "peak",
+    )

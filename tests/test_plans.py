@@ -171,6 +171,8 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  # real-codec WAV/BMP synth+decode roundtrips (mapInPandas)
                  "m03_audio_roundtrip", "m04_image_roundtrip",
+                 # frame-level RMS/peak over decoded PCM (mapInPandas)
+                 "m05_audio_frame_energy",
                  "st06_stateful_user_stats", "st13_threshold_alerts",
                  "l16_grouped_zscore"}
     problems = []
