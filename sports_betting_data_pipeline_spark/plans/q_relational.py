@@ -1889,3 +1889,257 @@ def pl05_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("test")
         ).alias("split"),
     )
+
+
+@register(
+    "dq01_expectations_report",
+    oracle="""
+    SELECT 'orders_pk_unique' AS check_name,
+           count(*) AS n_checked,
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_failed
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem_fk_orders', count(*),
+           CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT)
+    FROM lineitem LEFT JOIN orders ON o_orderkey = l_orderkey
+    UNION ALL
+    SELECT 'lineitem_quantity_le_45', count(*),
+           CAST(count(*) FILTER (l_quantity > 45) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'events_value_ge_1', count(*),
+           CAST(count(*) FILTER (coalesce(value, 0.0) < 1.0) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'events_props_has_k', count(*),
+           CAST(count(*) FILTER (json_extract(props, '$.k') IS NULL) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'customer_acctbal_nonneg', count(*),
+           CAST(count(*) FILTER (c_acctbal < 0) AS BIGINT)
+    FROM customer
+    """,
+)
+def dq01_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality EXPECTATIONS report (the Deequ/Great-Expectations
+    shape): one pass per constraint class — primary-key uniqueness,
+    referential integrity (lineitem→orders via a left join's
+    null-side count), numeric range policies, JSON well-formedness,
+    and sign constraints — each emitted as (check, n_checked,
+    n_failed). The gate a production pipeline runs BEFORE publishing
+    a partition; mixed zero and nonzero failure counts here prove the
+    checks actually discriminate.
+
+    Scale: every check is a partial-aggregable conditional count —
+    full scans but one shuffled row each; the FK check is the only
+    join and AQE plans it broadcast when the PK side is small, SMJ
+    when it is not (both sides stay prunable to their key columns).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def one(name, df, n_failed_col):
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_checked"),
+            n_failed_col.cast("long").alias("n_failed"),
+        ).select("check_name", "n_checked", "n_failed")
+
+    pk = one(
+        "orders_pk_unique",
+        orders,
+        F.count(F.lit(1)) - F.count_distinct("o_orderkey"),
+    )
+    fk = one(
+        "lineitem_fk_orders",
+        li.join(
+            orders.select("o_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left",
+        ),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1)),
+    )
+    qty = one(
+        "lineitem_quantity_le_45", li, F.count(F.when(F.col("l_quantity") > 45, 1))
+    )
+    val = one(
+        "events_value_ge_1",
+        events,
+        F.count(F.when(F.coalesce(F.col("value"), F.lit(0.0)) < 1.0, 1)),
+    )
+    props = one(
+        "events_props_has_k",
+        events,
+        F.count(F.when(F.get_json_object("props", "$.k").isNull(), 1)),
+    )
+    bal = one(
+        "customer_acctbal_nonneg",
+        customer,
+        F.count(F.when(F.col("c_acctbal") < 0, 1)),
+    )
+    return pk.unionByName(fk).unionByName(qty).unionByName(val).unionByName(
+        props
+    ).unionByName(bal)
+
+
+@register(
+    "c10_map_functions",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) FILTER (json_extract(props, '$.k') IS NOT NULL)
+                AS BIGINT) AS n_with_k,
+           CAST(count(*) AS BIGINT) AS n_total,
+           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+               AS avg_k,
+           CAST(max(len(json_keys(props))) AS BIGINT) AS max_keys
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def c10_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props into a ``map<string,
+    string>`` and operate on it AS a map — key membership
+    (``map_contains_key``), value access (``element_at``), and
+    cardinality (``size``/``map_keys``) — the semi-structured column
+    shape for payloads whose keys are NOT known at schema time (c07's
+    typed struct extract is the known-key sibling).
+
+    Scale: ``from_json`` to map, aggregation, everything JVM-side in
+    one map-side-combined shuffle; no schema inference pass.
+    """
+    events = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,string>")
+    return (
+        events.select("event_type", m.alias("pm"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.map_contains_key("pm", "k"), 1)).alias("n_with_k"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(
+                F.avg(F.element_at("pm", "k").cast("double")), 6
+            ).alias("avg_k"),
+            F.max(F.size(F.map_keys("pm"))).cast("long").alias("max_keys"),
+        )
+    )
+
+
+@register(
+    "j08_full_outer_reconciliation",
+    oracle="""
+    WITH spend AS (
+        SELECT user_id AS k, round(sum(value), 2) AS event_spend
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    bal AS (
+        SELECT c_custkey AS k, round(sum(c_acctbal), 2) AS balance
+        FROM customer GROUP BY 1
+    )
+    SELECT coalesce(s.k, b.k) AS entity_key,
+           s.event_spend,
+           b.balance,
+           s.k IS NOT NULL AS has_activity,
+           b.k IS NOT NULL AS has_account,
+           round(coalesce(s.event_spend, 0.0) - coalesce(b.balance, 0.0), 2)
+               AS net_position
+    FROM spend s FULL OUTER JOIN bal b ON s.k = b.k
+    """,
+)
+def j08_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation — the ledger-vs-activity audit: every
+    entity from EITHER side appears once, with presence flags and the
+    coalesced net position. Accounts with no activity and (were they
+    to exist) activity with no account both surface instead of
+    silently dropping — the join type the audit query needs and the
+    rest of the catalog (inner/left/semi/anti) doesn't cover.
+
+    Scale: both inputs pre-aggregate to one row per key BEFORE the
+    join, so the full-outer shuffle carries |keys|, not |facts|; a
+    full outer join cannot broadcast (both sides must be complete),
+    so co-partitioning the two aggregates on the key is exactly what
+    the engine's single exchange per side does.
+    """
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    spend = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.round(F.sum("value"), 2).alias("event_spend"))
+    )
+    bal = customer.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("balance")
+    )
+    s, b = spend.alias("s"), bal.alias("b")
+    return s.join(b, F.col("s.k") == F.col("b.k"), "full_outer").select(
+        F.coalesce(F.col("s.k"), F.col("b.k")).alias("entity_key"),
+        F.col("s.event_spend"),
+        F.col("b.balance"),
+        F.col("s.k").isNotNull().alias("has_activity"),
+        F.col("b.k").isNotNull().alias("has_account"),
+        F.round(
+            F.coalesce(F.col("s.event_spend"), F.lit(0.0))
+            - F.coalesce(F.col("b.balance"), F.lit(0.0)),
+            2,
+        ).alias("net_position"),
+    )
+
+
+@register(
+    "scd01_dimension_history",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, 'PROMOTED' AS seg
+        FROM customer WHERE c_custkey % 10 = 3
+        UNION ALL
+        SELECT c_custkey, c_mktsegment
+        FROM customer WHERE c_custkey % 10 = 7
+        UNION ALL
+        SELECT c_custkey + 100000, 'NEWCOMER'
+        FROM customer WHERE c_custkey < 5
+    )
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           DATE '1970-01-01' AS valid_from,
+           CASE WHEN u.c_custkey IS NOT NULL AND u.seg <> c.c_mktsegment
+                THEN DATE '2024-02-01' END AS valid_to,
+           NOT (u.c_custkey IS NOT NULL AND u.seg <> c.c_mktsegment)
+               AS is_current
+    FROM customer c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+    UNION ALL
+    SELECT u.c_custkey, u.seg, DATE '2024-02-01', NULL, TRUE
+    FROM upd u LEFT JOIN customer c ON c.c_custkey = u.c_custkey
+    WHERE c.c_custkey IS NULL OR u.seg <> c.c_mktsegment
+    """,
+)
+def scd01_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge (operators/scd.py): an
+    update batch — segment promotions, no-op re-sends, and brand-new
+    keys — applied to the customer dimension, producing the history
+    table with closed/open versions and ``is_current`` flags. The
+    lakehouse MERGE shape, expressed as one full-outer join + a
+    conditional union so it needs no transactional MERGE support.
+    The no-op re-send rows (same segment re-delivered) must NOT open
+    a new version — change detection, not mere presence, drives the
+    close/open.
+
+    Scale: one co-partitioned full-outer join on the business key and
+    a union; history grows by |changed|, never |dim|."""
+    from sports_betting_data_pipeline_spark.operators.scd import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    dim = customer.select("c_custkey", "c_mktsegment")
+    upd = (
+        dim.filter(F.col("c_custkey") % 10 == 3)
+        .select("c_custkey", F.lit("PROMOTED").alias("c_mktsegment"))
+        .unionByName(dim.filter(F.col("c_custkey") % 10 == 7))
+        .unionByName(
+            dim.filter(F.col("c_custkey") < 5).select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"),
+                F.lit("NEWCOMER").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_apply(
+        dim, upd, "c_custkey", ["c_mktsegment"], effective="2024-02-01"
+    )

@@ -403,3 +403,28 @@ def test_exact_quantile_cuts_matches_builtin(spark, sf_dir):
         ).alias("qs")
     ).collect()[0]["qs"]
     assert mine == ref, (mine, ref)
+
+
+def test_scd2_apply_semantics(spark):
+    # Four key fates in one batch: changed (close+open), no-op resend
+    # (pass through open, no new version), untouched (pass through),
+    # brand new (open at effective).
+    from sports_betting_data_pipeline_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A"), (2, "B"), (3, "C")], ["k", "seg"]
+    )
+    upd = spark.createDataFrame(
+        [(1, "Z"), (2, "B"), (9, "N")], ["k", "seg"]
+    )
+    rows = {
+        (r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+        for r in scd2_apply(dim, upd, "k", ["seg"], "2024-02-01").collect()
+    }
+    assert rows == {
+        (1, "A", "1970-01-01", "2024-02-01", False),
+        (1, "Z", "2024-02-01", "None", True),
+        (2, "B", "1970-01-01", "None", True),
+        (3, "C", "1970-01-01", "None", True),
+        (9, "N", "2024-02-01", "None", True),
+    }, rows
