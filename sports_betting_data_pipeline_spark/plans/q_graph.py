@@ -64,6 +64,36 @@ _ORACLE = (
 )
 
 
+def _trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_nation, dst_nation, rev) trade-flow edge table: one pass
+    over lineitem. orders↔lineitem is fact-fact (AQE picks the
+    strategy; at 100 TB both sides bucket on the orderkey);
+    customer/supplier are true dims and broadcast explicitly."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    supplier = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    return (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+
+
 @register("g01_nation_pagerank", oracle=_ORACLE)
 def g01_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank (d=0.85, 5 iterations) over the international
@@ -87,30 +117,8 @@ def g01_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a partitioned join + checkpoint every few iterations (the
     l21/l22 Pregel loop already demonstrates that shape).
     """
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    customer = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_nationkey"
-    )
-    supplier = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
-    )
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-
-    # orders↔lineitem is fact-fact (AQE picks the strategy; at 100 TB
-    # both sides bucket on the orderkey); customer/supplier are true
-    # dims and broadcast explicitly.
-    flows = (
-        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
-        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
-        .groupBy(
-            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
-        )
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
-    )
+    flows = _trade_flows(spark, sf_dir)
     from pyspark.sql.window import Window
 
     edges = flows.select(
@@ -139,3 +147,95 @@ def g01_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(F.broadcast(nation), ["n_nationkey"]).select(
         "n_nationkey", "n_name", F.round("pr", 6).alias("pagerank")
     )
+
+
+_FLOWS_SQL = """
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        GROUP BY 1, 2
+"""
+
+
+@register(
+    "g02_khop_reachability",
+    oracle=f"""
+    WITH flows AS ({_FLOWS_SQL}),
+    ranked AS (
+        SELECT src, dst,
+               row_number() OVER (
+                   PARTITION BY src ORDER BY rev DESC, dst
+               ) AS rn
+        FROM flows
+        WHERE src <> dst
+    ),
+    edges AS (SELECT src, dst FROM ranked WHERE rn <= 3),
+    paths AS (
+        SELECT 0 AS node, 0 AS hop
+        UNION ALL
+        SELECT dst, 1 FROM edges WHERE src = 0
+        UNION ALL
+        SELECT e2.dst, 2
+        FROM edges e1 JOIN edges e2 ON e2.src = e1.dst
+        WHERE e1.src = 0
+        UNION ALL
+        SELECT e3.dst, 3
+        FROM edges e1
+        JOIN edges e2 ON e2.src = e1.dst
+        JOIN edges e3 ON e3.src = e2.dst
+        WHERE e1.src = 0
+    )
+    SELECT p.node, n.n_name, CAST(min(p.hop) AS BIGINT) AS hop
+    FROM paths p JOIN nation n ON n.n_nationkey = p.node
+    GROUP BY 1, 2
+    """,
+)
+def g02_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first k-hop reachability (≤3 hops) from nation 0 over
+    the SPARSIFIED trade graph — each nation keeps only its top-3
+    trading partners by revenue (self-loops dropped), the
+    sparsification every real supply-chain/fraud graph applies before
+    traversal. Emits each reachable nation's minimum hop distance.
+
+    The BFS runs as frontier join-aggregate iterations in the driver
+    loop (min-hop reduction each step — the Pregel shape l21/l22 use,
+    here over broadcast-size frontiers); the oracle unrolls the same
+    3 levels as explicit path joins and takes min(hop), which is
+    equivalent because BFS hop IS the shortest path length.
+
+    Scale: the heavy work is the one-pass edge aggregation; each BFS
+    step then joins a ≤|V| frontier against the top-3-pruned edge
+    table (≤3|V| rows) — broadcast-size at any corpus scale where
+    |V| is entities, and checkpoint-per-iteration (l21's loop) when
+    it is not.
+    """
+    from pyspark.sql.window import Window
+
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    flows = _trade_flows(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    w = Window.partitionBy("src").orderBy(F.desc("rev"), F.asc("dst"))
+    edges = (
+        flows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+        .cache()
+    )
+    hops = nation.filter(F.col("n_nationkey") == 0).select(
+        F.col("n_nationkey").alias("node"), F.lit(0).alias("hop")
+    )
+    for k in range(1, 4):
+        frontier = hops.filter(F.col("hop") == k - 1)
+        nxt = frontier.join(
+            edges, F.col("src") == F.col("node")
+        ).select(F.col("dst").alias("node"), F.lit(k).alias("hop"))
+        hops = (
+            hops.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hop").alias("hop"))
+        )
+    return hops.join(
+        F.broadcast(nation), F.col("n_nationkey") == F.col("node")
+    ).select("node", "n_name", F.col("hop").cast("long").alias("hop"))

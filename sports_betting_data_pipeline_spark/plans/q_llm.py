@@ -2728,3 +2728,87 @@ def m05_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rms", 6).alias("rms"),
         "peak",
     )
+
+
+@register(
+    "l46_knn_classify",
+    oracle="""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+               label AS true_label
+        FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+        SELECT vec_id, embedding, label
+        FROM embeddings WHERE vec_id >= 20
+    ),
+    sims AS (
+        SELECT q.query_id, c.vec_id, c.label,
+               list_cosine_similarity(c.embedding::DOUBLE[], q.qv) AS sim
+        FROM c, q
+    ),
+    topk AS (
+        SELECT query_id, label FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY sim DESC, vec_id
+            ) AS rnk
+            FROM sims
+        ) WHERE rnk <= 10
+    ),
+    votes AS (
+        SELECT query_id, label, count(*) AS n
+        FROM topk GROUP BY 1, 2
+    )
+    SELECT v.query_id,
+           q.true_label,
+           v.label AS predicted_label,
+           CAST(v.n AS BIGINT) AS votes
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY n DESC, label
+        ) AS pick
+        FROM votes
+    ) v
+    JOIN q ON q.query_id = v.query_id
+    WHERE v.pick = 1
+    """,
+)
+def l46_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification (k=10, majority vote) — the serving-
+    side use of the ANN index family: held-out vectors (vec_id < 20)
+    are classified by their nearest labeled neighbors' majority label,
+    deterministic tiebreak on (votes desc, label asc). The true label
+    rides along so downstream accuracy is one filter away.
+
+    Scale: candidate generation is l10's broadcast-queries × corpus
+    pass (swap in the IVF/PQ index for 100 TB — same downstream vote
+    shape); the vote is a tiny (queries × labels) aggregate + one
+    WindowGroupLimit argmax.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("true_label"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    topk = brute_force_topk(corpus, queries, k=10)
+    votes = (
+        topk.join(
+            F.broadcast(corpus.select("vec_id", "label")), "vec_id"
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .join(F.broadcast(queries.select("query_id", "true_label")), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            F.col("label").alias("predicted_label"),
+            F.col("n").alias("votes"),
+        )
+    )

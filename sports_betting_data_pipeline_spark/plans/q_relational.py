@@ -2143,3 +2143,120 @@ def scd01_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         dim, upd, "c_custkey", ["c_mktsegment"], effective="2024-02-01"
     )
+
+
+@register(
+    "w09_rank_statistics",
+    oracle="""
+    SELECT s_nationkey, s_suppkey,
+           CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank,
+           round(percent_rank() OVER w, 6) AS bal_percent_rank,
+           round(cume_dist() OVER w, 6) AS bal_cume_dist
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def w09_rank_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-statistic window family the catalog hadn't pinned yet:
+    dense_rank (no gaps), percent_rank ((r-1)/(n-1) — the normalized
+    score feature engineering uses), and cume_dist (empirical CDF) in
+    one windowed pass per nation.
+
+    Scale: one sort-window partitioned by nation; all three statistics
+    share the single sort."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    return supplier.select(
+        "s_nationkey",
+        "s_suppkey",
+        F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        F.round(F.percent_rank().over(w), 6).alias("bal_percent_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
+
+
+@register(
+    "r05_pivot_multi_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (l_linestatus = 'F') AS BIGINT) AS f_n,
+           round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'F'), 0.0), 2)
+               AS f_qty,
+           CAST(count(*) FILTER (l_linestatus = 'O') AS BIGINT) AS o_n,
+           round(coalesce(sum(l_quantity) FILTER (l_linestatus = 'O'), 0.0), 2)
+               AS o_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def r05_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with MULTIPLE aggregates per pivot value (count + sum per
+    line status) — r03 pins the single-agg pivot; this pins the
+    multi-measure wide report. Pivot values are declared explicitly
+    so no distinct-value discovery pass runs.
+
+    Scale: a pivot with declared values compiles to exactly the
+    conditional-aggregate form the oracle writes out — one map-side-
+    combined shuffle, measures × values columns out."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pivoted = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias("qty"),
+        )
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.col("F_n").alias("f_n"),
+        F.col("F_qty").alias("f_qty"),
+        F.col("O_n").alias("o_n"),
+        F.col("O_qty").alias("o_qty"),
+    )
+
+
+@register(
+    "sql02_cte_window_sql",
+    oracle="""
+    WITH nation_rev AS (
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        GROUP BY n.n_name
+    )
+    SELECT n_name, revenue,
+           CAST(rank() OVER (ORDER BY revenue DESC) AS BIGINT) AS rev_rank,
+           round(100.0 * revenue / sum(revenue) OVER (), 4) AS rev_share_pct
+    FROM nation_rev
+    """,
+)
+def sql02_cte_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-SQL surface #2: CTE + window-over-aggregate (rank and
+    share-of-total) submitted as ONE SQL string over registered temp
+    views — the ad-hoc analyst path. sql01 pins joins/grouping; this
+    pins CTEs and unpartitioned windows OVER A TINY AGGREGATE (25
+    rows — the only place a global window is acceptable).
+    """
+    for t in ("lineitem", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        WITH nation_rev AS (
+            SELECT n.n_name,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON n.n_nationkey = s.s_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT n_name, revenue,
+               CAST(rank() OVER (ORDER BY revenue DESC) AS BIGINT) AS rev_rank,
+               round(100.0 * revenue / sum(revenue) OVER (), 4)
+                   AS rev_share_pct
+        FROM nation_rev
+        """
+    )
