@@ -2812,3 +2812,61 @@ def l46_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("votes"),
         )
     )
+
+
+@register(
+    "l47_classifier_filter",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               (('0x' || left(md5(tok), 8))::BIGINT % 16) AS bucket,
+               count(*) AS tf
+        FROM toks GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT f.doc_id,
+               CAST(sum(f.tf * ((('0x' || left(md5(CAST(f.bucket AS VARCHAR)),
+                                      8))::BIGINT % 21) - 10)) AS BIGINT)
+                   AS score
+        FROM feats f GROUP BY 1
+    )
+    SELECT doc_id, score, score > 0 AS kept FROM scored
+    """,
+)
+def l47_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier filtering — the fastText/linear-classifier
+    gate of CCNet/LLaMA-style corpus pipelines: hash each token into
+    l45's 16 feature buckets, score every document with a fixed
+    linear model over its bucket term frequencies, keep score > 0.
+    Weights here are md5-derived INTEGERS (a stand-in for trained
+    weights with the same plan shape), which makes the whole
+    score — tf × weight sums — integer-exact and therefore
+    hash-checkable with zero float-boundary risk on the keep/drop
+    decision, the part that actually matters.
+
+    Scale: explode → two map-side-combined aggregates ((doc, bucket)
+    tf, then per-doc score); the "model" is pure arithmetic on the
+    bucket id, so no weight-vector broadcast is even needed (a real
+    trained model is a ≤2^18-row broadcast join). No Python anywhere.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    bucket = (
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 16
+    ).alias("bucket")
+    feats = toks.groupBy("doc_id", bucket).agg(F.count(F.lit(1)).alias("tf"))
+    weight = (
+        F.conv(
+            F.substring(F.md5(F.col("bucket").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        % 21
+        - 10
+    )
+    scored = feats.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * weight).alias("score")
+    )
+    return scored.select("doc_id", "score", (F.col("score") > 0).alias("kept"))

@@ -2260,3 +2260,108 @@ def sql02_cte_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM nation_rev
         """
     )
+
+
+@register(
+    "a12_trend_regression",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(regr_count(o_totalprice,
+                           date_diff('day', DATE '1995-01-01',
+                                     CAST(o_orderdate AS DATE))) AS BIGINT)
+               AS n_orders,
+           round(regr_slope(o_totalprice,
+                            date_diff('day', DATE '1995-01-01',
+                                      CAST(o_orderdate AS DATE))), 4)
+               AS usd_per_day,
+           round(regr_intercept(o_totalprice,
+                                date_diff('day', DATE '1995-01-01',
+                                          CAST(o_orderdate AS DATE))), 2)
+               AS baseline_usd,
+           round(regr_r2(o_totalprice,
+                         date_diff('day', DATE '1995-01-01',
+                                   CAST(o_orderdate AS DATE))), 6)
+               AS r2
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def a12_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment order-value TREND via the SQL:2003 linear-regression
+    aggregates — slope (dollars/day), intercept, and R² of
+    o_totalprice against order date, per market segment. The
+    closed-form OLS every metric dashboard fits, computed as
+    partial-aggregable moments (no iterative solver, no collect).
+
+    Scale: one broadcast dim join + one map-side-combined shuffle;
+    the regression aggregates are sums/cross-moments with partial
+    forms, so the fit costs exactly what a SUM costs.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    x = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast(
+        "double"
+    )
+    y = F.col("o_totalprice")
+    return (
+        orders.join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.regr_count(y, x).alias("n_orders"),
+            F.round(F.regr_slope(y, x), 4).alias("usd_per_day"),
+            F.round(F.regr_intercept(y, x), 2).alias("baseline_usd"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+    )
+
+
+@register(
+    "a13_equiwidth_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM orders
+    )
+    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)), 9)
+                AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(min(o_totalprice), 2) AS bucket_min,
+           round(max(o_totalprice), 2) AS bucket_max
+    FROM orders, bounds
+    GROUP BY 1
+    """,
+)
+def a13_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-WIDTH histogram (a08's equi-height sibling): 10 fixed-width
+    buckets spanning [min, max], top bucket closed. The distribution
+    profile a first-look data audit draws; bucket arithmetic is the
+    identical float expression on both engines so boundaries are
+    bit-exact.
+
+    Scale: pass 1 is a 2-scalar (min, max) aggregate broadcast as a
+    1-row join; pass 2 buckets map-side and shuffles 10 rows. Same
+    two-pass scan-heavy/shuffle-light shape as a08 without the
+    quantile machinery.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bounds = orders.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    bucket = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            / ((F.col("hi") - F.col("lo")) / 10.0)
+        ),
+        F.lit(9),
+    ).cast("long")
+    return (
+        orders.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.min("o_totalprice"), 2).alias("bucket_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
+        )
+    )

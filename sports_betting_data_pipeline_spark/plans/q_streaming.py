@@ -572,3 +572,65 @@ def st13_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         threshold_alerts(stream), "st13_alerts", output_mode="update"
     )
+
+
+@register(
+    "st14_stream_lake_landing",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS total_value,
+           count(DISTINCT event_id) AS n_distinct_ids
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def st14_stream_lake_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LAKE LANDING: the event stream written by the
+    streaming engine itself into Hive-partitioned parquet (the
+    exactly-once file sink — Spark's transaction log in the checkpoint
+    records committed files, so replays never double-land a batch),
+    then read back as a BATCH table and aggregated. n_distinct_ids
+    rides along so any double-landing would break the hash even where
+    counts happened to collide.
+
+    This is the architecture seam every production pipeline has —
+    stream in, columnar lake out, batch analytics over the landed
+    table — exercised end to end: file-sink commit protocol,
+    partitionBy on the landing write, partition discovery on the
+    read-back.
+
+    Scale: the landing write is stateless append (no state store);
+    partitioning by event_type keeps the read-back prunable. Landing
+    + checkpoint dirs are wiped per call so the query is
+    deterministic; a production landing keeps them, which is exactly
+    how the sink achieves exactly-once across restarts (pinned by the
+    restart test in tests/test_streaming.py).
+    """
+    import os
+    import shutil
+
+    from sports_betting_data_pipeline_spark.plans.q_sources import _scratch
+
+    out = _scratch(sf_dir, "st14_lake")
+    ckpt = _scratch(sf_dir, "st14_ckpt")
+    for d in (out, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .partitionBy("event_type")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.count_distinct("event_id").alias("n_distinct_ids"),
+    )

@@ -135,6 +135,8 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
     # centroid assignment), Arrow-Python only in the multimodal
     # queries whose whole point is a pandas UDF.
     BNLJ_OK = {"l10_ann_bruteforce", "l13_ann_ivf",
+               # kNN classify rides l10's broadcast-queries × corpus pass
+               "l46_knn_classify",
                # same centroid-assignment crossJoin as l13, trained cells
                "l23_ann_ivf_kmeans",
                # IVF-PQ: same C-row centroid-assignment crossJoin
@@ -167,7 +169,9 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                # scoring pass (index-pruned candidates at scale)
                "pl03_hybrid_retrieval",
                # 1-row broadcast scalar (keyspace mean/total counts)
-               "a10_skew_report"}
+               "a10_skew_report",
+               # 1-row broadcast scalar (the min/max bounds pair)
+               "a13_equiwidth_histogram"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  # real-codec WAV/BMP synth+decode roundtrips (mapInPandas)
                  "m03_audio_roundtrip", "m04_image_roundtrip",

@@ -390,3 +390,53 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     # (5 rows) is excluded, and W0 never appears twice
     assert len(w0_rows) == 1
     assert w0_rows[0]["n"] == 10
+
+
+def test_file_stream_restart_lands_only_new_files(spark, sf_dir, tmp_path):
+    """Exactly-once ACROSS RESTARTS with new data arriving in between:
+    drain half the events to a parquet landing, stop, drop the second
+    half into the source dir, restart against the SAME checkpoint.
+    The source's file log must skip the already-processed file and
+    the sink's commit log must not re-land it — total rows equal the
+    full table with every event_id exactly once."""
+    from pyspark.sql import functions as F
+
+    from sports_betting_data_pipeline_spark.io import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    n_total = events.count()
+    src = tmp_path / "src"
+    out = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    (src / "b1").mkdir(parents=True)
+
+    events.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(
+        str(src / "b1")
+    )
+
+    def drain():
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(out).count()
+    assert 0 < n1 < n_total
+
+    events.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(
+        str(src / "b2")
+    )
+    drain()
+    landed = spark.read.parquet(out)
+    assert landed.count() == n_total
+    assert landed.select("event_id").distinct().count() == n_total
