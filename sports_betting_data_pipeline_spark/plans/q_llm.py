@@ -2870,3 +2870,107 @@ def l47_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("tf") * weight).alias("score")
     )
     return scored.select("doc_id", "score", (F.col("score") > 0).alias("kept"))
+
+
+@register(
+    "l48_contrastive_pairs",
+    oracle="""
+    WITH a AS (
+        SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS av
+        FROM embeddings WHERE vec_id < 10
+    ),
+    c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+    sims AS (
+        SELECT a.anchor_id, c.vec_id,
+               list_cosine_similarity(c.embedding::DOUBLE[], a.av) AS sim
+        FROM c, a
+    ),
+    pos AS (
+        SELECT anchor_id, vec_id, sim FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY anchor_id ORDER BY sim DESC, vec_id
+            ) AS rnk FROM sims
+        ) WHERE rnk = 1
+    ),
+    negs AS (
+        SELECT s.anchor_id, s.vec_id, s.sim FROM (
+            SELECT s.*, row_number() OVER (
+                PARTITION BY s.anchor_id
+                ORDER BY md5(CAST(s.anchor_id AS VARCHAR) || '|'
+                             || CAST(s.vec_id AS VARCHAR)), s.vec_id
+            ) AS hrank
+            FROM sims s
+            JOIN pos p ON p.anchor_id = s.anchor_id
+            WHERE s.vec_id <> p.vec_id
+        ) s WHERE hrank <= 3
+    )
+    SELECT anchor_id, vec_id, 'positive' AS role, round(sim, 6) AS cosine_sim
+    FROM pos
+    UNION ALL
+    SELECT anchor_id, vec_id, 'negative', round(sim, 6) FROM negs
+    """,
+)
+def l48_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining — the data-prep step for
+    embedding-model training (SimCSE/DPR shape): each anchor gets its
+    hardest positive (exact nearest neighbor) and 3 DETERMINISTIC
+    random negatives (md5-ordered draw over the corpus, positive
+    excluded), with the cosine similarity attached to every pair so
+    downstream curricula can filter by hardness.
+
+    Scale: one broadcast-anchors × corpus similarity pass feeds BOTH
+    leg selections (positive argmax and hash-ranked negatives) as
+    WindowGroupLimit windows over the same relation — the corpus
+    scans once; swap the product for the ANN index at 100 TB. The
+    md5 draw is the engine-portable f06/l26 idiom, so sampling needs
+    no RNG state and never resamples on retry.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    from sports_betting_data_pipeline_spark.functions.similarity import cosine
+
+    sims = corpus.crossJoin(F.broadcast(anchors)).select(
+        F.col("query_id").alias("anchor_id"),
+        F.col("vec_id"),
+        cosine(F.col("embedding"), F.col("query_vec")).alias("sim"),
+    )
+    wtop = Window.partitionBy("anchor_id").orderBy(
+        F.desc("sim"), F.asc("vec_id")
+    )
+    pos = (
+        sims.withColumn("rnk", F.row_number().over(wtop))
+        .filter(F.col("rnk") == 1)
+        .select("anchor_id", "vec_id", "sim")
+    )
+    wneg = Window.partitionBy("anchor_id").orderBy(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("anchor_id").cast("string"),
+                F.col("vec_id").cast("string"),
+            )
+        ),
+        F.asc("vec_id"),
+    )
+    negs = (
+        sims.join(
+            F.broadcast(pos.select("anchor_id", F.col("vec_id").alias("_pos_id"))),
+            "anchor_id",
+        )
+        .filter(F.col("vec_id") != F.col("_pos_id"))
+        .withColumn("hrank", F.row_number().over(wneg))
+        .filter(F.col("hrank") <= 3)
+        .select("anchor_id", "vec_id", "sim")
+    )
+    return pos.select(
+        "anchor_id", "vec_id", F.lit("positive").alias("role"),
+        F.round("sim", 6).alias("cosine_sim"),
+    ).unionByName(
+        negs.select(
+            "anchor_id", "vec_id", F.lit("negative").alias("role"),
+            F.round("sim", 6).alias("cosine_sim"),
+        )
+    )

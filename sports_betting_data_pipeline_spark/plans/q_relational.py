@@ -2365,3 +2365,88 @@ def a13_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bucket_max"),
         )
     )
+
+
+@register(
+    "a14_drift_report",
+    oracle="""
+    WITH pop AS (
+        SELECT c_mktsegment AS seg, o_totalprice AS v
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM pop),
+    binned AS (
+        SELECT seg,
+               CAST(least(floor((v - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT)
+                   AS bucket
+        FROM pop, bounds
+    ),
+    counts AS (
+        SELECT bucket,
+               count(*) FILTER (seg = 'BUILDING') AS n_a,
+               count(*) FILTER (seg = 'MACHINERY') AS n_b
+        FROM binned GROUP BY bucket
+    ),
+    totals AS (
+        SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM counts
+    )
+    SELECT bucket,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(n_a / t_a, 6) AS p_a,
+           round(n_b / t_b, 6) AS p_b,
+           round(abs(n_a / t_a - n_b / t_b), 6) AS gap
+    FROM counts, totals
+    """,
+)
+def a14_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-DRIFT report — the ML-monitoring comparison of two
+    populations (here two market segments' order values; in
+    production, this week's feature distribution vs the training
+    snapshot): 20 shared equal-width bins over the pooled range, each
+    bin's probability mass under both populations, and the per-bin
+    gap whose maximum is the binned Kolmogorov-Smirnov statistic and
+    whose half-sum is total-variation distance.
+
+    Scale: one pooled 2-scalar bounds pass (broadcast), one
+    map-side-combined conditional-count shuffle over the bins, one
+    1-row totals broadcast — three scan-light passes; the bin
+    arithmetic is the identical float expression on both engines so
+    bucketing is bit-exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    pop = (
+        orders.join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("v"))
+    )
+    bounds = pop.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    bucket = F.least(
+        F.floor((F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20.0)),
+        F.lit(19),
+    ).cast("long")
+    counts = (
+        pop.join(F.broadcast(bounds))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.when(F.col("seg") == "BUILDING", 1)).alias("n_a"),
+            F.count(F.when(F.col("seg") == "MACHINERY", 1)).alias("n_b"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    return counts.join(F.broadcast(totals)).select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(F.col("n_a") / F.col("t_a"), 6).alias("p_a"),
+        F.round(F.col("n_b") / F.col("t_b"), 6).alias("p_b"),
+        F.round(F.abs(F.col("n_a") / F.col("t_a") - F.col("n_b") / F.col("t_b")), 6).alias(
+            "gap"
+        ),
+    )

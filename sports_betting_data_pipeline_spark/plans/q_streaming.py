@@ -634,3 +634,47 @@ def st14_stream_lake_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("total_value"),
         F.count_distinct("event_id").alias("n_distinct_ids"),
     )
+
+
+@register(
+    "st15_stream_anomalies",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_id, coalesce(value, 0.0) AS v,
+               row_number() OVER w AS rn,
+               sum(coalesce(value, 0.0)) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS psum,
+               sum(coalesce(value, 0.0) * coalesce(value, 0.0)) OVER (
+                   w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS psumsq
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           round((v - psum / (rn - 1))
+                 / sqrt((psumsq - psum * psum / (rn - 1)) / (rn - 2)), 4)
+               AS z,
+           CAST(rn - 1 AS BIGINT) AS n_prev
+    FROM ordered
+    WHERE rn - 1 >= 10
+      AND (psumsq - psum * psum / (rn - 1)) / (rn - 2) > 0
+      AND abs((v - psum / (rn - 1))
+              / sqrt((psumsq - psum * psum / (rn - 1)) / (rn - 2))) > 3
+    """,
+)
+def st15_stream_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time per-user anomaly detection: events more than 3 sample
+    standard deviations from that user's OWN prior history (≥10
+    observations), maintained as 3-scalar sufficient statistics per
+    key — O(users) state, no history retention. Drained with
+    availableNow the flagged set equals the batch prefix-window
+    z-score query."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        zscore_anomalies,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    return run_stream_to_table(
+        zscore_anomalies(stream), "st15_anomalies", output_mode="update"
+    )

@@ -934,7 +934,8 @@ def q19_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH offers AS (
         SELECT p.p_partkey, s.s_suppkey, s.s_name,
-               avg(l.l_extendedprice / l.l_quantity) AS unit_price
+               sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents,
+               sum(CAST(l.l_quantity AS BIGINT)) AS qty
         FROM lineitem l
         JOIN part p ON p.p_partkey = l.l_partkey
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -944,17 +945,17 @@ def q19_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2, 3
     ),
     ranked AS (
-        SELECT p_partkey, s_suppkey, s_name, unit_price,
+        SELECT p_partkey, s_suppkey, s_name, cents, qty,
                row_number() OVER (
                    PARTITION BY p_partkey
-                   ORDER BY unit_price, s_suppkey
+                   ORDER BY CAST(cents AS DOUBLE) / qty, s_suppkey
                ) AS rn
         FROM offers
     )
     SELECT p_partkey,
            s_suppkey AS best_suppkey,
            s_name AS best_supplier,
-           round(unit_price, 4) AS min_unit_price
+           CAST(100 * cents // qty AS BIGINT) AS min_unit_price_e4
     FROM ranked WHERE rn = 1
     """,
 )
@@ -964,6 +965,17 @@ def q14_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECORRELATED into a grouped offer table + per-part argmin — the
     rewrite Catalyst applies to correlated scalar subqueries, made
     explicit. Tiebreak on suppkey keeps the argmin deterministic.
+
+    The offer price is the quantity-WEIGHTED unit price kept in
+    integer space END TO END: cents and quantity sum as exact
+    BIGINTs, the argmin orders by the (bit-identical) double ratio,
+    and the REPORTED price is the floor-scaled integer
+    ``100·cents div qty`` (unit price ×10⁴) — no decimal rounding
+    anywhere, because rounding is where two engines legitimately
+    disagree: avg-of-ratios failed at sf0.1 on ±1-ulp averages, and
+    the exact-rational form failed on .00005 ties that Spark rounds
+    half-up but DuckDB rounds half-even. Floor of an integer
+    division has one answer.
 
     Scale: the part-type and region filters broadcast-prune the
     lineitem scan BEFORE the offer aggregate (dim filters reach the
@@ -998,9 +1010,16 @@ def q14_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
         .join(F.broadcast(euro_supp), F.col("s_suppkey") == F.col("l_suppkey"))
         .groupBy("p_partkey", "s_suppkey", "s_name")
-        .agg(F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("cents"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
     )
-    w = Window.partitionBy("p_partkey").orderBy("unit_price", "s_suppkey")
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("cents").cast("double") / F.col("qty"), "s_suppkey"
+    )
     return (
         offers.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
@@ -1008,6 +1027,6 @@ def q14_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             F.col("s_suppkey").alias("best_suppkey"),
             F.col("s_name").alias("best_supplier"),
-            F.round("unit_price", 4).alias("min_unit_price"),
+            F.expr("100 * cents div qty").alias("min_unit_price_e4"),
         )
     )

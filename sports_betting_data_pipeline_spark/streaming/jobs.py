@@ -766,3 +766,76 @@ def threshold_alerts(events: DataFrame, threshold: float = 1500.0) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def zscore_anomalies(
+    events: DataFrame, min_history: int = 10, threshold: float = 3.0
+) -> DataFrame:
+    """Streaming per-key anomaly detection: flag an event whose value
+    sits more than ``threshold`` sample standard deviations from the
+    key's OWN history (prior events only — the flagged event never
+    contaminates the statistics it is judged against, and the state
+    update is unconditional either way).
+
+    State per user is (n, sum, sum-of-squares) — three scalars, the
+    sufficient statistics of mean/variance, merged per batch in event
+    order ((ts, event_id) sort per Arrow group). No window over
+    history, no event retention: O(keys) state forever — the live
+    twin of the batch prefix-window z-score, which is what the
+    oracle computes.
+    """
+    import pandas as pd  # executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_id", T.LongType()),
+            T.StructField("z", T.DoubleType()),
+            T.StructField("n_prev", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.DoubleType()),
+            T.StructField("ss", T.DoubleType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state):
+        import math
+
+        n, s, ss = state.get if state.exists else (0, 0.0, 0.0)
+        pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        out = []
+        for eid, v in zip(pdf["event_id"], pdf["value"].fillna(0.0)):
+            v = float(v)
+            if n >= min_history:
+                mean = s / n
+                var = (ss - s * s / n) / (n - 1)
+                if var > 0:
+                    z = (v - mean) / math.sqrt(var)
+                    if abs(z) > threshold:
+                        out.append(
+                            {
+                                "user_id": int(key[0]),
+                                "event_id": int(eid),
+                                "z": round(z, 4),
+                                "n_prev": n,
+                            }
+                        )
+            n += 1
+            s += v
+            ss += v * v
+        state.update((n, s, ss))
+        if out:
+            yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -137,6 +137,8 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
     BNLJ_OK = {"l10_ann_bruteforce", "l13_ann_ivf",
                # kNN classify rides l10's broadcast-queries × corpus pass
                "l46_knn_classify",
+               # contrastive mining rides the same anchors × corpus pass
+               "l48_contrastive_pairs",
                # same centroid-assignment crossJoin as l13, trained cells
                "l23_ann_ivf_kmeans",
                # IVF-PQ: same C-row centroid-assignment crossJoin
@@ -171,13 +173,16 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                # 1-row broadcast scalar (keyspace mean/total counts)
                "a10_skew_report",
                # 1-row broadcast scalar (the min/max bounds pair)
-               "a13_equiwidth_histogram"}
+               "a13_equiwidth_histogram",
+               # two 1-row broadcast scalars (pooled bounds; totals)
+               "a14_drift_report"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  # real-codec WAV/BMP synth+decode roundtrips (mapInPandas)
                  "m03_audio_roundtrip", "m04_image_roundtrip",
                  # frame-level RMS/peak over decoded PCM (mapInPandas)
                  "m05_audio_frame_energy",
                  "st06_stateful_user_stats", "st13_threshold_alerts",
+                 "st15_stream_anomalies",
                  "l16_grouped_zscore"}
     problems = []
     for name, fn in sorted(QUERIES.items()):
