@@ -8,7 +8,7 @@ the shuffle lands, what AQE is expected to do at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -2449,4 +2449,302 @@ def a14_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.col("n_a") / F.col("t_a") - F.col("n_b") / F.col("t_b")), 6).alias(
             "gap"
         ),
+    )
+
+
+@register(
+    "co01_cohort_retention",
+    oracle="""
+    WITH activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                    AS BIGINT) AS week
+        FROM events
+    ),
+    cohorts AS (
+        SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY 1
+    ),
+    sizes AS (
+        SELECT cohort_week, count(*) AS cohort_size FROM cohorts GROUP BY 1
+    ),
+    ret AS (
+        SELECT c.cohort_week,
+               a.week - c.cohort_week AS week_offset,
+               count(DISTINCT a.user_id) AS n_active
+        FROM activity a JOIN cohorts c ON c.user_id = a.user_id
+        GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.week_offset,
+           CAST(r.n_active AS BIGINT) AS n_active,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           CAST(10000 * r.n_active // s.cohort_size AS BIGINT)
+               AS retention_bp
+    FROM ret r JOIN sizes s ON s.cohort_week = r.cohort_week
+    """,
+)
+def co01_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort RETENTION matrix — the product-analytics staple: users
+    cohorted by first-active week, then each cohort's share still
+    active k weeks later. Retention is reported in integer basis
+    points (floor division) per the q14 lesson: ratios of integers
+    can tie exactly at a rounding boundary, so they never pass
+    through decimal rounding.
+
+    Scale: the distinct (user, week) activity grid is one map-side-
+    combined shuffle; cohorts are a per-user MIN over it; both
+    downstream joins key on user/cohort and stay co-partitioned. The
+    matrix is |cohorts| × |offsets| — tiny output from any input.
+    """
+    events = load_table(spark, sf_dir, "events")
+    week = (
+        F.floor(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+        )
+    ).cast("long")
+    activity = events.select("user_id", week.alias("week")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    ret = (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return ret.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "cohort_size",
+        F.expr("10000 * n_active div cohort_size").alias("retention_bp"),
+    )
+
+
+@register(
+    "mk01_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    row_tot AS (
+        SELECT from_type, sum(n) AS tot FROM trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n AS BIGINT) AS n_transitions,
+           CAST(10000 * t.n // r.tot AS BIGINT) AS prob_bp
+    FROM trans t JOIN row_tot r ON r.from_type = t.from_type
+    """,
+)
+def mk01_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov TRANSITION matrix over each user's event
+    sequence — which action follows which (the behavioral-flow /
+    Sankey input, and the empirical transition model session-replay
+    simulators sample from). Probabilities in integer basis points
+    (floor) — the q14 rounding-tie rule.
+
+    Scale: one lead window partitioned by user, one (from, to) count
+    shuffle (≤ |types|² rows out), row totals as a broadcast join.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    row_tot = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return trans.join(F.broadcast(row_tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").alias("n_transitions"),
+        F.expr("10000 * n div tot").alias("prob_bp"),
+    )
+
+
+@register(
+    "a15_chi_square_independence",
+    oracle="""
+    WITH obs AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS pri,
+               count(*) AS o
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1, 2
+    ),
+    margins AS (
+        SELECT o.*,
+               sum(o.o) OVER (PARTITION BY seg) AS row_tot,
+               sum(o.o) OVER (PARTITION BY pri) AS col_tot,
+               sum(o.o) OVER () AS n
+        FROM obs o
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           CAST((count(DISTINCT seg) - 1) * (count(DISTINCT pri) - 1)
+                AS BIGINT) AS dof,
+           round(sum(power(o - row_tot * col_tot / n, 2)
+                     / (row_tot * col_tot / n)), 6) AS chi2
+    FROM margins
+    """,
+)
+def a15_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between market segment and
+    order priority — the categorical-association screen a feature-
+    selection or A/B sanity pass runs. Expected counts come from the
+    margins of the observed contingency table; the statistic and
+    degrees of freedom are emitted (compare to the critical value
+    client-side — no distribution tables in either engine).
+
+    Scale: the contingency table is one map-side-combined shuffle
+    (|seg|×|pri| cells); margins are windows OVER THE TINY CELL TABLE
+    (25 rows), not the fact; the statistic is one aggregate over it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    obs = (
+        orders.join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    obs = obs.select(
+        "seg",
+        "pri",
+        "o",
+        F.sum("o").over(Window.partitionBy("seg")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("pri")).alias("col_tot"),
+        F.sum("o").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    e = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    return obs.agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.count_distinct("seg") - 1) * (F.count_distinct("pri") - 1)
+        ).alias("dof"),
+        F.round(F.sum(F.pow(F.col("o") - e, 2) / e), 6).alias("chi2"),
+    )
+
+
+@register(
+    "geo01_nearest_supplier",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey,
+               (('0x' || left(md5(CAST(c_custkey AS VARCHAR) || '|lat'), 8))
+                ::BIGINT % 1700) / 10.0 - 85.0 AS lat,
+               (('0x' || left(md5(CAST(c_custkey AS VARCHAR) || '|lon'), 8))
+                ::BIGINT % 3600) / 10.0 - 180.0 AS lon
+        FROM customer WHERE c_custkey < 200
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               (('0x' || left(md5('s' || CAST(s_suppkey AS VARCHAR) || '|lat'),
+                              8))::BIGINT % 1700) / 10.0 - 85.0 AS lat,
+               (('0x' || left(md5('s' || CAST(s_suppkey AS VARCHAR) || '|lon'),
+                              8))::BIGINT % 3600) / 10.0 - 180.0 AS lon
+        FROM supplier
+    ),
+    dists AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               2 * 6371.0 * asin(sqrt(
+                   power(sin(radians(s.lat - c.lat) / 2), 2)
+                   + cos(radians(c.lat)) * cos(radians(s.lat))
+                     * power(sin(radians(s.lon - c.lon) / 2), 2)
+               )) AS d_km
+        FROM cust c, supp s
+    )
+    SELECT c_custkey,
+           s_suppkey AS nearest_suppkey,
+           round(d_km, 3) AS distance_km
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY d_km, s_suppkey
+        ) AS rn FROM dists
+    ) WHERE rn = 1
+    """,
+)
+def geo01_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geospatial nearest-neighbor join: each customer's closest
+    supplier by great-circle (haversine) distance over deterministic
+    md5-derived coordinates (the engine has no geo columns in the
+    fixtures; the coordinate synthesis IS the portable-fixture idiom,
+    and the distance/join machinery is the real operator). Trig stays
+    JVM-side; the argmin is a WindowGroupLimit per customer.
+
+    Scale: broadcast the supplier side (dims broadcast; the cross
+    product is |cust|×|supp| — at real scale you geohash-bucket both
+    sides first (the same blocking idea as the LSH joins) so each
+    probe only meets nearby cells; this query is the exact-verify
+    stage of that pipeline.
+    """
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 200
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    def coord(prefix: str, key: Column, salt: str, mod: int, scale: float, off: float):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(prefix), key.cast("string"), F.lit(salt))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return (h % mod) / scale - off
+
+    cust = customer.select(
+        "c_custkey",
+        coord("", F.col("c_custkey"), "|lat", 1700, 10.0, 85.0).alias("clat"),
+        coord("", F.col("c_custkey"), "|lon", 3600, 10.0, 180.0).alias("clon"),
+    )
+    supp = supplier.select(
+        "s_suppkey",
+        coord("s", F.col("s_suppkey"), "|lat", 1700, 10.0, 85.0).alias("slat"),
+        coord("s", F.col("s_suppkey"), "|lon", 3600, 10.0, 180.0).alias("slon"),
+    )
+    d_km = (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("slat") - F.col("clat")) / 2), 2)
+                + F.cos(F.radians("clat"))
+                * F.cos(F.radians("slat"))
+                * F.pow(F.sin(F.radians(F.col("slon") - F.col("clon")) / 2), 2)
+            )
+        )
+    )
+    dists = cust.crossJoin(F.broadcast(supp)).select(
+        "c_custkey", "s_suppkey", d_km.alias("d_km")
+    )
+    w = Window.partitionBy("c_custkey").orderBy("d_km", "s_suppkey")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            F.round("d_km", 3).alias("distance_km"),
+        )
     )

@@ -139,6 +139,8 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                "l46_knn_classify",
                # contrastive mining rides the same anchors × corpus pass
                "l48_contrastive_pairs",
+               # broadcast-suppliers × customers exact-verify geo stage
+               "geo01_nearest_supplier",
                # same centroid-assignment crossJoin as l13, trained cells
                "l23_ann_ivf_kmeans",
                # IVF-PQ: same C-row centroid-assignment crossJoin
