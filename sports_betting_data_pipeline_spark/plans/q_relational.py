@@ -2748,3 +2748,61 @@ def geo01_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d_km", 3).alias("distance_km"),
         )
     )
+
+
+@register(
+    "mv01_incremental_aggregate",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(max(o_totalprice), 2) AS max_order
+    FROM orders JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def mv01_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MATERIALIZED-VIEW maintenance: the per-segment
+    revenue rollup is maintained as mergeable PARTIALS — (count, sum,
+    max) — computed separately over the "already materialized" slice
+    (orders before 1998) and the "new batch" (1998 onward), then
+    MERGED with a combine aggregate instead of recomputing from
+    scratch. The oracle is the full recompute, so the hash check IS
+    the proof that partial-merge maintenance equals recomputation —
+    the algebraic property every streaming aggregate and every
+    incremental warehouse refresh relies on.
+
+    Scale: each slice aggregates with one map-side-combined shuffle
+    to |segments| rows; the merge touches 2×|segments| rows. A real
+    deployment persists the partial table and only ever scans the new
+    batch — refresh cost becomes O(delta), not O(history) (count and
+    sum merge by +, max by max; avg derives as sum/count — never
+    store an avg partial).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(
+        F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey")
+    )
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum("o_totalprice").alias("p_sum"),
+            F.max("o_totalprice").alias("p_max"),
+        )
+
+    materialized = partials(joined.filter(F.col("o_orderdate") < cutoff))
+    new_batch = partials(joined.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        materialized.unionByName(new_batch)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("p_n").alias("n_orders"),
+            F.round(F.sum("p_sum"), 2).alias("revenue"),
+            F.round(F.max("p_max"), 2).alias("max_order"),
+        )
+    )

@@ -678,3 +678,95 @@ def st15_stream_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         zscore_anomalies(stream), "st15_anomalies", output_mode="update"
     )
+
+
+@register(
+    "st16_late_data_drop",
+    oracle="""
+    WITH wm AS (
+        SELECT max(ts) - INTERVAL 10 MINUTE AS w FROM events
+    )
+    SELECT event_type,
+           epoch_us(ts) // 21600000000 * 21600000000 AS bucket_us,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events, wm
+    GROUP BY 1, 2, wm.w
+    HAVING to_timestamp((epoch_us(ts) // 21600000000 * 21600000000
+                         + 21600000000) / 1000000.0) <= wm.w
+    """,
+)
+def st16_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA DROP semantics, exercised with a genuinely
+    out-of-order source: three forced microbatches — days 1-29, then
+    day 30, then a REPLAY of the day-1-2 slice arriving days late.
+    The watermark (advanced by the first two batches) must drop every
+    replayed row; if any leaked into the long-finalized windows those
+    windows would double-count and the hash against the clean
+    all-events aggregate would break. The drained table equals that
+    clean aggregate under pl04's append-mode eviction rule.
+
+    Microbatch order is deterministic: each slice lands as ONE
+    parquet file with an explicitly set mtime, and the file source
+    with maxFilesPerTrigger=1 processes files in (mtime, path) order.
+    Spark applies the late-row filter with the watermark as of the
+    PREVIOUS batch's planning (one batch behind eviction — verified
+    empirically; a replay arriving in the very next microbatch after
+    the data that outdates it is NOT yet filtered), which is why the
+    replay arrives two batches after the on-time bulk here — the
+    realistic straggler shape.
+
+    Scale: the drop happens IN the state operator — replayed rows
+    never create state, so state size is governed by the lateness
+    bound, not by how late the source can straggle. This is the one
+    watermark behavior st01-st15's event-time-complete single drains
+    can never exercise.
+    """
+    import os
+    import shutil
+
+    from sports_betting_data_pipeline_spark.plans.q_sources import _scratch
+
+    src = _scratch(sf_dir, "st16_src")
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+
+    events = load_table(spark, sf_dir, "events")
+    c30 = F.lit("2024-01-30").cast("timestamp")
+    c3 = F.lit("2024-01-03").cast("timestamp")
+    slices = [
+        ("b1_bulk", events.filter(F.col("ts") < c30)),
+        ("b2_tail", events.filter(F.col("ts") >= c30)),
+        ("b3_replay", events.filter(F.col("ts") < c3)),
+    ]
+    t0 = 1_600_000_000
+    for i, (name, df) in enumerate(slices):
+        d = os.path.join(src, name)
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                os.utime(os.path.join(d, fn), (t0 + 100 * i, t0 + 100 * i))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "event_type",
+            F.unix_micros(F.col("w.start")).alias("bucket_us"),
+            "n",
+            "total_value",
+        )
+    )
+    return run_stream_to_table(
+        agg, "st16_late_drop", output_mode="append", state_partitions=4
+    )
