@@ -105,3 +105,80 @@ def wg04_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     call."""
     events = load_table(spark, sf_dir, "events")
     return balances(place_wagers(events), opening=1000.0)
+
+
+@register(
+    "pl06_bot_tick",
+    oracle=f"""
+    WITH w AS (
+        SELECT md5('wager-' || CAST(event_id AS VARCHAR)) AS external_id,
+               user_id,
+               CAST({drawn_odds_sql('event_id')} AS BIGINT) AS odds,
+               round(coalesce(value, 0.0), 2) AS stake
+        FROM events
+        WHERE event_id % 10 < 3
+          AND event_type IN ('purchase', 'click')
+    ),
+    enr AS (
+        SELECT w.*, c.c_mktsegment
+        FROM w JOIN customer c ON c.c_custkey = w.user_id
+    ),
+    per_user AS (
+        SELECT c_mktsegment, user_id,
+               sum(stake) AS st, count(*) AS n, sum(odds) AS so
+        FROM enr GROUP BY 1, 2
+    )
+    SELECT c_mktsegment,
+           CAST(sum(n) AS BIGINT) AS n_wagers,
+           round(sum(st), 2) AS total_stake,
+           CAST(sum(so) AS BIGINT) AS sum_odds,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(*) FILTER (st > 1000.003) AS BIGINT) AS n_overdrawn
+    FROM per_user
+    GROUP BY 1
+    """,
+)
+def pl06_bot_tick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE main-loop tick as ONE dataflow — the
+    composition statement for the bot surface: interesting-market
+    whitelist (F1) → ~30% candidate sample + ladder-drawn odds + md5
+    external ids (K2/K3, the place_wagers operator) → account
+    enrichment join (J1) → per-user exposure (S7's balance input) →
+    per-segment book summary with an over-exposure count (F8's guard
+    as data, not an assertion). Every stage is an operator proven
+    individually (f01, wg01, j01, wg04); this pins that they compose.
+
+    The over-exposure threshold is 1000.003 — deliberately NOT a
+    multiple of 0.01: per-user stake totals are exact 2dp decimals,
+    so no achievable total can sit at the threshold and the strict
+    comparison can never straddle engine summation order (the q14
+    tie lesson applied to predicates).
+
+    Scale: whitelist + sample are scan-side predicates; the dims
+    broadcast; the only shuffles are the two nested aggregates, both
+    map-side-combined and keyed on (segment, user) then segment.
+    """
+    events = load_table(spark, sf_dir, "events")
+    from sports_betting_data_pipeline_spark.operators.relational import (
+        enrich_join,
+        whitelist_filter,
+    )
+
+    interesting = whitelist_filter(events, "event_type", ["purchase", "click"])
+    wagers = place_wagers(interesting)
+    accounts = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enr = enrich_join(wagers, accounts, "user_id")
+    per_user = enr.groupBy("c_mktsegment", "user_id").agg(
+        F.sum("stake").alias("st"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("odds").alias("so"),
+    )
+    return per_user.groupBy("c_mktsegment").agg(
+        F.sum("n").alias("n_wagers"),
+        F.round(F.sum("st"), 2).alias("total_stake"),
+        F.sum("so").alias("sum_odds"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("st") > 1000.003, 1)).alias("n_overdrawn"),
+    )
