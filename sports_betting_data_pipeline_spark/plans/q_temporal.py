@@ -393,3 +393,54 @@ def ts04_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_obs"),
         F.round(F.sum(weight * F.col("value")), 4).alias("ewma"),
     )
+
+
+@register(
+    "c11_higher_order_arrays",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS total_qty,
+           CAST(count(*) FILTER (l_quantity > 10) AS BIGINT) AS n_over10,
+           round(max(l_quantity * (1 + l_tax)), 2) AS max_taxed_qty
+    FROM lineitem
+    WHERE l_orderkey % 100 = 0
+    GROUP BY l_orderkey
+    """,
+)
+def c11_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order ARRAY functions as a first-class surface: each
+    order's quantities are collected into an array and then reduced
+    with ``aggregate`` (fold-sum), ``filter`` + ``size`` (conditional
+    count), and ``transform`` + ``array_max`` (map-then-reduce) — the
+    JVM-side lambda toolkit the ANN/dedup operators lean on, here
+    pinned against a plain-aggregate oracle so the HOF semantics
+    (not just the aggregation) are what's checked.
+
+    Scale note: for THESE reductions a plain groupBy aggregate is the
+    right production plan (partial-aggregable, no array
+    materialization) — the HOF form exists for when the array IS the
+    data model (embeddings, token lists, m02's frame offsets); the
+    oracle equivalence documents that both forms agree.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.pmod(F.col("l_orderkey"), F.lit(100)) == 0
+    )
+    arrs = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_quantity", "l_tax")).alias("items")
+    )
+    qty = F.transform("items", lambda s: s["l_quantity"])
+    return arrs.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.round(
+            F.aggregate(qty, F.lit(0.0), lambda acc, q: acc + q), 2
+        ).alias("total_qty"),
+        F.size(F.filter(qty, lambda q: q > 10)).cast("long").alias("n_over10"),
+        F.round(
+            F.array_max(
+                F.transform("items", lambda s: s["l_quantity"] * (1 + s["l_tax"]))
+            ),
+            2,
+        ).alias("max_taxed_qty"),
+    )

@@ -440,3 +440,67 @@ def test_file_stream_restart_lands_only_new_files(spark, sf_dir, tmp_path):
     landed = spark.read.parquet(out)
     assert landed.count() == n_total
     assert landed.select("event_id").distinct().count() == n_total
+
+
+def test_stateful_operators_are_batch_boundary_invariant(spark, sf_dir, tmp_path):
+    """threshold_alerts and zscore_anomalies must produce the same
+    result whether the stream arrives as one microbatch or as two
+    time-ordered ones — their state carries exactly the sufficient
+    statistics, so a batch boundary in the middle of every user's
+    series must be invisible."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sports_betting_data_pipeline_spark.io import load_table
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        threshold_alerts,
+        zscore_anomalies,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    src = tmp_path / "split_src"
+    for name, df in (
+        ("b1", events.filter(F.col("ts") < cut)),
+        ("b2", events.filter(F.col("ts") >= cut)),
+    ):
+        d = str(src / name)
+        df.coalesce(1).write.parquet(d)
+    t0 = 1_600_000_000
+    for i, name in enumerate(("b1", "b2")):
+        d = str(src / name)
+        for fn in os.listdir(d):
+            if fn.endswith(".parquet"):
+                os.utime(os.path.join(d, fn), (t0 + i * 100, t0 + i * 100))
+
+    def run(op, table, split):
+        if split:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("recursiveFileLookup", "true")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src))
+            )
+        else:
+            stream = (
+                spark.readStream.schema(events.schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(src))
+            )
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(table)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {tuple(r) for r in spark.table(table).collect()}
+
+    for op, name in ((threshold_alerts, "ta"), (zscore_anomalies, "za")):
+        one = run(op, f"{name}_one", split=False)
+        two = run(op, f"{name}_two", split=True)
+        assert one == two, (name, len(one), len(two))
+        assert len(one) > 0
