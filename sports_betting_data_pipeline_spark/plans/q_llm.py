@@ -2974,3 +2974,61 @@ def l48_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("sim", 6).alias("cosine_sim"),
         )
     )
+
+
+@register(
+    "l49_vocab_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, count(*) AS n,
+                   row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+            FROM toks GROUP BY tok
+        ) WHERE rnk <= 30
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (v.tok IS NULL) AS BIGINT) AS n_oov,
+           CAST(10000 * count(*) FILTER (v.tok IS NULL) // count(*)
+                AS BIGINT) AS oov_bp
+    FROM toks t LEFT JOIN vocab v ON v.tok = t.tok
+    GROUP BY t.doc_id
+    """,
+)
+def l49_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary COVERAGE audit: fit a top-30 corpus
+    vocabulary (count-ranked, deterministic tiebreak), then measure
+    each document's out-of-vocabulary token rate in basis points —
+    the fit-the-tokenizer-then-measure-fertility step of every LLM
+    data pipeline, and the metric that decides whether a vocab or a
+    corpus slice needs rework. OOV share is an integer floor
+    division (the q14 rounding-tie rule).
+
+    Scale: vocab fitting is one map-side-combined word count + a
+    TakeOrdered top-K; membership is a broadcast LEFT join against
+    the tiny vocab (null side = OOV), and the per-doc rollup rides
+    one (doc) shuffle. Nothing is ever per-row Python.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(30)
+        .select(F.col("tok").alias("v_tok"))
+    )
+    joined = toks.join(
+        F.broadcast(vocab), F.col("tok") == F.col("v_tok"), "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count(F.when(F.col("v_tok").isNull(), 1)).alias("n_oov"),
+        F.expr(
+            "10000 * count(CASE WHEN v_tok IS NULL THEN 1 END) div count(*)"
+        ).alias("oov_bp"),
+    )

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -458,3 +460,44 @@ def test_weighted_sample_matches_python_reference(spark, rows):
         .collect()
     ]
     assert got == expected
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    probs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=5,
+    ),
+)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_exact_quantile_cuts_matches_numpy(spark, vals, probs):
+    # The distributed operator must reproduce numpy's linear
+    # interpolation (the same definition Spark percentile and DuckDB
+    # quantile_cont use) on arbitrary value sets — including
+    # duplicates, negatives, and single-element inputs.
+    import numpy as np
+
+    from sports_betting_data_pipeline_spark.operators.quantiles import (
+        exact_quantile_cuts,
+    )
+
+    probs = sorted(probs)
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    got = exact_quantile_cuts(
+        df, "v", probs, num_partitions=4, round_to=None
+    ).collect()[0]["qs"]
+    want = np.quantile(np.array(vals, dtype=float), probs, method="linear")
+    assert len(got) == len(probs)
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12, abs=1e-9), (vals, probs)
