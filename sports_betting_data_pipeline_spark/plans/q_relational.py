@@ -2806,3 +2806,67 @@ def mv01_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("p_max"), 2).alias("max_order"),
         )
     )
+
+
+def _zorder01_oracle() -> str:
+    from sports_betting_data_pipeline_spark.operators.layout import zorder_sql
+
+    z = zorder_sql(
+        "(user_id * 32)", "CAST(floor(coalesce(value, 0.0)) AS BIGINT)", 9
+    )
+    return f"""
+    WITH keyed AS (
+        SELECT user_id,
+               CAST(floor(coalesce(value, 0.0)) AS BIGINT) AS vbucket,
+               {z} AS zkey
+        FROM events
+    )
+    SELECT CAST(zkey // 32768 AS BIGINT) AS zrange,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(user_id) AS BIGINT) AS min_user,
+           CAST(max(user_id) AS BIGINT) AS max_user,
+           CAST(min(vbucket) AS BIGINT) AS min_val,
+           CAST(max(vbucket) AS BIGINT) AS max_val
+    FROM keyed
+    GROUP BY 1
+    """
+
+
+@register("zorder01_multidim_clustering", oracle=_zorder01_oracle())
+def zorder01_multidim_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER multi-dimensional clustering (operators/layout.py): the
+    Morton key interleaving (user_id, value-bucket) bits, summarized
+    per contiguous z-range. The min/max spans in the output ARE the
+    row-group statistics a z-sorted parquet file would carry: every
+    z-range bounds BOTH dimensions, which is what lets a
+    two-dimensional box predicate skip most of a z-laid-out table —
+    a linear sort bounds only its leading column. The companion
+    layout test writes the actual files and checks real row-group
+    stats both ways.
+
+    Scale: the z-key is a closed-form JVM-side fold (no UDF); laying
+    out 100 TB is one range-partitioned sort by zkey at write time,
+    amortized over every multi-dim scan thereafter.
+    """
+    from sports_betting_data_pipeline_spark.operators.layout import zorder_key
+
+    events = load_table(spark, sf_dir, "events")
+    keyed = events.select(
+        "user_id",
+        F.floor(F.coalesce(F.col("value"), F.lit(0.0))).cast("long").alias(
+            "vbucket"
+        ),
+    ).select(
+        "user_id",
+        "vbucket",
+        zorder_key(F.col("user_id") * 32, F.col("vbucket"), 9).alias("zkey"),
+    )
+    return keyed.groupBy(
+        (F.col("zkey") / 32768).cast("long").alias("zrange")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("user_id").cast("long").alias("min_user"),
+        F.max("user_id").cast("long").alias("max_user"),
+        F.min("vbucket").alias("min_val"),
+        F.max("vbucket").alias("max_val"),
+    )
