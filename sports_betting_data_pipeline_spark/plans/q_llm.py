@@ -3032,3 +3032,200 @@ def l49_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "10000 * count(CASE WHEN v_tok IS NULL THEN 1 END) div count(*)"
         ).alias("oov_bp"),
     )
+
+
+@register(
+    "l50_span_corruption_plan",
+    oracle="""
+    WITH docs AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok
+        FROM documents WHERE doc_id < 100
+    ),
+    spans AS (
+        SELECT doc_id, n_tok, gs.s AS span_idx,
+               (('0x' || left(md5(CAST(doc_id AS VARCHAR) || '#'
+                                  || CAST(gs.s AS VARCHAR)), 8))::BIGINT
+                % greatest(n_tok - 5, 1)) AS start_tok
+        FROM docs, generate_series(0, 1) AS gs(s)
+    )
+    SELECT doc_id, CAST(span_idx AS BIGINT) AS span_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least(5, n_tok - start_tok) AS BIGINT) AS span_len,
+           CAST(n_tok AS BIGINT) AS n_tok
+    FROM spans
+    """,
+)
+def l50_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption PLAN (the T5/UL2 denoising objective's data
+    side): per document, two deterministic mask spans — md5-derived
+    start positions over the token count, fixed target length 5,
+    clipped at the document end. Emitting the PLAN (doc, span, start,
+    len) rather than the corrupted text keeps the expensive string
+    surgery out of the hot path: the trainer's collator applies it,
+    and the plan is joinable, auditable, and re-sampleable (change
+    the salt) without touching the corpus.
+
+    Scale: map-only — token counts from one split, spans from a
+    2-element explode, positions from the portable md5 idiom. No
+    shuffle at all.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    counted = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    spans = counted.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("span_idx"),
+    ).select(
+        "doc_id",
+        F.col("span_idx").cast("long").alias("span_idx"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "#",
+                            F.col("doc_id").cast("string"),
+                            F.col("span_idx").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.greatest(F.col("n_tok") - 5, F.lit(1))
+        ).alias("start_tok"),
+        "n_tok",
+    )
+    return spans.select(
+        "doc_id",
+        "span_idx",
+        "start_tok",
+        F.least(F.lit(5), F.col("n_tok") - F.col("start_tok")).alias("span_len"),
+        "n_tok",
+    )
+
+
+@register(
+    "ev01_generation_eval",
+    oracle="""
+    WITH refs AS (
+        SELECT doc_id, string_split(text, ' ')[1:10] AS ref_toks
+        FROM documents WHERE doc_id < 200
+    ),
+    preds AS (
+        SELECT doc_id,
+               [CASE WHEN (i % 7) = 3
+                     THEN 'tok' || CAST((('0x' || left(md5(
+                              CAST(doc_id AS VARCHAR) || '@'
+                              || CAST(i AS VARCHAR)), 8))::BIGINT % 50)
+                          AS VARCHAR)
+                     ELSE ref_toks[i] END
+                FOR i IN range(1, len(ref_toks) + 1)]
+                   AS pred_toks,
+               ref_toks
+        FROM refs
+    ),
+    rc AS (
+        SELECT doc_id, unnest(ref_toks) AS tok FROM preds
+    ),
+    pc AS (
+        SELECT doc_id, unnest(pred_toks) AS tok FROM preds
+    ),
+    rcount AS (SELECT doc_id, tok, count(*) AS rn FROM rc GROUP BY 1, 2),
+    pcount AS (SELECT doc_id, tok, count(*) AS pn FROM pc GROUP BY 1, 2),
+    overlap AS (
+        SELECT r.doc_id, sum(least(r.rn, p.pn)) AS ov
+        FROM rcount r JOIN pcount p
+          ON p.doc_id = r.doc_id AND p.tok = r.tok
+        GROUP BY 1
+    ),
+    lens AS (
+        SELECT doc_id, len(ref_toks) AS nr, len(pred_toks) AS np,
+               ref_toks = pred_toks AS em
+        FROM preds
+    )
+    SELECT l.doc_id,
+           l.em AS exact_match,
+           CAST(coalesce(o.ov, 0) AS BIGINT) AS n_overlap,
+           CAST(l.nr AS BIGINT) AS n_ref,
+           CAST(20000 * coalesce(o.ov, 0) // (l.nr + l.np) AS BIGINT)
+               AS f1_bp
+    FROM lens l LEFT JOIN overlap o ON o.doc_id = l.doc_id
+    """,
+)
+def ev01_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generation EVALUATION scoring — the harness step that grades
+    model outputs against references: exact match plus token-level F1
+    (the SQuAD metric) per example. "Predictions" are a deterministic
+    corruption of the reference (every 7th token replaced via the md5
+    idiom) so the scorer exercises both the match and mismatch paths
+    with no model in the loop. Token F1 is the multiset-overlap form
+    — per-token min(count_pred, count_ref) summed — and is reported
+    in integer basis points (2·overlap/(|p|+|r|), floor), the q14
+    rounding-tie rule.
+
+    Scale: two exploded token counts joined per (doc, token) — the
+    same shuffle family as TF-IDF (l19); everything else is map-side.
+    Real eval sets are small next to corpora; this shape also scores
+    millions of examples without a collect.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    refs = docs.select(
+        "doc_id", F.slice(F.split("text", " "), 1, 10).alias("ref_toks")
+    )
+    corrupt = F.transform(
+        "ref_toks",
+        lambda t, i: F.when(
+            ((i + 1) % 7) == 3,
+            F.concat(
+                F.lit("tok"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "@",
+                                    F.col("doc_id").cast("string"),
+                                    (i + 1).cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 50
+                ).cast("string"),
+            ),
+        ).otherwise(t),
+    )
+    preds = refs.select("doc_id", "ref_toks", corrupt.alias("pred_toks"))
+    rcount = preds.select(
+        "doc_id", F.explode("ref_toks").alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("rn"))
+    pcount = preds.select(
+        "doc_id", F.explode("pred_toks").alias("tok")
+    ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("pn"))
+    overlap = (
+        rcount.join(pcount, ["doc_id", "tok"])
+        .groupBy("doc_id")
+        .agg(F.sum(F.least("rn", "pn")).alias("ov"))
+    )
+    lens = preds.select(
+        "doc_id",
+        (F.col("ref_toks") == F.col("pred_toks")).alias("exact_match"),
+        F.size("ref_toks").cast("long").alias("nr"),
+        F.size("pred_toks").cast("long").alias("np"),
+    )
+    return lens.join(overlap, "doc_id", "left").select(
+        "doc_id",
+        "exact_match",
+        F.coalesce(F.col("ov"), F.lit(0)).alias("n_overlap"),
+        F.col("nr").alias("n_ref"),
+        F.expr("20000 * coalesce(ov, 0) div (nr + np)").alias("f1_bp"),
+    )
