@@ -3229,3 +3229,108 @@ def ev01_generation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nr").alias("n_ref"),
         F.expr("20000 * coalesce(ov, 0) div (nr + np)").alias("f1_bp"),
     )
+
+
+@register(
+    "l51_dsir_importance",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               (('0x' || left(md5(unnest(string_split(text, ' '))), 8))
+                ::BIGINT % 16) AS bucket
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, bucket, count(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    corpus_p AS (
+        SELECT bucket, count(*) AS c FROM toks GROUP BY 1
+    ),
+    target_p AS (
+        SELECT t.bucket, count(*) AS c
+        FROM toks t JOIN documents d ON d.doc_id = t.doc_id
+        WHERE d.lang = 'en'
+        GROUP BY 1
+    ),
+    totals AS (
+        SELECT (SELECT sum(c) FROM corpus_p) AS ct,
+               (SELECT sum(c) FROM target_p) AS tt
+    ),
+    ratios AS (
+        SELECT c.bucket,
+               ln(((coalesce(t.c, 0) + 1) / (tot.tt + 16.0))
+                  / ((c.c + 1) / (tot.ct + 16.0))) AS lr
+        FROM corpus_p c
+        LEFT JOIN target_p t ON t.bucket = c.bucket
+        CROSS JOIN totals tot
+    ),
+    scored AS (
+        SELECT f.doc_id, round(sum(f.tf * r.lr), 4) AS dsir_score
+        FROM feat f JOIN ratios r ON r.bucket = f.bucket
+        GROUP BY 1
+    )
+    SELECT doc_id, dsir_score,
+           CAST(row_number() OVER (ORDER BY dsir_score DESC, doc_id)
+                AS BIGINT) AS rank
+    FROM scored
+    ORDER BY rank
+    LIMIT 100
+    """,
+)
+def l51_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance scoring (Data Selection via Importance
+    Resampling, Xie et al. 2023): rank corpus documents by how much
+    they look like a TARGET domain (here the English slice) under
+    hashed bag-of-words features — each document's score is
+    Σ_b tf_b · ln(p_target(b)/p_corpus(b)) with add-one smoothing
+    over 16 md5-hashed buckets, and the top-100 by score are the
+    docs a domain-matched pretraining mix upsamples.
+
+    Scale: one exploded-token pass feeds BOTH distribution estimates
+    and the per-doc features; the 16-row log-ratio table broadcasts;
+    scoring is a broadcast join + one per-doc aggregate; selection is
+    TakeOrdered. The hashed-feature trick is what makes the method
+    O(buckets), not O(vocab) — same reason the original uses it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long") % 16
+        ).alias("bucket"),
+    )
+    feat = toks.groupBy("doc_id", "bucket").agg(F.count(F.lit(1)).alias("tf"))
+    corpus_p = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    target_p = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    totals = corpus_p.agg(F.sum("c").alias("ct")).crossJoin(
+        target_p.agg(F.sum("tc").alias("tt"))
+    )
+    ratios = (
+        corpus_p.join(F.broadcast(target_p), "bucket", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "bucket",
+            F.log(
+                ((F.coalesce(F.col("tc"), F.lit(0)) + 1) / (F.col("tt") + 16.0))
+                / ((F.col("c") + 1) / (F.col("ct") + 16.0))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        feat.join(F.broadcast(ratios), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("tf") * F.col("lr")), 4).alias("dsir_score"))
+    )
+    w = Window.orderBy(F.desc("dsir_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 100)
+        .orderBy("rank")
+    )
