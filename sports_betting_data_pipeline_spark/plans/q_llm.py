@@ -3334,3 +3334,95 @@ def l51_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 100)
         .orderBy("rank")
     )
+
+
+@register(
+    "l52_bigram_perplexity",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS a
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, s.w1 AS w1, s.w2 AS w2
+        FROM (
+            SELECT doc_id,
+                   unnest([{'w1': a[i], 'w2': a[i + 1]}
+                           FOR i IN range(1, len(a))]) AS s
+            FROM t
+            WHERE len(a) >= 2
+        )
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
+    vocab AS (SELECT count(DISTINCT w2) AS v FROM bg),
+    scored AS (
+        SELECT b.doc_id,
+               count(*) AS n_bigrams,
+               avg(ln((c2.n2 + 1.0) / (c1.n1 + vocab.v))) AS avg_lp
+        FROM bg b
+        JOIN c2 ON c2.w1 = b.w1 AND c2.w2 = b.w2
+        JOIN c1 ON c1.w1 = b.w1
+        CROSS JOIN vocab
+        GROUP BY b.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(exp(-avg_lp), 4) AS perplexity
+    FROM scored
+    """,
+)
+def l52_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model PERPLEXITY per document (the CCNet-class
+    LM filter, one order up from l34's unigram surprisal): train
+    add-one-smoothed bigram probabilities on the corpus itself, score
+    every document's average log-probability, report perplexity. High
+    perplexity = the document doesn't look like the corpus — the
+    filter axis used to drop gibberish and boilerplate.
+
+    Bigrams are built MAP-SIDE (an index-fold over the token array —
+    no self-join on position); the model "training" is two
+    map-side-combined count aggregates; scoring joins the bigram
+    stream against the broadcast-size count tables.
+
+    Scale: |bigram vocab| rows of model state, shuffled once; at real
+    vocab sizes the c2 join keys on (w1, w2) hash-partitioned — still
+    one shuffle each side, never O(n²). ln/exp are the only libm
+    calls; 4dp rounding absorbs their cross-engine last-ulp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("a")).filter(
+        F.size("a") >= 2
+    )
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("a") - 1),
+                lambda i: F.struct(
+                    F.element_at("a", i).alias("w1"),
+                    F.element_at("a", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", "s.w1", "s.w2")
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = pairs.agg(F.count_distinct("w2").alias("v"))
+    scored = (
+        pairs.join(F.broadcast(c2), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg(
+                F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("v")))
+            ).alias("avg_lp"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.exp(-F.col("avg_lp")), 4).alias("perplexity"),
+    )

@@ -2870,3 +2870,70 @@ def zorder01_multidim_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("vbucket").alias("min_val"),
         F.max("vbucket").alias("max_val"),
     )
+
+
+@register(
+    "a16_benford_screen",
+    oracle="""
+    WITH digits AS (
+        SELECT c_mktsegment AS seg,
+               CAST(left(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                              AS VARCHAR), 1) AS BIGINT) AS d
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        WHERE o_totalprice >= 1
+    ),
+    obs AS (
+        SELECT seg, d, count(*) AS o FROM digits GROUP BY 1, 2
+    ),
+    tot AS (SELECT seg, sum(o) AS n FROM obs GROUP BY 1)
+    SELECT obs.seg,
+           CAST(sum(obs.o) AS BIGINT) AS n_orders,
+           round(sum(power(obs.o - tot.n * ln(1 + 1.0 / obs.d) / ln(10), 2)
+                     / (tot.n * ln(1 + 1.0 / obs.d) / ln(10))), 4)
+               AS benford_chi2
+    FROM obs JOIN tot ON tot.seg = obs.seg
+    GROUP BY obs.seg
+    """,
+)
+def a16_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit FRAUD screen per market segment: the
+    chi-square distance between each segment's observed leading-digit
+    distribution of order values and Benford's law (P(d)=log10(1+1/d))
+    — the forensic-accounting anomaly test for fabricated amounts.
+    The leading digit is extracted through exact integer/string
+    arithmetic (never log10 of a double, whose boundary behavior at
+    powers of ten differs per engine).
+
+    Scale: one broadcast dim join + a (segment, digit) count shuffle
+    (≤ 9·|segments| cells); the statistic is an aggregate over that
+    tiny table.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    digits = (
+        orders.filter(F.col("o_totalprice") >= 1)
+        .join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            F.col("c_mktsegment").alias("seg"),
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("long")
+            .alias("d"),
+        )
+    )
+    obs = digits.groupBy("seg", "d").agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.groupBy("seg").agg(F.sum("o").alias("n"))
+    expected = F.col("n") * F.log(1 + 1.0 / F.col("d")) / F.log(F.lit(10.0))
+    return (
+        obs.join(F.broadcast(tot), "seg")
+        .groupBy("seg")
+        .agg(
+            F.sum("o").alias("n_orders"),
+            F.round(
+                F.sum(F.pow(F.col("o") - expected, 2) / expected), 4
+            ).alias("benford_chi2"),
+        )
+    )
