@@ -3426,3 +3426,84 @@ def l52_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bigrams",
         F.round(F.exp(-F.col("avg_lp")), 4).alias("perplexity"),
     )
+
+
+@register(
+    "l53_mislabel_detection",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, label, unnest(range(len(embedding))) AS pos,
+               embedding
+        FROM embeddings
+    ),
+    flat AS (
+        SELECT vec_id, label, pos,
+               embedding[CAST(pos AS INTEGER) + 1] AS x
+        FROM e
+    ),
+    cent AS (
+        SELECT label, pos, avg(x) AS c FROM flat GROUP BY 1, 2
+    ),
+    sims AS (
+        SELECT f.vec_id, f.label,
+               sum(f.x * cent.c)
+                   / greatest(sqrt(sum(f.x * f.x)) * sqrt(sum(cent.c * cent.c)),
+                              1e-12) AS cos_c
+        FROM flat f
+        JOIN cent ON cent.label = f.label AND cent.pos = f.pos
+        GROUP BY 1, 2
+    )
+    SELECT vec_id, label, round(cos_c, 6) AS centroid_cosine,
+           CAST(rnk AS BIGINT) AS outlier_rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY label ORDER BY cos_c, vec_id
+        ) AS rnk
+        FROM sims
+    ) WHERE rnk <= 3
+    """,
+)
+def l53_mislabel_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-data detection (confident-learning lite): for each
+    label, the 3 vectors LEAST similar to their own label's centroid —
+    the rows a labeling-quality audit sends back for re-annotation.
+    Runs entirely on the flat (id, label, dim, value) relation: one
+    posexplode, a (label, dim) centroid aggregate, and a rejoin that
+    folds dot product and both norms in a single grouped pass.
+
+    Scale: centroids are |labels|×|dims| rows (broadcast); the rejoin
+    shuffles the exploded embeddings once on (label, pos) — at 100 TB
+    you'd instead broadcast the tiny centroid table against the
+    PACKED array column and fold JVM-side (l10's shape); the flat
+    form here is what keeps the oracle array-free.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "x")
+    )
+    cent = flat.groupBy("label", "pos").agg(F.avg("x").alias("c"))
+    sims = (
+        flat.join(F.broadcast(cent), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sum(F.col("x") * F.col("c"))
+                / F.greatest(
+                    F.sqrt(F.sum(F.col("x") * F.col("x")))
+                    * F.sqrt(F.sum(F.col("c") * F.col("c"))),
+                    F.lit(1e-12),
+                )
+            ).alias("cos_c")
+        )
+    )
+    w = Window.partitionBy("label").orderBy(F.asc("cos_c"), F.asc("vec_id"))
+    return (
+        sims.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "vec_id",
+            "label",
+            F.round("cos_c", 6).alias("centroid_cosine"),
+            F.col("rnk").cast("long").alias("outlier_rank"),
+        )
+    )

@@ -2937,3 +2937,40 @@ def a16_benford_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("benford_chi2"),
         )
     )
+
+
+@register(
+    "w10_time_decay_score",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(coalesce(value, 0.0)
+                     * exp(-(1706745600000000 - epoch_us(ts))
+                           / 86400000000.0 / 7.0)), 4) AS decayed_score
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def w10_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score (7-day half-life scale,
+    referenced to the 2024-02-01 cutoff): recent activity counts
+    nearly fully, month-old activity barely — the standard recency
+    weighting for ranking, churn, and fraud features, computed as ONE
+    partial-aggregable weighted sum (age in exact integer µs before
+    the single float exp).
+
+    Scale: map-side weight + one count/sum shuffle; no window, no
+    per-user state. Refreshing the reference point is a reweight of
+    the SAME aggregate by exp(Δ/τ) — the score is decomposable, so an
+    incremental pipeline (mv01's partial-merge pattern) maintains it
+    without rescanning history.
+    """
+    events = load_table(spark, sf_dir, "events")
+    age_days = (F.lit(1706745600000000) - F.unix_micros("ts")) / 86400000000.0
+    weight = F.exp(-age_days / 7.0)
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0)) * weight), 4
+        ).alias("decayed_score"),
+    )
