@@ -2974,3 +2974,83 @@ def w10_time_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("value"), F.lit(0.0)) * weight), 4
         ).alias("decayed_score"),
     )
+
+
+@register(
+    "pl07_lakehouse_refresh",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, 'PROMOTED' AS seg
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    current_dim AS (
+        SELECT c.c_custkey,
+               coalesce(u.seg, c.c_mktsegment) AS c_mktsegment
+        FROM customer c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+    ),
+    rollup_post AS (
+        SELECT d.c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS revenue
+        FROM orders o JOIN current_dim d ON d.c_custkey = o.o_custkey
+        GROUP BY 1
+    ),
+    gate AS (
+        SELECT count(*) - count(DISTINCT c_custkey) AS dup_keys
+        FROM current_dim
+    )
+    SELECT r.c_mktsegment,
+           CAST(r.n_orders AS BIGINT) AS n_orders,
+           r.revenue,
+           g.dup_keys = 0 AS quality_gate_passed
+    FROM rollup_post r CROSS JOIN gate g
+    """,
+)
+def pl07_lakehouse_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NIGHTLY LAKEHOUSE REFRESH composed end to end: an SCD2
+    update batch (scd01's operator) merges into the customer
+    dimension; the revenue rollup recomputes against the post-merge
+    CURRENT rows (mv01's refresh target); and dq01's primary-key
+    uniqueness gate rides along as a column — the refresh publishes
+    only if the merged dimension still has one current row per key.
+    The three stages are individually proven operators; this pins the
+    composition a real warehouse runs every night.
+
+    Scale: the merge is scd01's key-partitioned full-outer join; the
+    rollup joins the fact against the current-rows projection
+    (broadcast at dim scale); the gate is a 1-row aggregate. Nothing
+    scans the fact more than once.
+    """
+    from sports_betting_data_pipeline_spark.operators.scd import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    dim = customer.select("c_custkey", "c_mktsegment")
+    upd = dim.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey", F.lit("PROMOTED").alias("c_mktsegment")
+    )
+    history = scd2_apply(
+        dim, upd, "c_custkey", ["c_mktsegment"], effective="2024-02-01"
+    )
+    current = history.filter(F.col("is_current")).select(
+        "c_custkey", "c_mktsegment"
+    )
+    rollup_post = (
+        orders.join(
+            F.broadcast(current), F.col("c_custkey") == F.col("o_custkey")
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    gate = current.agg(
+        (F.count(F.lit(1)) - F.count_distinct("c_custkey")).alias("dup_keys")
+    )
+    return rollup_post.join(F.broadcast(gate)).select(
+        "c_mktsegment",
+        "n_orders",
+        "revenue",
+        (F.col("dup_keys") == 0).alias("quality_gate_passed"),
+    )

@@ -177,7 +177,11 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                # 1-row broadcast scalar (the min/max bounds pair)
                "a13_equiwidth_histogram",
                # two 1-row broadcast scalars (pooled bounds; totals)
-               "a14_drift_report"}
+               "a14_drift_report",
+               # 1-row broadcast scalar (the PK-uniqueness gate)
+               "pl07_lakehouse_refresh",
+               # 1-row broadcast scalars (corpus/target totals; vocab size)
+               "l51_dsir_importance", "l52_bigram_perplexity"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  # real-codec WAV/BMP synth+decode roundtrips (mapInPandas)
                  "m03_audio_roundtrip", "m04_image_roundtrip",
