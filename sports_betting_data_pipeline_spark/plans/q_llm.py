@@ -1774,8 +1774,14 @@ def pl02_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_ratio") <= 0.2
     )
     deduped = clean.join(dupok.select("doc_id"), on="doc_id")
-    good = deduped.filter(F.round(quality_score(F.col("text")), 6) >= 0.5)
-    mixed = temperature_mixture(good, group_col="lang", n_target=300)
+    # good feeds three consumers (mixture fit, selection join, packing)
+    # and mixed two — cache both so the decontam/chunk-dedup upstream
+    # (the expensive shingle and chunk joins) evaluates once, not per
+    # branch. Both are post-filter survivor sets: tiny at any SF.
+    good = deduped.filter(
+        F.round(quality_score(F.col("text")), 6) >= 0.5
+    ).cache()
+    mixed = temperature_mixture(good, group_col="lang", n_target=300).cache()
     sel = good.join(mixed.select("doc_id", "rk"), on="doc_id")
     packed = pack_sequences(sel, budget=512, shard_col="lang")
     return packed.join(mixed.select("doc_id", "rk"), on="doc_id").select(
