@@ -444,3 +444,76 @@ def c11_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("max_taxed_qty"),
     )
+
+
+@register(
+    "c12_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(count(*) FILTER (json_extract(props, '$.k') IS NOT NULL)
+                AS BIGINT) AS n_with_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def c12_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open VARIANT semi-structured type (Spark 4): the JSON payload
+    parsed ONCE into the binary variant encoding (``parse_json``) and
+    then accessed with typed path extraction (``try_variant_get``) —
+    the modern replacement for per-access ``get_json_object`` string re-parsing
+    (c07's struct form needs the schema up front; c10's map form
+    loses value types; variant keeps open schema AND typed access
+    over a parse-once binary).
+
+    Scale: the variant column is parsed binary — repeated path
+    accesses don't re-tokenize the JSON text, which is the point at
+    100 TB of event payloads; the aggregate itself is one map-side-
+    combined shuffle.
+    """
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.parse_json("props").alias("v")
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").alias("sum_k"),
+        F.count(F.when(F.col("k").isNotNull(), 1)).alias("n_with_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
+@register(
+    "sql03_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_quantity >= 30
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def sql03_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4's ``|>`` operator chaining — the
+    SQL:2023-adjacent linear form): the same filter → aggregate plan
+    as classic SQL, written as a top-to-bottom pipeline. Pinning it
+    hash-equal to the classic-SQL oracle proves the surface parses
+    AND optimizes identically (pushdown still reaches the scan).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity >= 30
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_lines,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2)
+                         AS revenue
+           GROUP BY l_returnflag, l_linestatus
+        """
+    )

@@ -531,3 +531,85 @@ def test_zorder_layout_tightens_rowgroup_stats(spark, sf_dir, tmp_path):
     assert max(z_user, z_val) < max(l_user, l_val), (
         z_user, z_val, l_user, l_val,
     )
+
+
+def test_python_udtf_matches_explode_chunking(spark, sf_dir):
+    # Spark 4's Python UDTF surface: a custom table generator must
+    # agree with the declarative explode/sequence form the catalog
+    # uses (l15's chunking shape). The UDTF is the escape hatch for
+    # generators that genuinely can't be expressed with sequence()
+    # arithmetic; this pins that the hatch works and that results are
+    # interchangeable.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+
+    from sports_betting_data_pipeline_spark.io import load_table
+
+    @udtf(returnType="doc_id: long, start: long, length: long")
+    class ChunkPlan:
+        def eval(self, doc_id: int, n_tok: int):
+            start = 0
+            while start < n_tok:
+                yield (doc_id, start, min(50, n_tok - start))
+                start += 40
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 50)
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    )
+    docs.createOrReplaceTempView("chunk_src")
+    spark.udtf.register("chunk_plan", ChunkPlan)
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT p.* FROM chunk_src, LATERAL chunk_plan(doc_id, n_tok) p"
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(40))
+            ).alias("start"),
+            "n_tok",
+        )
+        .select(
+            "doc_id",
+            "start",
+            F.least(F.lit(50), F.col("n_tok") - F.col("start")).alias("length"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 50
+
+
+def test_observe_metrics_match_aggregates(spark, sf_dir):
+    # df.observe(): inline data-quality instrumentation — metrics
+    # accumulated DURING a real action must equal the standalone
+    # aggregates, so pipelines can ship dq01-style counters for free
+    # on queries they already run.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from sports_betting_data_pipeline_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = orders.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive"
+        ),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    n_rows = observed.count()  # the action that drives the metrics
+    ref = orders.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    ).collect()[0]
+    assert obs.get["n"] == n_rows == ref["n"]
+    assert obs.get["nonpositive"] == 0
+    assert obs.get["total"] == ref["total"]
