@@ -239,3 +239,48 @@ def g02_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hops.join(
         F.broadcast(nation), F.col("n_nationkey") == F.col("node")
     ).select("node", "n_name", F.col("hop").cast("long").alias("hop"))
+
+
+_RECURSIVE_REACH_SQL = f"""
+    WITH RECURSIVE flows AS ({_FLOWS_SQL}),
+    ranked AS (
+        SELECT src, dst,
+               row_number() OVER (
+                   PARTITION BY src ORDER BY rev DESC, dst
+               ) AS rn
+        FROM flows
+        WHERE src <> dst
+    ),
+    edges AS (SELECT src, dst FROM ranked WHERE rn <= 3),
+    reach(node, hop) AS (
+        SELECT 0 AS node, 0 AS hop
+        UNION ALL
+        SELECT e.dst, r.hop + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.hop < 5
+    )
+    SELECT node, CAST(min(hop) AS BIGINT) AS hop
+    FROM reach
+    GROUP BY node
+"""
+
+
+@register("sql04_recursive_reachability", oracle=_RECURSIVE_REACH_SQL)
+def sql04_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE graph traversal (Spark 4's WITH RECURSIVE): the
+    transitive closure of the sparsified trade graph from nation 0 —
+    min-hop reachability to depth 5 — written as ONE declarative SQL
+    statement that BOTH engines execute verbatim (the oracle IS the
+    same string). g02 builds this traversal as a driver-loop of
+    frontier joins; this is the engine-native fixpoint form, and the
+    pair pins that they agree wherever their depth bounds overlap.
+
+    Scale: the recursion materializes paths, not just nodes — fan-out
+    ≤ out-degree^depth — so the depth bound is load-bearing; the
+    driver-loop form (g02) with per-step min-hop reduction is what
+    you run when the frontier must stay deduplicated. Both forms
+    belong in the engine; this query documents the trade.
+    """
+    for t in ("lineitem", "orders", "customer", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_RECURSIVE_REACH_SQL)
