@@ -434,3 +434,59 @@ def src08_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+CUSTOMER_XML = T.StructType(
+    [
+        T.StructField("c_custkey", T.LongType()),
+        T.StructField("c_name", T.StringType()),
+        T.StructField("c_nationkey", T.IntegerType()),
+        T.StructField("c_acctbal", T.DoubleType()),
+        T.StructField("c_mktsegment", T.StringType()),
+    ]
+)
+
+
+@register(
+    "src09_xml_roundtrip",
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_balance,
+           min(c_name) AS first_name
+    FROM customer
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def src09_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source path (Spark 4's NATIVE xml format — the enterprise
+    interchange format that previously needed an external package):
+    encode customer as row-tagged XML, decode through the declared
+    schema, aggregate. min(c_name) rides along so entity-escaping
+    faults can't hide behind numeric totals — the same fidelity
+    framing as src01's CSV.
+
+    Scale: XML, like CSV, is an edge format — full-document parse, no
+    pushdown; land it to parquet once. The write and the rowTag-split
+    read both parallelize per file.
+    """
+    path = _scratch(sf_dir, "customer_xml")
+    load_table(spark, sf_dir, "customer").write.mode("overwrite").format(
+        "xml"
+    ).option("rowTag", "customer").save(path)
+    back = (
+        spark.read.format("xml")
+        .schema(CUSTOMER_XML)
+        .option("rowTag", "customer")
+        .load(path)
+    )
+    return (
+        back.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.min("c_name").alias("first_name"),
+        )
+        .orderBy("c_mktsegment")
+    )
