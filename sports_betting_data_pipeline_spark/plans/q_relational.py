@@ -3054,3 +3054,147 @@ def pl07_lakehouse_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "revenue",
         (F.col("dup_keys") == 0).alias("quality_gate_passed"),
     )
+
+
+@register(
+    "a17_ab_test_significance",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               (('0x' || left(md5(CAST(user_id AS VARCHAR) || '|exp1'), 8))
+                ::BIGINT % 2) = 0 AS in_control,
+               max(CASE WHEN event_type = 'purchase' AND value > 150
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT in_control,
+               count(*) AS n,
+               sum(converted) AS conv
+        FROM assign GROUP BY 1
+    ),
+    wide AS (
+        SELECT max(CASE WHEN in_control THEN n END) AS n_c,
+               max(CASE WHEN in_control THEN conv END) AS x_c,
+               max(CASE WHEN NOT in_control THEN n END) AS n_t,
+               max(CASE WHEN NOT in_control THEN conv END) AS x_t
+        FROM arms
+    )
+    SELECT CAST(n_c AS BIGINT) AS n_control,
+           CAST(x_c AS BIGINT) AS conv_control,
+           CAST(n_t AS BIGINT) AS n_treatment,
+           CAST(x_t AS BIGINT) AS conv_treatment,
+           round((CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+                 / sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+                        * (1 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+                        * (1.0 / n_c + 1.0 / n_t)), 4) AS z_stat
+    FROM wide
+    """,
+)
+def a17_ab_test_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test readout: users deterministically hash-assigned to
+    control/treatment (the md5 idiom — exactly how real experiment
+    platforms bucket), per-arm conversion (a big-ticket purchase,
+    ~45%% base rate so both arms have variance) counts, and the pooled
+    two-proportion z-statistic. Everything up to the single z formula
+    is integer-exact; compare |z| to the critical value client-side.
+
+    Scale: one per-user conversion aggregate (map-side-combined), a
+    2-row arm rollup, and arithmetic — experiment readouts cost one
+    scan no matter how many users.
+    """
+    events = load_table(spark, sf_dir, "events")
+    in_control = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    assign = events.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150), 1
+            ).otherwise(0)
+        ).alias("converted")
+    ).select("user_id", in_control.alias("in_control"), "converted")
+    arms = assign.groupBy("in_control").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("in_control"), F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("in_control"), F.col("conv"))).alias("x_c"),
+        F.max(F.when(~F.col("in_control"), F.col("n"))).alias("n_t"),
+        F.max(F.when(~F.col("in_control"), F.col("conv"))).alias("x_t"),
+    )
+    p_pool = (F.col("x_c") + F.col("x_t")).cast("double") / (
+        F.col("n_c") + F.col("n_t")
+    )
+    z = (
+        F.col("x_t").cast("double") / F.col("n_t")
+        - F.col("x_c").cast("double") / F.col("n_c")
+    ) / F.sqrt(p_pool * (1 - p_pool) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t")))
+    return wide.select(
+        F.col("n_c").alias("n_control"),
+        F.col("x_c").alias("conv_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.col("x_t").alias("conv_treatment"),
+        F.round(z, 4).alias("z_stat"),
+    )
+
+
+@register(
+    "w11_median_absolute_deviation",
+    oracle="""
+    WITH med AS (
+        SELECT c_mktsegment AS seg, median(o_totalprice) AS m
+        FROM orders JOIN customer ON c_custkey = o_custkey
+        GROUP BY 1
+    ),
+    dev AS (
+        SELECT med.seg, abs(o.o_totalprice - med.m) AS d
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN med ON med.seg = c.c_mktsegment
+    )
+    SELECT seg,
+           round(median(d), 4) AS mad,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM dev
+    GROUP BY seg
+    """,
+)
+def w11_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per segment — the ROBUST scale
+    statistic (stddev is wrecked by a single fat-fingered amount; MAD
+    is not), the denominator of robust z-scores in outlier screens.
+    Two exact interpolated medians: the segment median, broadcast
+    back onto the fact for deviations, then the median of deviations.
+
+    Scale: each median is a per-group exact percentile — at 100 TB
+    swap both for the distributed exact-quantile operator
+    (operators/quantiles.py, a08) or approx_percentile; the
+    two-pass broadcast-back shape is unchanged.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(
+        F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey")
+    ).select(F.col("c_mktsegment").alias("seg"), "o_totalprice")
+    med = joined.groupBy("seg").agg(F.median("o_totalprice").alias("m"))
+    dev = joined.join(F.broadcast(med), "seg").select(
+        "seg", F.abs(F.col("o_totalprice") - F.col("m")).alias("d")
+    )
+    return dev.groupBy("seg").agg(
+        F.round(F.median("d"), 4).alias("mad"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
