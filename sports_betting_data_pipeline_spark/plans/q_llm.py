@@ -3513,3 +3513,68 @@ def l53_mislabel_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("outlier_rank"),
         )
     )
+
+
+@register(
+    "l54_zipf_coverage",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (
+        SELECT tok, count(*) AS c,
+               row_number() OVER (ORDER BY count(*) DESC, tok) AS rnk
+        FROM toks GROUP BY tok
+    ),
+    total AS (SELECT sum(c) AS t, count(*) AS v FROM freq)
+    SELECT k.k AS vocab_size,
+           CAST((SELECT sum(c) FROM freq
+                 WHERE rnk <= least(k.k, total.v)) AS BIGINT)
+               AS tokens_covered,
+           CAST((SELECT 10000 * sum(c) FROM freq
+                 WHERE rnk <= least(k.k, total.v))
+                // total.t AS BIGINT) AS coverage_bp,
+           CAST(total.v AS BIGINT) AS full_vocab
+    FROM (VALUES (10), (30), (100)) AS k(k), total
+    """,
+)
+def l54_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf coverage curve — what share of all corpus tokens the
+    top-10/30/100 vocabulary entries cover (basis points, integer
+    floor). The curve a tokenizer-budget decision reads: if 100
+    types cover 99%% of tokens, byte-fallback costs are negligible;
+    the long tail is where l49's per-doc OOV audit points. One number
+    family, three budgets, one pass.
+
+    Scale: one word-count shuffle; the rank window runs over the
+    AGGREGATED frequency table; the three budget points are a 3-row
+    literal joined against running totals — extend to any budget
+    grid without rescanning.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.desc("c"), F.asc("tok")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = Window.orderBy(F.desc("c"), F.asc("tok"))
+    ranked = freq.select(
+        "c",
+        F.row_number().over(wr).alias("rnk"),
+        F.sum("c").over(w).alias("cum"),
+    )
+    total = freq.agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("v")
+    )
+    ks = F.explode(F.array(F.lit(10), F.lit(30), F.lit(100))).alias("k")
+    budgets = total.select(ks, "t", "v")
+    at_k = ranked.join(
+        F.broadcast(budgets),
+        F.col("rnk") == F.least(F.col("k"), F.col("v")),
+    )
+    return at_k.select(
+        F.col("k").cast("long").alias("vocab_size"),
+        F.col("cum").alias("tokens_covered"),
+        F.expr("10000 * cum div t").alias("coverage_bp"),
+        F.col("v").cast("long").alias("full_vocab"),
+    )

@@ -3198,3 +3198,141 @@ def w11_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.median("d"), 4).alias("mad"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "j09_temporal_dim_join",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, 'PROMOTED' AS seg
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    history AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               TIMESTAMP '1970-01-01' AS valid_from,
+               CASE WHEN u.c_custkey IS NOT NULL
+                    THEN TIMESTAMP '2024-01-15' END AS valid_to
+        FROM customer c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+        UNION ALL
+        SELECT c_custkey, seg, TIMESTAMP '2024-01-15', NULL FROM upd
+    )
+    SELECT h.c_mktsegment AS segment_at_event_time,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(coalesce(e.value, 0.0)), 2) AS total_value
+    FROM events e
+    JOIN history h
+      ON h.c_custkey = e.user_id
+     AND e.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    GROUP BY 1
+    """,
+)
+def j09_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL dimension join — facts joined to the dimension VERSION
+    valid at event time (``valid_from <= ts < valid_to`` against the
+    SCD2 history, here a mid-January segment promotion): January
+    events before the 15th aggregate under the old segment, after
+    under the new — the as-was reporting semantics that joining the
+    current dim silently falsifies.
+
+    Scale: the history is dim-sized (|dim| + |changes| rows) and
+    broadcasts; the validity range is a residual predicate on the
+    broadcast hash join's key match, so the fact still probes by key
+    — never a range-only nested loop. This is the batch shape of a
+    stream-to-SCD join (the streaming twin needs the history
+    republished per watermark epoch).
+    """
+    from sports_betting_data_pipeline_spark.operators.scd import scd2_apply
+
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    dim = customer.select("c_custkey", "c_mktsegment")
+    upd = dim.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey", F.lit("PROMOTED").alias("c_mktsegment")
+    )
+    history = scd2_apply(
+        dim, upd, "c_custkey", ["c_mktsegment"], effective="2024-01-15"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    joined = events.join(
+        F.broadcast(history),
+        (F.col("c_custkey") == F.col("user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    return joined.groupBy(
+        F.col("c_mktsegment").alias("segment_at_event_time")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias(
+            "total_value"
+        ),
+    )
+
+
+@register(
+    "a18_gini_concentration",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey AS k,
+               sum(o.o_totalprice) AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT seg, x,
+               row_number() OVER (PARTITION BY seg ORDER BY x, k) AS i,
+               count(*) OVER (PARTITION BY seg) AS n,
+               sum(x) OVER (PARTITION BY seg) AS tot
+        FROM spend
+    )
+    SELECT seg,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           round(2.0 * sum(i * x) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    GROUP BY seg
+    """,
+)
+def a18_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration per segment — the
+    inequality statistic ("do 20%% of customers carry 80%% of
+    revenue?") every book-of-business review reports, via the exact
+    rank formula G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n over the
+    deterministically ordered per-customer totals.
+
+    Scale: per-customer totals are one map-side-combined shuffle;
+    the rank window partitions by segment over that AGGREGATED table
+    (|customers| rows, not |orders|), and the final statistic is one
+    more aggregate of it.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        orders.join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("k"))
+        .agg(F.sum("o_totalprice").alias("x"))
+    )
+    w = Window.partitionBy("seg").orderBy("x", "k")
+    wp = Window.partitionBy("seg")
+    ranked = spend.select(
+        "seg",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("x").over(wp).alias("tot"),
+    )
+    return ranked.groupBy("seg").agg(
+        F.max("n").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x")) / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
