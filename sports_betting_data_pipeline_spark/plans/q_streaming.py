@@ -770,3 +770,77 @@ def st16_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         agg, "st16_late_drop", output_mode="append", state_partitions=4
     )
+
+
+@register(
+    "st17_stream_temporal_dim_join",
+    oracle="""
+    WITH upd AS (
+        SELECT c_custkey, 'PROMOTED' AS seg
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    history AS (
+        SELECT c.c_custkey, c.c_mktsegment,
+               TIMESTAMP '1970-01-01' AS valid_from,
+               CASE WHEN u.c_custkey IS NOT NULL
+                    THEN TIMESTAMP '2024-01-15' END AS valid_to
+        FROM customer c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
+        UNION ALL
+        SELECT c_custkey, seg, TIMESTAMP '2024-01-15', NULL FROM upd
+    )
+    SELECT h.c_mktsegment AS segment_at_event_time,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(coalesce(e.value, 0.0)), 2) AS total_value
+    FROM events e
+    JOIN history h
+      ON h.c_custkey = e.user_id
+     AND e.ts >= h.valid_from
+     AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+    GROUP BY 1
+    """,
+)
+def st17_stream_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING temporal dimension join — the live twin of j09: the
+    event stream joins the SCD2 history picking the dimension version
+    valid at each event's OWN time (key equality + validity-range
+    residual on a broadcast static side), so mid-stream dimension
+    changes route events to the segment they belonged to WHEN THEY
+    HAPPENED, not the current one. Stream-static joins are stateless
+    per microbatch, so the history can be arbitrarily wide without
+    streaming state.
+
+    Drained with availableNow the rollup equals j09's batch temporal
+    join — one oracle pins both twins.
+    """
+    from sports_betting_data_pipeline_spark.operators.scd import scd2_apply
+
+    stream = read_events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    upd = dim.filter(F.col("c_custkey") % 10 == 3).select(
+        "c_custkey", F.lit("PROMOTED").alias("c_mktsegment")
+    )
+    history = scd2_apply(
+        dim, upd, "c_custkey", ["c_mktsegment"], effective="2024-01-15"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    joined = stream.join(
+        F.broadcast(history),
+        (F.col("c_custkey") == F.col("user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+    )
+    agg = joined.groupBy(
+        F.col("c_mktsegment").alias("segment_at_event_time")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.coalesce(F.col("value"), F.lit(0.0))), 2).alias(
+            "total_value"
+        ),
+    )
+    return run_stream_to_table(agg, "st17_temporal", output_mode="complete")
