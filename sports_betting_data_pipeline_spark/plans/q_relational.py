@@ -3336,3 +3336,193 @@ def a18_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "w12_peak_concurrency",
+    oracle="""
+    WITH sessions AS (
+        SELECT user_id,
+               min(ts) AS s_start, max(ts) AS s_end
+        FROM (
+            SELECT user_id, ts,
+                   sum(CASE WHEN prev_ts IS NULL
+                             OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                            THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_ts
+                FROM events
+            )
+        )
+        GROUP BY user_id, sid
+    ),
+    boundaries AS (
+        SELECT CAST(s_start AS DATE) AS day, s_start AS t, 1 AS delta
+        FROM sessions
+        UNION ALL
+        SELECT CAST(s_start AS DATE), s_end, -1 FROM sessions
+    ),
+    swept AS (
+        SELECT day,
+               sum(delta) OVER (
+                   PARTITION BY day ORDER BY t, delta DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS live
+        FROM boundaries
+    )
+    SELECT day, CAST(max(live) AS BIGINT) AS peak_concurrent_sessions
+    FROM swept
+    GROUP BY day
+    """,
+)
+def w12_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENCY per day — the sweep-line classic: sessionize
+    (w05's gaps-and-islands), explode each session into a +1 start
+    and a −1 end boundary, running-sum the deltas in time order, and
+    take each day's maximum. The capacity-planning number ("how many
+    simultaneous live sessions must we serve?") that no plain
+    aggregate produces. Boundaries anchor to the session's START day
+    so each session counts in exactly one partition; ties order
+    starts before ends (delta DESC) so touching sessions count as
+    overlapping — both conventions identical in the oracle.
+
+    Scale: sessionization is two user-partitioned windows; the sweep
+    is one window PARTITIONED BY DAY over 2·|sessions| boundary rows
+    — never a global sort. A session spanning midnight stays in its
+    start-day partition (fixture sessions are 30-min-gap bounded);
+    true multi-day spans would pre-split at day boundaries first.
+    """
+    events = load_table(spark, sf_dir, "events")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wc = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lagged = events.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(wl).alias("prev_ts")
+    )
+    sid = F.sum(
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_micros("ts") - F.unix_micros("prev_ts")) > 1800000000),
+            1,
+        ).otherwise(0)
+    ).over(wc)
+    sessions = (
+        lagged.withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    boundaries = sessions.select(
+        F.to_date("s_start").alias("day"),
+        F.col("s_start").alias("t"),
+        F.lit(1).alias("delta"),
+    ).unionByName(
+        sessions.select(
+            F.to_date("s_start").alias("day"),
+            F.col("s_end").alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    ws = (
+        Window.partitionBy("day")
+        .orderBy(F.asc("t"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = boundaries.select(
+        "day", F.sum("delta").over(ws).alias("live")
+    )
+    return swept.groupBy("day").agg(
+        F.max("live").alias("peak_concurrent_sessions")
+    )
+
+
+@register(
+    "a19_welch_t_test",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id,
+               (('0x' || left(md5(CAST(user_id AS VARCHAR) || '|exp1'), 8))
+                ::BIGINT % 2) = 0 AS in_control,
+               sum(coalesce(value, 0.0)) AS spend
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    arms AS (
+        SELECT in_control, count(*) AS n,
+               avg(spend) AS m, var_samp(spend) AS v
+        FROM assign GROUP BY 1
+    ),
+    wide AS (
+        SELECT max(CASE WHEN in_control THEN n END) AS n_c,
+               max(CASE WHEN in_control THEN m END) AS m_c,
+               max(CASE WHEN in_control THEN v END) AS v_c,
+               max(CASE WHEN NOT in_control THEN n END) AS n_t,
+               max(CASE WHEN NOT in_control THEN m END) AS m_t,
+               max(CASE WHEN NOT in_control THEN v END) AS v_t
+        FROM arms
+    )
+    SELECT CAST(n_c AS BIGINT) AS n_control,
+           CAST(n_t AS BIGINT) AS n_treatment,
+           round(m_c, 4) AS mean_control,
+           round(m_t, 4) AS mean_treatment,
+           round((m_t - m_c) / sqrt(v_c / n_c + v_t / n_t), 4) AS t_stat
+    FROM wide
+    """,
+)
+def a19_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test on a CONTINUOUS metric (per-user
+    purchase spend) between a17's hash-assigned experiment arms —
+    the unequal-variance form every metrics platform defaults to
+    because arm variances never match in practice. Complements a17's
+    proportion z-test; degrees of freedom (Welch–Satterthwaite) are
+    a client-side function of the same four moments.
+
+    Scale: per-user totals, then a 2-row moment rollup — one scan,
+    arithmetic after.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    in_control = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("user_id").cast("string"), F.lit("|exp1"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0
+    )
+    assign = events.groupBy("user_id").agg(
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("spend")
+    ).select(in_control.alias("in_control"), "spend")
+    arms = assign.groupBy("in_control").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("spend").alias("m"),
+        F.var_samp("spend").alias("v"),
+    )
+    wide = arms.agg(
+        F.max(F.when(F.col("in_control"), F.col("n"))).alias("n_c"),
+        F.max(F.when(F.col("in_control"), F.col("m"))).alias("m_c"),
+        F.max(F.when(F.col("in_control"), F.col("v"))).alias("v_c"),
+        F.max(F.when(~F.col("in_control"), F.col("n"))).alias("n_t"),
+        F.max(F.when(~F.col("in_control"), F.col("m"))).alias("m_t"),
+        F.max(F.when(~F.col("in_control"), F.col("v"))).alias("v_t"),
+    )
+    t = (F.col("m_t") - F.col("m_c")) / F.sqrt(
+        F.col("v_c") / F.col("n_c") + F.col("v_t") / F.col("n_t")
+    )
+    return wide.select(
+        F.col("n_c").alias("n_control"),
+        F.col("n_t").alias("n_treatment"),
+        F.round("m_c", 4).alias("mean_control"),
+        F.round("m_t", 4).alias("mean_treatment"),
+        F.round(t, 4).alias("t_stat"),
+    )
