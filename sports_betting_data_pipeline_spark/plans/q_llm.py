@@ -3578,3 +3578,93 @@ def l54_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("10000 * cum div t").alias("coverage_bp"),
         F.col("v").cast("long").alias("full_vocab"),
     )
+
+
+@register(
+    "l55_dedup_survivorship",
+    oracle=f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, lang,
+               list_distinct({_DTOKS.format(src='lower(text)')}) AS sh
+        FROM documents WHERE doc_id % 5 = 0
+    ), p AS (
+        SELECT a.doc_id AS src, b.doc_id AS dst
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh)) /
+              greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.35
+    ), e AS (
+        SELECT src, dst FROM p UNION SELECT dst, src FROM p
+    ), r(node, lbl) AS (
+        SELECT DISTINCT src, src FROM e
+        UNION
+        SELECT e.dst, r.lbl FROM r JOIN e ON e.src = r.node
+    ), c AS (
+        SELECT node AS doc_id, min(lbl) AS component FROM r GROUP BY node
+    ), ranked AS (
+        SELECT c.component, c.doc_id, d.n_chars,
+               row_number() OVER (
+                   PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, c.doc_id
+               ) AS pick
+        FROM c JOIN documents d ON d.doc_id = c.doc_id
+    )
+    SELECT component,
+           doc_id AS survivor_doc_id,
+           CAST(n_chars AS BIGINT) AS survivor_chars,
+           CAST((SELECT count(*) FROM ranked r2
+                 WHERE r2.component = ranked.component) - 1 AS BIGINT)
+               AS n_dropped
+    FROM ranked WHERE pick = 1
+    """,
+)
+def l55_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup SURVIVORSHIP policy: after near-dup clustering (l21's
+    exact-audit components), pick which copy each cluster KEEPS —
+    here the longest version (n_chars desc, id tiebreak), the policy
+    real pipelines prefer over min-id because near-dups are usually
+    truncations of one another. Emits the survivor plus how many
+    copies it displaces; the dedup DECISION, separated from the
+    clustering MECHANISM, so policies swap without touching the graph
+    code.
+
+    Scale: survivor selection is one WindowGroupLimit argmax over the
+    (node, component) table joined to dim-width doc metadata — the
+    clustering (l21/l22) dominates; the policy layer is free.
+    """
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0
+    )
+    pairs = ngram_jaccard_pairs(
+        docs, id_col="doc_id", text_col="text", k=1,
+        threshold=0.35, block_col="lang",
+    ).select("id_a", "id_b")
+    cc = connected_components(pairs)
+    members = cc.join(
+        F.broadcast(docs.select("doc_id", "n_chars")),
+        F.col("doc_id") == F.col("node"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("component")
+    return (
+        members.select(
+            "component",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("pick"),
+            (F.count(F.lit(1)).over(wc) - 1).alias("n_dropped"),
+        )
+        .filter(F.col("pick") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("n_chars").alias("survivor_chars"),
+            "n_dropped",
+        )
+    )

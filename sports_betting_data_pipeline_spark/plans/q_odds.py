@@ -109,3 +109,60 @@ def o03_implied_probability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(decimal_odds(F.col("odds"))), 6).alias("avg_decimal"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "o04_kelly_stakes",
+    oracle=f"""
+    WITH d AS (
+        SELECT event_id, {drawn_odds_sql('event_id')} AS odds
+        FROM events WHERE event_id % 20 = 0
+    ),
+    priced AS (
+        SELECT event_id, odds,
+               CASE WHEN odds > 0 THEN 100.0 / (odds + 100.0)
+                    ELSE -odds / (-odds + 100.0) END AS p_imp,
+               CASE WHEN odds > 0 THEN odds / 100.0
+                    ELSE 100.0 / (-odds) END AS b
+        FROM d
+    ),
+    kelly AS (
+        SELECT event_id, odds, b,
+               least(p_imp * 1.05, 0.99) AS p_true,
+               (b * least(p_imp * 1.05, 0.99)
+                - (1 - least(p_imp * 1.05, 0.99))) / b AS f
+        FROM priced
+    )
+    SELECT event_id,
+           CAST(odds AS BIGINT) AS odds,
+           round(f, 6) AS kelly_fraction,
+           round(greatest(f, 0.0) * 1000.0, 2) AS stake
+    FROM kelly
+    """,
+)
+def o04_kelly_stakes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kelly-criterion bet sizing over the drawn odds ladder: implied
+    probability from the American odds, a deterministic modeled edge
+    (5%% over implied, capped), and the Kelly fraction
+    f = (b·p − q)/b sized against a 1000-unit bankroll — negative-
+    edge lines stake zero. The stake-sizing math the reference's
+    flat-stake loop (mm_calls.py:241-247) would grow into; pure
+    map-side arithmetic on the same ladder draw the wager family
+    uses, so the whole pricing→sizing path is oracle-checked.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.pmod("event_id", F.lit(20)) == 0
+    )
+    odds = drawn_odds(F.col("event_id"))
+    p_imp = F.when(odds > 0, 100.0 / (odds + 100.0)).otherwise(
+        -odds / (-odds + 100.0)
+    )
+    b = F.when(odds > 0, odds / 100.0).otherwise(100.0 / (-odds))
+    p_true = F.least(p_imp * 1.05, F.lit(0.99))
+    f = (b * p_true - (1 - p_true)) / b
+    return events.select(
+        "event_id",
+        odds.cast("long").alias("odds"),
+        F.round(f, 6).alias("kelly_fraction"),
+        F.round(F.greatest(f, F.lit(0.0)) * 1000.0, 2).alias("stake"),
+    )

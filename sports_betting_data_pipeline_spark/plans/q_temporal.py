@@ -517,3 +517,46 @@ def sql03_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "c13_url_parse",
+    oracle="""
+    SELECT event_id,
+           'shard' || CAST(user_id % 8 AS VARCHAR) || '.example.com' AS host,
+           '/t/' || event_type AS path,
+           CAST(event_id AS VARCHAR) AS ref_param
+    FROM events
+    WHERE event_id % 25 = 0
+    """,
+)
+def c13_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing kit (``parse_url`` — JVM-side): synthesize each
+    event's click URL from its columns, then recover host, path, and
+    a query parameter BY PARSING the assembled string. The oracle
+    reconstructs the same fields directly from the columns, so the
+    hash check verifies the parser inverts the builder exactly —
+    scheme/port/query handling and all. The log-processing first step
+    (clickstream URLs → dimensions) with no Python and no regex.
+
+    Scale: pure map-side string expressions; the l17 scrubbing regexes
+    handle FREE-TEXT URLs, this handles STRUCTURED ones.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.pmod("event_id", F.lit(25)) == 0
+    )
+    url = F.concat(
+        F.lit("https://shard"),
+        (F.col("user_id") % 8).cast("string"),
+        F.lit(".example.com:443/t/"),
+        F.col("event_type"),
+        F.lit("?ref="),
+        F.col("event_id").cast("string"),
+        F.lit("&utm=x"),
+    )
+    return events.select(
+        "event_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
+    )
