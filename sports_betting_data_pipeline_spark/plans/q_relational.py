@@ -3526,3 +3526,48 @@ def a19_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("m_t", 4).alias("mean_treatment"),
         F.round(t, 4).alias("t_stat"),
     )
+
+
+@register(
+    "f09_backtest_split",
+    oracle="""
+    SELECT CASE
+             WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+             WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+             ELSE 'embargo'
+           END AS split,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(min(event_id) AS BIGINT) AS first_event,
+           CAST(max(event_id) AS BIGINT) AS last_event
+    FROM events
+    GROUP BY 1
+    """,
+)
+def f09_backtest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based backtest split with an EMBARGO gap: train strictly
+    before the cutoff, test strictly after cutoff+2 days, and the
+    two-day embargo in between excluded from both — the split that
+    prevents look-ahead leakage when features are windowed aggregates
+    (a trailing-48h feature computed at test start would otherwise
+    read train-period rows; the embargo absorbs exactly that
+    horizon). l44's hash split is for exchangeable documents; time
+    series need THIS one.
+
+    Scale: a pure scan-side CASE — partition-prunable when the lake
+    is date-partitioned; the summary is one small aggregate.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    test_start = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    split = (
+        F.when(F.col("ts") < cutoff, "train")
+        .when(F.col("ts") >= test_start, "test")
+        .otherwise("embargo")
+    )
+    return events.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )

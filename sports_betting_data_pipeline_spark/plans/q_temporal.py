@@ -560,3 +560,56 @@ def c13_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref_param"),
     )
+
+
+@register(
+    "ts05_seasonal_profile",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hod,
+               count(*) AS n,
+               sum(coalesce(value, 0.0)) AS tv
+        FROM events
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT sum(n) AS tn, count(*) AS n_cells FROM cells)
+    SELECT dow, hod,
+           CAST(n AS BIGINT) AS n_events,
+           round(tv, 2) AS total_value,
+           round(n * n_cells / CAST(tn AS DOUBLE), 6) AS seasonality_index
+    FROM cells, tot
+    """,
+)
+def ts05_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality PROFILE — the day-of-week × hour-of-day heatmap
+    with each cell's traffic indexed against a uniform baseline
+    (index 1.0 = average load; 2.0 = double): the capacity and
+    anomaly-baseline input (st15 flags residuals; this is the
+    seasonal expectation you subtract first). DuckDB's dayofweek is
+    0-6 Sunday-first; Spark's matching form is ``dayofweek(ts)-1`` —
+    pinned here so the convention is explicit.
+
+    Scale: one map-side-combined shuffle to 168 cells, a 1-row total
+    broadcast — the profile costs one scan at any history length.
+    """
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("tv"),
+    )
+    tot = cells.agg(
+        F.sum("n").alias("tn"), F.count(F.lit(1)).alias("n_cells")
+    )
+    return cells.join(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        F.col("n").alias("n_events"),
+        F.round("tv", 2).alias("total_value"),
+        F.round(
+            F.col("n") * F.col("n_cells") / F.col("tn").cast("double"), 6
+        ).alias("seasonality_index"),
+    )
