@@ -3668,3 +3668,78 @@ def l55_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_dropped",
         )
     )
+
+
+@register(
+    "l56_containment_dedup",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct({_DTOKS.format(src='lower(text)')}) AS sh
+        FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT a.doc_id AS contained_id,
+           b.doc_id AS container_id,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(a.sh) AS DOUBLE), 6) AS containment,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(greatest(len(list_distinct(list_concat(a.sh, b.sh))),
+                                 1) AS DOUBLE), 6) AS jaccard
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) AS DOUBLE) >= 0.9
+      AND len(a.sh) > 0
+    """,
+)
+def l56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTAINMENT near-dup detection — |A∩B|/|A| ≥ 0.9, the
+    ASYMMETRIC overlap that catches a document embedded inside a
+    longer one (truncations, quote-wrappers, boilerplate-padded
+    copies) where symmetric Jaccard stays low because the union is
+    dominated by the container. The jaccard value rides along to show
+    exactly which pairs Jaccard-threshold dedup (l07/l08) would have
+    missed. Within-language blocked pairs, exact-audit sized (the
+    production path swaps in LSH candidates exactly as l22 does for
+    l21).
+
+    Scale: same blocked pair-join family as l07 — candidate
+    generation must come from MinHash/LSH beyond audit sizes; the
+    containment FORMULA is the only change, which is the point of
+    keeping decision and mechanism separate.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(4)) == 0
+    )
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+            )
+        ).alias("sh"),
+    ).filter(F.size("sh") > 0)
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("contained_id"),
+        F.col("b.doc_id").alias("container_id"),
+        F.size(F.array_intersect("a.sh", "b.sh")).alias("inter"),
+        F.size("a.sh").alias("na"),
+        F.size(F.array_distinct(F.concat("a.sh", "b.sh"))).alias("un"),
+    )
+    return pairs.filter(
+        F.col("inter") / F.col("na").cast("double") >= 0.9
+    ).select(
+        "contained_id",
+        "container_id",
+        F.round(F.col("inter") / F.col("na").cast("double"), 6).alias(
+            "containment"
+        ),
+        F.round(
+            F.col("inter") / F.greatest(F.col("un"), F.lit(1)).cast("double"), 6
+        ).alias("jaccard"),
+    )

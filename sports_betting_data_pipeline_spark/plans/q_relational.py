@@ -3571,3 +3571,57 @@ def f09_backtest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event"),
         F.max("event_id").alias("last_event"),
     )
+
+
+@register(
+    "mk02_path_mining",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT e1, e2, e3, count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT e1, e2, e3, CAST(n AS BIGINT) AS n_paths,
+           CAST(rnk AS BIGINT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY n DESC, e1, e2, e3
+        ) AS rnk FROM paths
+    ) WHERE rnk <= 10
+    """,
+)
+def mk02_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral PATH mining: the 10 most common length-3 event
+    sequences across all users (double-lead window → trigram counts →
+    top-k) — mk01's transition matrix extended to multi-step paths,
+    the input to funnel design and UX flow review. Sequences never
+    cross users (the window partitions by user).
+
+    Scale: one lead-window pass, one (e1,e2,e3) map-side-combined
+    count (≤ |types|³ groups), TakeOrdered top-k.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    paths = seq.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.desc("n"), F.asc("e1"), F.asc("e2"), F.asc("e3"))
+    return (
+        paths.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "e1", "e2", "e3",
+            F.col("n").alias("n_paths"),
+            F.col("rnk").cast("long").alias("rank"),
+        )
+    )
