@@ -181,7 +181,9 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                # 1-row broadcast scalar (the PK-uniqueness gate)
                "pl07_lakehouse_refresh",
                # 1-row broadcast scalars (corpus/target totals; vocab size)
-               "l51_dsir_importance", "l52_bigram_perplexity"}
+               "l51_dsir_importance", "l52_bigram_perplexity",
+               # 1-row broadcast scalar (total events + cell count)
+               "ts05_seasonal_profile"}
     PYTHON_OK = {"m01_multimodal_features", "m02_frame_sample_plan",
                  # real-codec WAV/BMP synth+decode roundtrips (mapInPandas)
                  "m03_audio_roundtrip", "m04_image_roundtrip",
