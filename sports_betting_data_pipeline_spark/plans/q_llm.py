@@ -3743,3 +3743,100 @@ def l56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("inter") / F.greatest(F.col("un"), F.lit(1)).cast("double"), 6
         ).alias("jaccard"),
     )
+
+
+@register(
+    "pl08_multimodal_pipeline",
+    oracle="""
+    WITH samples AS (
+        SELECT d.doc_id,
+               gs.i // 8 AS frame_idx,
+               ascii(substr(d.text, 2 * gs.i + 1, 1))
+               + 256 * ascii(substr(d.text, 2 * gs.i + 2, 1)) AS s
+        FROM (SELECT doc_id, text FROM documents
+              WHERE doc_id < 50 AND n_chars >= 32) d,
+             generate_series(0, 15) AS gs(i)
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           round(sqrt(sum(s * s) / 8.0), 6) AS rms,
+           CAST(max(s) AS BIGINT) AS peak
+    FROM samples
+    GROUP BY 1, 2
+    """,
+)
+def pl08_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed MULTIMODAL pipeline end to end: assets land as
+    loose binary files via the distributed executor-side write
+    (src08's edge), are ingested back through Spark's ``binaryFile``
+    source, and the RAW READ BYTES are decoded as little-endian int16
+    PCM whose per-frame RMS/peak features come out of one Arrow
+    ``mapInPandas`` pass — write → list → read → decode → featurize,
+    every byte accounted for. Because the payloads are the documents'
+    own ASCII bytes, the oracle recomputes the identical samples with
+    character arithmetic, so the WHOLE binary path is hash-checked —
+    no fake decode anywhere.
+
+    Scale: the landing write and the binaryFile list/read are both
+    per-file parallel; only (path, 32 bytes) reach the decoder; the
+    feature pass is the m05 shape. Swap the byte interpretation for a
+    real codec (m03's WAV, m04's BMP) and nothing else changes — that
+    is the point of the composition.
+    """
+    import os
+
+    from sports_betting_data_pipeline_spark.plans.q_sources import _scratch
+
+    path = _scratch(sf_dir, "pl08_assets")
+    os.makedirs(path, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 50) & (F.col("n_chars") >= 32)
+    )
+
+    def write_part(rows):
+        for r in rows:
+            fname = os.path.join(path, f"asset_{r['doc_id']:06d}.bin")
+            with open(fname + ".tmp", "wb") as fh:
+                fh.write(r["text"].encode("utf-8"))
+            os.replace(fname + ".tmp", fname)
+
+    docs.select("doc_id", "text").foreachPartition(write_part)
+    assets = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "asset_*.bin")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"asset_(\d+)\.bin$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                pcm = np.frombuffer(bytes(content)[:32], dtype="<i2").astype(
+                    np.int64
+                )
+                frames = pcm.reshape(2, 8)
+                sumsq = (frames * frames).sum(axis=1)
+                rms = np.sqrt(sumsq / 8.0)
+                peak = frames.max(axis=1)
+                for idx in range(2):
+                    out.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "frame_idx": idx,
+                            "rms": round(float(rms[idx]), 6),
+                            "peak": int(peak[idx]),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, frame_idx long, rms double, peak long"
+    return assets.mapInPandas(batches, schema=schema)

@@ -189,6 +189,8 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                  "m03_audio_roundtrip", "m04_image_roundtrip",
                  # frame-level RMS/peak over decoded PCM (mapInPandas)
                  "m05_audio_frame_energy",
+                 # composed binaryFile ingest -> byte decode -> features
+                 "pl08_multimodal_pipeline",
                  "st06_stateful_user_stats", "st13_threshold_alerts",
                  "st15_stream_anomalies",
                  "l16_grouped_zscore"}
