@@ -3720,10 +3720,18 @@ def l56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh"),
     ).filter(F.size("sh") > 0)
     a, b = toks.alias("a"), toks.alias("b")
+    # Size-band prefilter IMPLIED by the predicate: containment >= 0.9
+    # forces |A∩B| >= 0.9|A| and |A∩B| <= |B|, so any qualifying
+    # container has |B| >= 0.9|A| — pruning the pair set before the
+    # expensive array intersections without changing the result.
     pairs = a.join(
         b,
         (F.col("a.lang") == F.col("b.lang"))
-        & (F.col("a.doc_id") != F.col("b.doc_id")),
+        & (F.col("a.doc_id") != F.col("b.doc_id"))
+        & (
+            F.size(F.col("b.sh")).cast("double")
+            >= 0.9 * F.size(F.col("a.sh"))
+        ),
     ).select(
         F.col("a.doc_id").alias("contained_id"),
         F.col("b.doc_id").alias("container_id"),
