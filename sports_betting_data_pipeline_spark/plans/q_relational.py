@@ -3625,3 +3625,91 @@ def mk02_path_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "a20_poisson_bootstrap",
+    oracle="""
+    WITH fanned AS (
+        SELECT o_totalprice AS v, gs.r,
+               (('0x' || left(md5(CAST(o_orderkey AS VARCHAR) || '#'
+                                  || CAST(gs.r AS VARCHAR)), 8))
+                ::BIGINT + 1.0) / 4294967296.0 AS u
+        FROM orders, generate_series(0, 19) AS gs(r)
+    ),
+    weighted AS (
+        SELECT r, v,
+               CASE
+                 WHEN u < 0.36787944117144233 THEN 0
+                 WHEN u < 0.7357588823428847 THEN 1
+                 WHEN u < 0.9196986029286058 THEN 2
+                 WHEN u < 0.9810118431238463 THEN 3
+                 ELSE 4
+               END AS w
+        FROM fanned
+    )
+    SELECT r AS replicate,
+           CAST(sum(w) AS BIGINT) AS n_eff,
+           round(sum(w * v) / sum(w), 4) AS boot_mean
+    FROM weighted
+    GROUP BY r
+    """,
+)
+def a20_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP — the distributed bootstrap: instead of
+    resampling rows (impossible without a global shuffle per
+    replicate), every row draws an independent Poisson(1) weight per
+    replicate and each replicate's statistic is a weighted aggregate
+    — 20 bootstrap means of order value in ONE scan, whose spread is
+    the standard error of the mean with no closed-form assumption.
+    Weights are md5-derived uniforms pushed through the exact
+    Poisson(1) CDF thresholds (capped at 4,99.6%% of the mass), so
+    every replicate is engine-reproducible.
+
+    Scale: a 20× map-side explode and one (replicate) aggregate —
+    bootstrap cost is B× scan work with ZERO resampling shuffles,
+    which is why this is the only bootstrap that exists at 100 TB.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    fanned = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("v"),
+        F.explode(F.sequence(F.lit(0), F.lit(19))).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1.0
+    ) / 4294967296.0
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238463, 3)
+        .otherwise(4)
+    )
+    return (
+        fanned.withColumn("w", w)
+        .groupBy(F.col("r").alias("replicate"))
+        .agg(
+            F.sum("w").alias("n_eff"),
+            F.round(
+                F.sum(F.col("w") * F.col("v")) / F.sum("w"), 4
+            ).alias("boot_mean"),
+        )
+    )
