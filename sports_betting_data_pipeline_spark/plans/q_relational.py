@@ -3713,3 +3713,79 @@ def a20_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boot_mean"),
         )
     )
+
+
+@register(
+    "a23_pareto_point",
+    oracle="""
+    WITH spend AS (
+        SELECT c.c_mktsegment AS seg, o.o_custkey AS k,
+               CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT seg, cents,
+               row_number() OVER (
+                   PARTITION BY seg ORDER BY cents DESC, k
+               ) AS i,
+               sum(cents) OVER (
+                   PARTITION BY seg ORDER BY cents DESC, k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum,
+               sum(cents) OVER (PARTITION BY seg) AS tot,
+               count(*) OVER (PARTITION BY seg) AS n
+        FROM spend
+    )
+    SELECT seg,
+           CAST(min(i) AS BIGINT) AS customers_for_80pct,
+           CAST(max(n) AS BIGINT) AS n_customers,
+           CAST(10000 * min(i) // max(n) AS BIGINT) AS share_of_base_bp
+    FROM ranked
+    WHERE 5 * cum >= 4 * tot
+    GROUP BY seg
+    """,
+)
+def a23_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 point per segment — the SMALLEST number of top
+    customers whose revenue reaches 80%% of the segment's total, and
+    what share of the customer base that is (basis points). The
+    concentration headline a18's Gini summarizes as one number, here
+    in the actionable "how many accounts does the key-account team
+    own" form. Revenue is integer cents and the 80%% test is the
+    integer cross-multiplication ``5·cum ≥ 4·tot`` — no float
+    appears anywhere, so no boundary can disagree.
+
+    Scale: per-customer totals (one shuffle), per-segment sort
+    windows over the AGGREGATED table, a filter + min.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    spend = (
+        orders.join(F.broadcast(customer), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("k"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100).cast("long").alias("cents")
+        )
+    )
+    wo = Window.partitionBy("seg").orderBy(F.desc("cents"), F.asc("k"))
+    wc = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wp = Window.partitionBy("seg")
+    ranked = spend.select(
+        "seg",
+        F.row_number().over(wo).alias("i"),
+        F.sum("cents").over(wc).alias("cum"),
+        F.sum("cents").over(wp).alias("tot"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return (
+        ranked.filter(5 * F.col("cum") >= 4 * F.col("tot"))
+        .groupBy("seg")
+        .agg(
+            F.min("i").cast("long").alias("customers_for_80pct"),
+            F.max("n").cast("long").alias("n_customers"),
+            F.expr("10000 * min(i) div max(n)").alias("share_of_base_bp"),
+        )
+    )

@@ -613,3 +613,65 @@ def ts05_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n") * F.col("n_cells") / F.col("tn").cast("double"), 6
         ).alias("seasonality_index"),
     )
+
+
+@register(
+    "ts06_wow_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+                    AS BIGINT) AS week,
+               sum(coalesce(value, 0.0)) AS rev
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY 1
+    )
+    SELECT week,
+           round(rev, 2) AS revenue,
+           round(lag(rev) OVER (ORDER BY week), 2) AS prev_revenue,
+           CAST(CASE WHEN lag(rev) OVER (ORDER BY week) IS NULL THEN NULL
+                ELSE 10000 * CAST(round(rev * 100) AS BIGINT)
+                     // CAST(round(lag(rev) OVER (ORDER BY week) * 100)
+                             AS BIGINT) - 10000 END AS BIGINT) AS wow_growth_bp
+    FROM weekly
+    """,
+)
+def ts06_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue GROWTH — the top-line trend metric:
+    weekly purchase revenue, the prior week alongside, and the growth
+    rate in integer basis points. The growth ratio divides integer
+    CENTS — ``round(rev*100)`` is exact because revenue is a sum of
+    2dp values, so the double sits within 1e-9 of an integer and
+    nearest-integer rounding is unambiguous (never CAST a scaled
+    double directly: Spark's cast truncates where DuckDB's rounds,
+    an off-by-one waiting on any X.9999 representation).
+
+    Scale: one weekly aggregate (map-side-combined) + a lag window
+    over the handful of week rows.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    week = F.floor(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) / 7
+    ).cast("long")
+    weekly = events.groupBy(week.alias("week")).agg(
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("rev")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("week")
+    cents = F.round(F.col("rev"), 2) * 100
+    prev_cents = F.round(F.lag("rev").over(w), 2) * 100
+    return weekly.select(
+        "week",
+        F.round("rev", 2).alias("revenue"),
+        F.round(F.lag("rev").over(w), 2).alias("prev_revenue"),
+        F.when(
+            F.lag("rev").over(w).isNotNull(),
+            F.expr(
+                "10000 * CAST(round(rev * 100) AS BIGINT)"
+                " div CAST(round(lag(rev) OVER (ORDER BY week) * 100)"
+                " AS BIGINT) - 10000"
+            ),
+        ).alias("wow_growth_bp"),
+    )
