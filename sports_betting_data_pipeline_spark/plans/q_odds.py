@@ -166,3 +166,57 @@ def o04_kelly_stakes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f, 6).alias("kelly_fraction"),
         F.round(F.greatest(f, F.lit(0.0)) * 1000.0, 2).alias("stake"),
     )
+
+
+@register(
+    "o05_devig_two_way",
+    oracle=f"""
+    WITH mkt AS (
+        SELECT event_id,
+               {drawn_odds_sql('event_id')} AS odds_a,
+               {drawn_odds_sql('(event_id + 7919)')} AS odds_b
+        FROM events WHERE event_id % 20 = 0
+    ),
+    probs AS (
+        SELECT event_id, odds_a, odds_b,
+               CASE WHEN odds_a > 0 THEN 100.0 / (odds_a + 100.0)
+                    ELSE -odds_a / (-odds_a + 100.0) END AS pa,
+               CASE WHEN odds_b > 0 THEN 100.0 / (odds_b + 100.0)
+                    ELSE -odds_b / (-odds_b + 100.0) END AS pb
+        FROM mkt
+    )
+    SELECT event_id,
+           CAST(odds_a AS BIGINT) AS odds_a,
+           CAST(odds_b AS BIGINT) AS odds_b,
+           round(pa + pb - 1.0, 6) AS overround,
+           round(pa / (pa + pb), 6) AS fair_prob_a
+    FROM probs
+    """,
+)
+def o05_devig_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-way market DE-VIG: a two-outcome market per event (both
+    sides drawn from the same keyed ladder, salted draw for the
+    opposite side), the bookmaker's overround (implied probabilities
+    summing past 1 — the margin), and the fair outcome probability
+    after proportional vig removal. The pricing-analysis step between
+    o03's implied probabilities and o04's Kelly sizing: Kelly on
+    UN-devigged probabilities systematically overbets.
+
+    Scale: pure map-side arithmetic on the ladder draw — the whole
+    pricing chain (draw → implied → devig → size) never shuffles.
+    """
+    events = load_table(spark, sf_dir, "events").filter(
+        F.pmod("event_id", F.lit(20)) == 0
+    )
+    odds_a = drawn_odds(F.col("event_id"))
+    odds_b = drawn_odds(F.col("event_id") + 7919)
+    def implied(o):
+        return F.when(o > 0, 100.0 / (o + 100.0)).otherwise(-o / (-o + 100.0))
+    pa, pb = implied(odds_a), implied(odds_b)
+    return events.select(
+        "event_id",
+        odds_a.cast("long").alias("odds_a"),
+        odds_b.cast("long").alias("odds_b"),
+        F.round(pa + pb - 1.0, 6).alias("overround"),
+        F.round(pa / (pa + pb), 6).alias("fair_prob_a"),
+    )
