@@ -3789,3 +3789,56 @@ def a23_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("10000 * min(i) div max(n)").alias("share_of_base_bp"),
         )
     )
+
+
+@register(
+    "dq02_freshness_report",
+    oracle="""
+    SELECT 'events' AS source,
+           max(epoch_us(ts)) AS last_event_us,
+           CAST((1706745600000000 - max(epoch_us(ts))) // 3600000000
+                AS BIGINT) AS staleness_hours,
+           (1706745600000000 - max(epoch_us(ts))) <= 86400000000
+               AS within_sla
+    FROM events
+    UNION ALL
+    SELECT 'orders',
+           max(epoch_us(o_orderdate)),
+           CAST((1706745600000000 - max(epoch_us(o_orderdate)))
+                // 3600000000 AS BIGINT),
+           (1706745600000000 - max(epoch_us(o_orderdate))) <= 86400000000
+    FROM orders
+    """,
+)
+def dq02_freshness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data FRESHNESS audit — dq01's structural checks cover what the
+    data IS; this covers whether it's CURRENT: per source, the latest
+    event time, staleness in whole hours against the pipeline's
+    reference clock (the 2024-02-01 cutoff literal — a production run
+    injects its own), and a 24-hour SLA verdict. The first page of
+    every pipeline-health dashboard.
+
+    Scale: max() per source — scan-light (parquet footer stats can
+    answer it), one row out per table.
+    """
+    ref_us = F.lit(1706745600000000)
+    events = load_table(spark, sf_dir, "events")
+    # o_orderdate reads as TIMESTAMP_NTZ; the session timezone is
+    # pinned UTC (io._ensure_engine_confs), so a plain cast preserves
+    # the instant exactly as DuckDB's naive reading does.
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_orderdate", F.col("o_orderdate").cast("timestamp")
+    )
+
+    def one(name, df, ts_col):
+        last = F.max(F.unix_micros(F.col(ts_col)))
+        return df.agg(
+            F.lit(name).alias("source"),
+            last.alias("last_event_us"),
+            F.floor((ref_us - last) / 3600000000).alias("staleness_hours"),
+            ((ref_us - last) <= 86400000000).alias("within_sla"),
+        ).select("source", "last_event_us", "staleness_hours", "within_sla")
+
+    return one("events", events, "ts").unionByName(
+        one("orders", orders, "o_orderdate")
+    )
