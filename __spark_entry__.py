@@ -29,6 +29,42 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES[FLAGSHIP](spark, SMOKE_SF_DIR)
 
 
+def _order_catalog(
+    names: list[str],
+    counts: dict[str, int],
+    latest: dict[str, dict],
+    ages: dict[str, int],
+    oracled: set[str],
+) -> list[str]:
+    """Pure rotation ordering (unit-testable; see _rotation_order)."""
+
+    def failed(name: str) -> bool:
+        row = latest.get(name)
+        if row is None:
+            return False
+        err = row.get("err")
+        if err is not None and err != "no_oracle":
+            return True
+        if err == "no_oracle" and name in oracled:
+            return True
+        return any(
+            row.get(k) is False
+            for k in ("rows_match", "schema_match", "hash_match")
+        )
+
+    pos = {name: i for i, name in enumerate(names)}
+    newest = max(ages.values(), default=0) + 1
+    return sorted(
+        names,
+        key=lambda n: (
+            not failed(n),
+            counts.get(n, 0),
+            ages.get(n, newest),
+            pos[n],
+        ),
+    )
+
+
 def _rotation_order() -> list[str]:
     """Order the catalog failed-first, then least-driver-sampled.
 
@@ -42,7 +78,12 @@ def _rotation_order() -> list[str]:
        the very next round instead of waiting out the rotation
        (``err == "no_oracle"`` is rows-only by design, not a failure).
     2. Within a tier, least-sampled first (appearance count across all
-       ``CORRECTNESS_r*.json``), registration order as the tiebreak.
+       ``CORRECTNESS_r*.json``), then catalog AGE from the committed
+       ``CATALOG_AGES.json`` manifest (oldest-registered first), then
+       registration order. The age tiebreak fixes VERDICT r4 wrong-#1:
+       module-import position starved the round-1 wager family
+       (wg01–wg04) behind every newly added count-0 query for four
+       rounds; age guarantees first-registered queries drain first.
 
     Fully deterministic; any artifact parse problem falls back to
     registration order (broad except per ADVICE r3 — a list-shaped
@@ -53,6 +94,7 @@ def _rotation_order() -> list[str]:
 
     counts = {name: 0 for name in QUERIES}
     latest: dict[str, dict] = {}
+    ages = {}
     try:
         for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
             with open(path) as fh:
@@ -64,27 +106,17 @@ def _rotation_order() -> list[str]:
                     counts[name] += 1
                     if isinstance(row, dict):
                         latest[name] = row
+        try:
+            with open(os.path.join(_REPO_DIR, "CATALOG_AGES.json")) as fh:
+                loaded = json.load(fh)
+            if isinstance(loaded, dict):
+                ages = {k: v for k, v in loaded.items() if isinstance(v, int)}
+        except Exception:
+            ages = {}
     except Exception:
         return list(QUERIES)
 
-    def failed(name: str) -> bool:
-        row = latest.get(name)
-        if row is None:
-            return False
-        err = row.get("err")
-        if err is not None and err != "no_oracle":
-            return True
-        if err == "no_oracle" and name in ORACLES:
-            # sampled rows-only before an oracle existed; the new
-            # oracle deserves an immediate driver hash-check
-            return True
-        return any(
-            row.get(k) is False
-            for k in ("rows_match", "schema_match", "hash_match")
-        )
-
-    pos = {name: i for i, name in enumerate(QUERIES)}
-    return sorted(QUERIES, key=lambda n: (not failed(n), counts[n], pos[n]))
+    return _order_catalog(list(QUERIES), counts, latest, ages, set(ORACLES))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
