@@ -23,6 +23,7 @@ from pyspark.sql.window import Window
 
 from sports_betting_data_pipeline_spark.functions.dedup import (
     connected_components,
+    containment_prefix_pairs,
     exact_dedupe_canonical,
     incremental_neardup_novel,
     jaccard,
@@ -3698,14 +3699,12 @@ def l56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copies) where symmetric Jaccard stays low because the union is
     dominated by the container. The jaccard value rides along to show
     exactly which pairs Jaccard-threshold dedup (l07/l08) would have
-    missed. Within-language blocked pairs, exact-audit sized (the
-    production path swaps in LSH candidates exactly as l22 does for
-    l21).
-
-    Scale: same blocked pair-join family as l07 — candidate
-    generation must come from MinHash/LSH beyond audit sizes; the
-    containment FORMULA is the only change, which is the point of
-    keeping decision and mechanism separate.
+    missed. AUDIT-ONLY: within-language blocked all-pairs join,
+    O(n²/lang) by construction — run it on samples to validate the
+    production path, never on the corpus. The registered production
+    twin is :func:`l57_containment_prefix_join` (exact prefix-filter
+    inverted-index join, identical output by construction — the
+    l21→l22 pairing for containment).
     """
     docs = load_table(spark, sf_dir, "documents").filter(
         F.pmod("doc_id", F.lit(4)) == 0
@@ -3750,6 +3749,57 @@ def l56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("inter") / F.greatest(F.col("un"), F.lit(1)).cast("double"), 6
         ).alias("jaccard"),
+    )
+
+
+@register(
+    "l57_containment_prefix_join",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               list_distinct({_DTOKS.format(src='lower(text)')}) AS sh
+        FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT a.doc_id AS contained_id,
+           b.doc_id AS container_id,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(a.sh) AS DOUBLE), 6) AS containment,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(greatest(len(list_distinct(list_concat(a.sh, b.sh))),
+                                 1) AS DOUBLE), 6) AS jaccard
+    FROM s a JOIN s b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) / CAST(len(a.sh) AS DOUBLE) >= 0.9
+      AND len(a.sh) > 0
+    """,
+)
+def l57_containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION containment-dedup path (l56's l22): exact
+    prefix-filter inverted-index join — C(A,B) ≥ 0.9 pairs found by
+    probing each doc's ⌊0.1·|A|⌋+1 globally-rarest tokens against a
+    (lang, token) inverted index, then exact-verifying candidates.
+    100% recall BY CONSTRUCTION (pigeonhole on the prefix bound), so
+    the oracle is the exact audit SQL verbatim — stronger than a
+    recall pin; tests/test_llm_ops.py additionally pins l57 ≡ l56.
+
+    Why this, not MinHash bands: containment ≥ 0.9 pairs reach
+    Jaccard ≈ 0.23 on this corpus (tiny doc inside a big container),
+    far below any banded-LSH operating point — Jaccard LSH is the
+    wrong candidate generator for asymmetric overlap; prefix
+    filtering (Bayardo et al. WWW'07 / SSJoin ICDE'06) is the exact
+    published alternative and every join in it is an equi-join. See
+    :func:`containment_prefix_pairs` for the shuffle profile.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(4)) == 0
+    )
+    return containment_prefix_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_col="lang",
+        threshold_num=9,
+        threshold_den=10,
     )
 
 

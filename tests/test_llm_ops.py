@@ -748,3 +748,33 @@ def test_cms_estimate_never_undercounts(spark):
         assert r["cms_estimate"] >= r["exact_count"]
         assert r["overcount"] == r["cms_estimate"] - r["exact_count"]
         assert r["overcount"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup: exact prefix-filter production twin (l57 vs l56)
+# ---------------------------------------------------------------------------
+def test_containment_prefix_join_equals_exact_audit(spark, sf_dir):
+    # The prefix-filter inverted-index join is EXACT by construction
+    # (pigeonhole on the |A| - ceil(t*|A|) + 1 rarest-token prefix), so
+    # the production twin must reproduce the all-pairs audit verbatim.
+    from sports_betting_data_pipeline_spark.plans.catalog import QUERIES
+
+    key = lambda r: (r["contained_id"], r["container_id"])  # noqa: E731
+    audit = {key(r): r for r in QUERIES["l56_containment_dedup"](spark, sf_dir).collect()}
+    prod = {key(r): r for r in QUERIES["l57_containment_prefix_join"](spark, sf_dir).collect()}
+    assert audit, "fixture must plant containment pairs"
+    assert set(prod) == set(audit)
+    for k, r in prod.items():
+        assert r["containment"] == audit[k]["containment"]
+        assert r["jaccard"] == audit[k]["jaccard"]
+
+
+def test_containment_prefix_join_plan_is_equi_join_only(spark, sf_dir):
+    # The production twin's whole point: candidate generation is an
+    # equi-join on (block, token) — never a nested-loop theta join.
+    from sports_betting_data_pipeline_spark.plans.catalog import QUERIES
+    from tests.test_plans import plan_text
+
+    plan = plan_text(QUERIES["l57_containment_prefix_join"](spark, sf_dir), "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
