@@ -354,6 +354,59 @@ def ivf_topk(
         )
     )
 
+def ivf_mutual_nn(
+    a: DataFrame,
+    b: DataFrame,
+    cents_a: DataFrame,
+    cents_b: DataFrame,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Mutual-nearest-neighbor mining over IVF candidates — the
+    production form of exact mutual-NN bitext mining (Artetxe &
+    Schwenk's LASER recipe): each direction's top-1 comes from
+    :func:`ivf_topk` over its side's quantizer, and a pair survives
+    only if both directions agree.
+
+    Inputs: ``a``(a_id, va), ``b``(b_id, vb), per-side centroid tables
+    (cent_id, cv). Output: (a_id, b_id, cos_sim) — cos_sim 6dp.
+
+    Recall characteristics (pinned in tests/test_llm_ops.py): true
+    bitext pairs are near-duplicates in embedding space, so both ends
+    land in the same (or a probed) cell and recall approaches 1; on
+    PURE-NOISE vectors (the fixture's embeddings — max mutual cosine
+    ~0.5) top-1 recall is bounded by the scan fraction and the mutual
+    filter squares the miss, so the noise-floor recall (~0.5 at
+    nprobe=4 over ~8 cells/side) measures the data, not the method.
+
+    Scale: two ivf_topk passes (centroid broadcast + cell-pruned
+    equi-join + per-query top-1 window) and one tiny equi-join of the
+    two top-1 tables. Nothing is O(|A|×|B|).
+    """
+    ab = ivf_topk(
+        b,
+        a.select(F.col("a_id").alias("query_id"), F.col("va").alias("query_vec")),
+        k=1,
+        nprobe=nprobe,
+        id_col="b_id",
+        vec_col="vb",
+        centroids=cents_b,
+    ).select(
+        F.col("query_id").alias("a_id"),
+        "b_id",
+        F.col("cosine_sim").alias("cos_sim"),
+    )
+    ba = ivf_topk(
+        a,
+        b.select(F.col("b_id").alias("query_id"), F.col("vb").alias("query_vec")),
+        k=1,
+        nprobe=nprobe,
+        id_col="a_id",
+        vec_col="va",
+        centroids=cents_a,
+    ).select("a_id", F.col("query_id").alias("b_id"))
+    return ab.join(ba, on=["a_id", "b_id"]).select("a_id", "b_id", "cos_sim")
+
+
 def pq_codebook(
     corpus: DataFrame,
     m: int = 8,

@@ -39,6 +39,7 @@ from sports_betting_data_pipeline_spark.functions.multimodal import (
 from sports_betting_data_pipeline_spark.functions.similarity import (
     brute_force_topk,
     embedding_neardup_pairs,
+    ivf_mutual_nn,
     ivf_topk,
     lsh_topk,
     semdedup,
@@ -2424,11 +2425,11 @@ def l42_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     two independent retrievals and re-scoring twice. Norms fold into
     the cosine via per-side precomputed columns.
 
-    Scale: exact mutual-NN is O(|A|×|B|) and correct HERE because the
-    fixture sides are ~250 rows; at 100 TB each direction's candidate
-    set comes from the ANN index (l36's IVF-PQ probes), and this
-    query's mutual-filter windows run unchanged over the candidate
-    pairs instead of the full product.
+    AUDIT-ONLY: exact mutual-NN is O(|A|×|B|) — run it on samples to
+    validate the index path, never on the corpus. The registered
+    production twin is :func:`l43_bitext_mining_ann` (IVF candidates
+    per direction + the same mutual filter; recall pinned against
+    this exact audit in tests/test_llm_ops.py).
     """
     from sports_betting_data_pipeline_spark.functions.similarity import (
         dot,
@@ -2462,6 +2463,119 @@ def l42_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rn_a") == 1) & (F.col("rn_b") == 1))
         .select("a_id", "b_id", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+@register(
+    "l43_bitext_mining_ann",
+    oracle="""
+    WITH a AS (
+        SELECT vec_id AS a_id, embedding::DOUBLE[] AS va
+        FROM embeddings WHERE label % 2 = 0
+    ), b AS (
+        SELECT vec_id AS b_id, embedding::DOUBLE[] AS vb
+        FROM embeddings WHERE label % 2 = 1
+    ), ca AS (
+        SELECT a_id AS cent_id, va AS cv FROM a WHERE a_id < 16
+    ), cb AS (
+        SELECT b_id AS cent_id, vb AS cv FROM b WHERE b_id < 16
+    ), bass AS (
+        SELECT b_id, cent_id FROM (
+            SELECT b.b_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY b.b_id
+                       ORDER BY list_cosine_similarity(b.vb, c.cv) DESC,
+                                c.cent_id) AS rn
+            FROM b CROSS JOIN cb c
+        ) WHERE rn = 1
+    ), aprobe AS (
+        SELECT a_id, cent_id FROM (
+            SELECT a.a_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY a.a_id
+                       ORDER BY list_cosine_similarity(a.va, c.cv) DESC,
+                                c.cent_id) AS rn
+            FROM a CROSS JOIN cb c
+        ) WHERE rn <= 4
+    ), ab AS (
+        SELECT a_id, b_id, sim FROM (
+            SELECT p.a_id, s.b_id,
+                   list_cosine_similarity(a2.va, b2.vb) AS sim,
+                   row_number() OVER (
+                       PARTITION BY p.a_id
+                       ORDER BY list_cosine_similarity(a2.va, b2.vb) DESC,
+                                s.b_id) AS rn
+            FROM aprobe p
+            JOIN bass s USING (cent_id)
+            JOIN a a2 ON a2.a_id = p.a_id
+            JOIN b b2 ON b2.b_id = s.b_id
+        ) WHERE rn = 1
+    ), aass AS (
+        SELECT a_id, cent_id FROM (
+            SELECT a.a_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY a.a_id
+                       ORDER BY list_cosine_similarity(a.va, c.cv) DESC,
+                                c.cent_id) AS rn
+            FROM a CROSS JOIN ca c
+        ) WHERE rn = 1
+    ), bprobe AS (
+        SELECT b_id, cent_id FROM (
+            SELECT b.b_id, c.cent_id,
+                   row_number() OVER (
+                       PARTITION BY b.b_id
+                       ORDER BY list_cosine_similarity(b.vb, c.cv) DESC,
+                                c.cent_id) AS rn
+            FROM b CROSS JOIN ca c
+        ) WHERE rn <= 4
+    ), ba AS (
+        SELECT a_id, b_id FROM (
+            SELECT p.b_id, s.a_id,
+                   row_number() OVER (
+                       PARTITION BY p.b_id
+                       ORDER BY list_cosine_similarity(a2.va, b2.vb) DESC,
+                                s.a_id) AS rn
+            FROM bprobe p
+            JOIN aass s USING (cent_id)
+            JOIN a a2 ON a2.a_id = s.a_id
+            JOIN b b2 ON b2.b_id = p.b_id
+        ) WHERE rn = 1
+    )
+    SELECT ab.a_id, ab.b_id, round(ab.sim, 6) AS cos_sim
+    FROM ab JOIN ba ON ba.a_id = ab.a_id AND ba.b_id = ab.b_id
+    """,
+)
+def l43_bitext_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION bitext-mining path (l42's l22): each direction's
+    nearest-neighbor comes from the IVF index (l13's deterministic
+    first-16 quantizer, nprobe=4) instead of the exact A×B product,
+    and the mutual filter keeps pairs where each side is the other's
+    IVF top-1 — Artetxe & Schwenk's mining recipe at index cost. The
+    deterministic quantizer makes the WHOLE approximate computation
+    SQL-reproducible, so this is hash-checked end to end (stronger
+    than a recall pin, which tests/test_llm_ops.py adds anyway
+    against l42's exact audit).
+
+    Scale: the only non-equi joins are the two C-row centroid
+    broadcasts inside :func:`ivf_topk` (C=|cells|, the l13/l23/l36
+    shape); candidate scoring touches ~(nprobe/C) of the opposite
+    corpus per query, and the mutual check is an equi-join of the two
+    tiny top-1 tables. l42's full cross product is relegated to the
+    audit role.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.filter(F.pmod("label", F.lit(2)) == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")
+    )
+    b = emb.filter(F.pmod("label", F.lit(2)) == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")
+    )
+    cents_a = a.filter(F.col("a_id") < 16).select(
+        F.col("a_id").alias("cent_id"), F.col("va").alias("cv")
+    )
+    cents_b = b.filter(F.col("b_id") < 16).select(
+        F.col("b_id").alias("cent_id"), F.col("vb").alias("cv")
+    )
+    return ivf_mutual_nn(a, b, cents_a, cents_b, nprobe=4)
 
 
 _PL03_QUERY_IDS = (0, 101, 202)

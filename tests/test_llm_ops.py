@@ -778,3 +778,54 @@ def test_containment_prefix_join_plan_is_equi_join_only(spark, sf_dir):
     plan = plan_text(QUERIES["l57_containment_prefix_join"](spark, sf_dir), "simple")
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Bitext mining: IVF mutual-NN production twin (l43 vs l42)
+# ---------------------------------------------------------------------------
+def test_bitext_ann_recovers_planted_pairs(spark):
+    # True bitext pairs are near-duplicates in embedding space; both
+    # ends land in the same probed cell, so IVF mutual-NN recovers
+    # them at index cost. 8 well-separated clusters, one planted
+    # (a_i, b_i) translation pair per item, tiny per-side jitter.
+    import numpy as np
+
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        ivf_mutual_nn,
+    )
+
+    rng = np.random.default_rng(7)
+    dim, n_clusters, per = 16, 8, 6
+    bases = rng.normal(size=(n_clusters, dim)) * 10.0
+    rows_a, rows_b = [], []
+    i = 0
+    for c in range(n_clusters):
+        for _ in range(per):
+            item = bases[c] + rng.normal(size=dim)
+            rows_a.append((i, [float(x) for x in item + 0.01 * rng.normal(size=dim)]))
+            rows_b.append((i, [float(x) for x in item + 0.01 * rng.normal(size=dim)]))
+            i += 1
+    a = spark.createDataFrame(rows_a, ["a_id", "va"])
+    b = spark.createDataFrame(rows_b, ["b_id", "vb"])
+    cents_a = a.filter(F.col("a_id") % per == 0).select(
+        F.col("a_id").alias("cent_id"), F.col("va").alias("cv")
+    )
+    cents_b = b.filter(F.col("b_id") % per == 0).select(
+        F.col("b_id").alias("cent_id"), F.col("vb").alias("cv")
+    )
+    out = {(r["a_id"], r["b_id"]) for r in ivf_mutual_nn(a, b, cents_a, cents_b, nprobe=2).collect()}
+    planted = {(j, j) for j in range(i)}
+    assert out == planted  # 100% recall, zero false pairs
+
+
+def test_bitext_ann_noise_floor_recall_pinned(spark, sf_dir):
+    # The fixture's embeddings are pure noise (max mutual cosine ~0.5)
+    # — no sub-linear index can have high top-1 recall there. Pin the
+    # measured noise floor so regressions in the IVF path still show.
+    from sports_betting_data_pipeline_spark.plans.catalog import QUERIES
+
+    exact = {(r["a_id"], r["b_id"]) for r in QUERIES["l42_bitext_mining"](spark, sf_dir).collect()}
+    ann = {(r["a_id"], r["b_id"]) for r in QUERIES["l43_bitext_mining_ann"](spark, sf_dir).collect()}
+    assert exact
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.5, recall

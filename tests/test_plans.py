@@ -166,9 +166,13 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
                "q22_idle_rich_customers",
                # 1-row broadcast scalar (the decile-cut array)
                "a08_equiheight_histogram",
-               # mutual-NN mining: the A×B cosine product IS the
-               # algorithm (candidate generation moves to ANN at scale)
+               # AUDIT-ONLY exact mutual-NN (the production twin l43
+               # replaces the A×B product with IVF candidates)
                "l42_bitext_mining",
+               # production bitext twin: BNLJ is ONLY the C-row
+               # centroid-assignment crossJoin inside ivf_topk (the
+               # l13/l23/l36 shape); the A×B product is gone
+               "l43_bitext_mining_ann",
                # 3-query broadcast × candidates: the serving-side
                # scoring pass (index-pruned candidates at scale)
                "pl03_hybrid_retrieval",
