@@ -78,6 +78,11 @@ def main() -> None:
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 4)
+        # a few queries .cache() intermediates (g01/g02/sql04/pl02);
+        # nothing outlives its own query, so drop them here instead of
+        # letting executor storage memory accumulate across the
+        # catalog sweep (ADVICE r4)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     payload = json.dumps(

@@ -102,6 +102,11 @@ def main() -> int:
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
             failed = True
             continue
+        finally:
+            # g01/g02/sql04/pl02 cache intermediates that nothing
+            # outside their own query reads — don't let storage
+            # memory accumulate over the full-catalog sweep
+            spark.catalog.clearCache()
         if name not in osql:
             print(f"{name}: rows-only ({len(sdf)} rows)")
             if len(sdf) == 0:

@@ -3956,10 +3956,15 @@ def pl08_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the point of the composition.
     """
     import os
+    import shutil
 
     from sports_betting_data_pipeline_spark.plans.q_sources import _scratch
 
     path = _scratch(sf_dir, "pl08_assets")
+    # fresh landing zone: stale asset_*.bin files from an earlier run
+    # with a different qualifying doc set would be silently re-ingested
+    # by the binaryFile glob (ADVICE r4) — same discipline as st14
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     docs = load_table(spark, sf_dir, "documents").filter(
         (F.col("doc_id") < 50) & (F.col("n_chars") >= 32)

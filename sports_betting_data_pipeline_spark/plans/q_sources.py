@@ -18,6 +18,7 @@ sf dir so concurrent sf0.01/sf0.1 runs don't collide.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -413,6 +414,10 @@ def src08_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     a namespace bottleneck; this query is that landing step.
     """
     path = _scratch(sf_dir, "documents_bin")
+    # fresh landing zone: stale doc_*.bin files from an earlier run
+    # with a different qualifying set would be silently re-ingested
+    # by the glob read below (ADVICE r4) — same discipline as st14
+    shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
 

@@ -660,8 +660,6 @@ def ts06_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     w = Window.orderBy("week")
-    cents = F.round(F.col("rev"), 2) * 100
-    prev_cents = F.round(F.lag("rev").over(w), 2) * 100
     return weekly.select(
         "week",
         F.round("rev", 2).alias("revenue"),

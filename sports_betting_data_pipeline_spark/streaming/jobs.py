@@ -709,13 +709,22 @@ def threshold_alerts(events: DataFrame, threshold: float = 1500.0) -> DataFrame:
     fires (the reference's balance checks, mm_calls.py, are
     poll-per-loop; this is the push-based streaming version).
 
-    State per user is (cumulative_sum, alerted) — two scalars, so the
-    store stays O(users) forever. Each microbatch sorts its group rows
-    by (ts, event_id) before accumulating, making the crossing point
-    deterministic regardless of Arrow batch order; once alerted, later
-    batches short-circuit without emitting. Drained with availableNow
-    the alert set equals the batch "first row whose running sum >= T"
-    window query, which is what the oracle checks.
+    State per user is (cumulative_sum, alerted) plus the key's
+    (ts, event_id) high-water mark — O(users) scalars forever. Each
+    microbatch sorts its group rows by (ts, event_id) before
+    accumulating, making the crossing point deterministic regardless
+    of Arrow batch order; once alerted, later batches short-circuit
+    without emitting. Drained with availableNow the alert set equals
+    the batch "first row whose running sum >= T" window query, which
+    is what the oracle checks.
+
+    Cross-batch ordering (ADVICE r4): the running sum is
+    order-sensitive, so rows arriving BEHIND the key's high-water mark
+    (an out-of-order source replaying old events) are DROPPED rather
+    than silently mis-accumulated — the stateful analog of
+    watermark-late drop. Under an event-time-ordered source (the file
+    setups here pin order via mtime + maxFilesPerTrigger=1) the guard
+    never fires and results are identical.
     """
     import pandas as pd  # executor-side import
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -733,21 +742,33 @@ def threshold_alerts(events: DataFrame, threshold: float = 1500.0) -> DataFrame:
             T.StructField("cum", T.DoubleType()),
             T.StructField("n", T.LongType()),
             T.StructField("alerted", T.BooleanType()),
+            T.StructField("max_ns", T.LongType()),
+            T.StructField("max_eid", T.LongType()),
         ]
     )
 
     def update(key, pdf_iter, state):
-        cum, n, alerted = state.get if state.exists else (0.0, 0, False)
+        cum, n, alerted, max_ns, max_eid = (
+            state.get if state.exists else (0.0, 0, False, -(1 << 62), -1)
+        )
         rows = [pdf for pdf in pdf_iter]
         if alerted:
-            state.update((cum, n, True))
+            state.update((cum, n, True, max_ns, max_eid))
             return
         pdf = pd.concat(rows).sort_values(["ts", "event_id"])
-        for eid, v in zip(pdf["event_id"], pdf["value"].fillna(0.0)):
+        ts_ns = pdf["ts"].astype("int64")
+        # drop rows behind the key's (ts, event_id) high-water mark —
+        # the running sum is order-sensitive (see docstring)
+        keep = (ts_ns > max_ns) | (
+            (ts_ns == max_ns) & (pdf["event_id"] > max_eid)
+        )
+        pdf = pdf[keep]
+        ts_ns = ts_ns[keep]
+        for t, eid, v in zip(ts_ns, pdf["event_id"], pdf["value"].fillna(0.0)):
             cum += float(v)
             n += 1
             if cum >= threshold:
-                state.update((cum, n, True))
+                state.update((cum, n, True, int(t), int(eid)))
                 yield pd.DataFrame(
                     {
                         "user_id": [key[0]],
@@ -757,7 +778,10 @@ def threshold_alerts(events: DataFrame, threshold: float = 1500.0) -> DataFrame:
                     }
                 )
                 return
-        state.update((cum, n, False))
+        if len(pdf):
+            max_ns = int(ts_ns.iloc[-1])
+            max_eid = int(pdf["event_id"].iloc[-1])
+        state.update((cum, n, False, max_ns, max_eid))
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
@@ -777,12 +801,18 @@ def zscore_anomalies(
     contaminates the statistics it is judged against, and the state
     update is unconditional either way).
 
-    State per user is (n, sum, sum-of-squares) — three scalars, the
-    sufficient statistics of mean/variance, merged per batch in event
-    order ((ts, event_id) sort per Arrow group). No window over
-    history, no event retention: O(keys) state forever — the live
-    twin of the batch prefix-window z-score, which is what the
-    oracle computes.
+    State per user is (n, sum, sum-of-squares) plus the key's
+    (ts, event_id) high-water mark — the sufficient statistics of
+    mean/variance, merged per batch in event order ((ts, event_id)
+    sort per Arrow group). No window over history, no event retention:
+    O(keys) state forever — the live twin of the batch prefix-window
+    z-score, which is what the oracle computes.
+
+    Cross-batch ordering (ADVICE r4): prefix statistics are
+    order-sensitive, so rows arriving behind the key's high-water mark
+    are DROPPED (watermark-late-drop semantics) instead of silently
+    contaminating the prefix each later event is judged against. Under
+    an event-time-ordered source the guard never fires.
     """
     import pandas as pd  # executor-side import
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -800,14 +830,27 @@ def zscore_anomalies(
             T.StructField("n", T.LongType()),
             T.StructField("s", T.DoubleType()),
             T.StructField("ss", T.DoubleType()),
+            T.StructField("max_ns", T.LongType()),
+            T.StructField("max_eid", T.LongType()),
         ]
     )
 
     def update(key, pdf_iter, state):
         import math
 
-        n, s, ss = state.get if state.exists else (0, 0.0, 0.0)
+        n, s, ss, max_ns, max_eid = (
+            state.get if state.exists else (0, 0.0, 0.0, -(1 << 62), -1)
+        )
         pdf = pd.concat(list(pdf_iter)).sort_values(["ts", "event_id"])
+        ts_ns = pdf["ts"].astype("int64")
+        keep = (ts_ns > max_ns) | (
+            (ts_ns == max_ns) & (pdf["event_id"] > max_eid)
+        )
+        pdf = pdf[keep]
+        ts_ns = ts_ns[keep]
+        if len(pdf):
+            max_ns = int(ts_ns.iloc[-1])
+            max_eid = int(pdf["event_id"].iloc[-1])
         out = []
         for eid, v in zip(pdf["event_id"], pdf["value"].fillna(0.0)):
             v = float(v)
@@ -828,7 +871,7 @@ def zscore_anomalies(
             n += 1
             s += v
             ss += v * v
-        state.update((n, s, ss))
+        state.update((n, s, ss, max_ns, max_eid))
         if out:
             yield pd.DataFrame(out)
 

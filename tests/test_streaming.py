@@ -504,3 +504,85 @@ def test_stateful_operators_are_batch_boundary_invariant(spark, sf_dir, tmp_path
         two = run(op, f"{name}_two", split=True)
         assert one == two, (name, len(one), len(two))
         assert len(one) > 0
+
+
+def test_stateful_alerts_drop_cross_batch_regressions(spark, tmp_path):
+    """Out-of-order source guard (ADVICE r4): threshold_alerts'
+    running sum is order-sensitive, so a microbatch replaying events
+    BEHIND a key's (ts, event_id) high-water mark must be dropped,
+    not silently accumulated into a wrong crossing point."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        threshold_alerts,
+    )
+
+    src = tmp_path / "ooo_src"
+    os.makedirs(src, exist_ok=True)
+    base = 1_700_000_000
+    cols = ["event_id", "user_id", "event_type", "value", "ts_s"]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, cols).select(
+            "event_id", "user_id", "event_type", "value",
+            F.timestamp_seconds("ts_s").alias("ts"),
+        )
+
+    # batch A: user 1 accumulates 900 over three on-time events
+    a = mk([(i, 1, "bet", 300.0, base + i * 60) for i in range(3)])
+    # batch B: REGRESSED rows (older ts than A's high-water mark) that
+    # would cross the 1500 threshold if mis-accumulated...
+    b = mk([(10 + i, 1, "bet", 400.0, base - 3600 + i * 60) for i in range(2)])
+    # batch C: on-time continuation; +500 keeps the honest total at
+    # 1400 (< 1500) — any alert means the regressed batch leaked in
+    c = mk([(20, 1, "bet", 500.0, base + 600)])
+    for name, df in (("a", a), ("b", b), ("c", c)):
+        df.coalesce(1).write.parquet(str(src / name))
+        _time.sleep(1.1)  # file source orders batches by mod time
+
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*")
+    )
+    q = (
+        threshold_alerts(stream, threshold=1500.0)
+        .writeStream.format("memory")
+        .queryName("ooo_alerts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.table("ooo_alerts").collect() == []
+
+    # Positive control: same stream with the regressed rows ON TIME
+    # (shifted forward) alerts at the fourth event (300*3 + 400*2).
+    src2 = tmp_path / "inorder_src"
+    os.makedirs(src2, exist_ok=True)
+    a2 = mk([(i, 1, "bet", 300.0, base + i * 60) for i in range(3)])
+    b2 = mk([(10 + i, 1, "bet", 400.0, base + 300 + i * 60) for i in range(2)])
+    for name, df in (("a", a2), ("b", b2)):
+        df.coalesce(1).write.parquet(str(src2 / name))
+        _time.sleep(1.1)
+    q2 = (
+        threshold_alerts(
+            spark.readStream.schema(a2.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src2}/*"),
+            threshold=1500.0,
+        )
+        .writeStream.format("memory")
+        .queryName("inorder_alerts")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    rows = spark.table("inorder_alerts").collect()
+    assert len(rows) == 1
+    assert rows[0]["alert_event_id"] == 11
+    assert rows[0]["cum_value"] == 1700.0
