@@ -315,8 +315,14 @@ def ivf_topk(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
         )
 
+    from sports_betting_data_pipeline_spark.io import widen_for_compute
+
     def nearest_cells(df: DataFrame, df_id: str, df_vec: str, n: int) -> DataFrame:
-        sims = df.crossJoin(F.broadcast(cents)).select(
+        # The C assignment cosines per row are interpreted HOF work; a
+        # single-row-group fixture scan serializes them on one core
+        # without the widen (no-op at production scale, where the scan
+        # already has core-count splits).
+        sims = widen_for_compute(df).crossJoin(F.broadcast(cents)).select(
             F.col(df_id),
             F.col(df_vec),
             F.col("cent_id"),
@@ -331,14 +337,51 @@ def ivf_topk(
             .drop("_csim", "_rn")
         )
 
-    assigned = nearest_cells(corpus, id_col, vec_col, 1)
-    probes = nearest_cells(queries, query_id_col, query_vec_col, nprobe)
+    # Norms are per-ROW quantities: compute them once per corpus/query
+    # row BEFORE the candidate join, not once per candidate pair —
+    # higher-order array functions are interpreted (no codegen), so at
+    # |Q|×nprobe×cell candidates the 2 extra norm passes per pair were
+    # 3× the scoring arithmetic (l43 at sf0.1: ~3× end-to-end).
+    # dot/l2_norm stay bit-identical to cosine()'s internals, and the
+    # norm product keeps cosine()'s (corpus × query) operand order, so
+    # oracle hashes are unchanged. The ranking window then shuffles
+    # only narrow (query_id, id, cosine_sim) rows — vectors never ride
+    # the top-k exchange.
+    assigned = nearest_cells(corpus, id_col, vec_col, 1).withColumn(
+        "_cnorm", l2_norm(F.col(vec_col))
+    )
+    probes = nearest_cells(queries, query_id_col, query_vec_col, nprobe).withColumn(
+        "_qnorm", l2_norm(F.col(query_vec_col))
+    )
 
-    cands = probes.join(assigned, on="cent_id").select(
+    # Scoring-join shape: the CORPUS side stays put and the probe
+    # batch broadcasts — the IVF serving shape (the index is the big
+    # thing; query batches route to it). A shuffle join here would key
+    # on cent_id — C distinct values — so its output would land on ≤C
+    # reducers (AQE then coalesces the byte-tiny inputs further),
+    # serializing the |Q|×nprobe×|cell| interpreted dot products; and
+    # repartitioning the joined candidates instead would shuffle two
+    # vectors per pair. The broadcast join computes every dot in the
+    # corpus-side stage with zero wide shuffles. `assigned` is re-fanned
+    # out first because its top-1 window just collapsed it to AQE's
+    # byte-minimal partition count: the exchange moves only |corpus|
+    # (id, cell, vector, norm) rows, and the deterministic id-hash
+    # keying means hot cells spread over every core instead of pinning
+    # one reducer per cent_id — the skew remedy a coarse quantizer
+    # needs at scale.
+    # Round-robin, NOT hash-on-id: the top-1 window upstream already
+    # hash-partitioned on id, so a keyed repartition would be elided
+    # as redundant and the scoring stage would inherit the window
+    # exchange's AQE-coalesced (byte-minimal → 1 task) partition count.
+    spark = corpus.sparkSession
+    assigned = assigned.repartition(spark.sparkContext.defaultParallelism)
+    cands = assigned.join(F.broadcast(probes), on="cent_id").select(
         F.col(query_id_col),
-        F.col(query_vec_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        (
+            dot(F.col(vec_col), F.col(query_vec_col))
+            / F.greatest(F.col("_cnorm") * F.col("_qnorm"), F.lit(1e-12))
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
