@@ -219,6 +219,26 @@ def test_catalog_sweep_no_pathological_plans(spark, sf_dir):
     assert not problems, problems
 
 
+def test_ivf_scoring_stage_is_broadcast_and_widened(spark, sf_dir):
+    # ivf_topk's candidate scoring must be (a) a broadcast hash join —
+    # a shuffle join would key on cent_id's handful of distinct values
+    # and serialize the |Q|×nprobe×|cell| interpreted dot products on
+    # ≤C reducers — and (b) fed by an explicit round-robin fan-out of
+    # the assigned corpus, because the upstream top-1 window's exchange
+    # is byte-tiny and AQE coalesces it to one task while the work is
+    # CPU-bound (SCALE.md "AQE coalescing vs CPU-bound stages").
+    plan = plan_text(QUERIES["l13_ann_ivf"](spark, sf_dir), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "RoundRobinPartitioning" in plan, plan
+    # and the probe/query vectors must NOT ride the final top-k
+    # exchange: after scoring only (query_id, id, cosine_sim) shuffle
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(query_id" in ln
+    ]
+    assert hash_exchanges, plan
+
+
 def test_q05_filteronly_agg_full_pushdown(spark, sf_dir):
     # TPC-H-Q6 shape: every predicate must reach the parquet scan so
     # the query is pure scan bandwidth at scale.
