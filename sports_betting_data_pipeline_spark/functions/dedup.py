@@ -624,10 +624,17 @@ def containment_prefix_pairs(
         )
         .filter(F.size("_sh") > 0)
         .withColumn("_n", F.size("_sh"))
-        # materialization barrier: consumers (df-count, probe ranking,
-        # verify join-backs) read _sh from the exchange instead of
-        # re-inlining the tokenization per use (SCALE.md lesson)
+        # One evaluation for five consumers: tok feeds the probe
+        # ranking, the df-counts, and the inverted index, and the
+        # verify joins back to both sides' token arrays — uncached,
+        # each consumer re-runs the scan+tokenize subtree (the plan
+        # embeds it 5×, and exchange reuse does not collapse the
+        # differently-keyed variants). cache() is the session-local
+        # stand-in for the staging table a production multi-pass
+        # self-join would persist; the catalog runner clearCache()s
+        # after every query (bench.py / g01 pattern).
         .repartition(F.col("_id"))
+        .cache()
     )
     tok = base.select("_id", "_blk", "_n", F.explode("_sh").alias("_tok"))
     dfreq = tok.groupBy("_blk", "_tok").agg(F.count(F.lit(1)).alias("_df"))

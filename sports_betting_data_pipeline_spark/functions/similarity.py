@@ -260,7 +260,13 @@ def kmeans_centroids(
 
     Scale: MLlib KMeans is the distributed Lloyd's loop (broadcast
     centroids, map-side assignment, reduce new means) — linear scans
-    per iteration, no shuffle growth with corpus size.
+    per iteration, no shuffle growth with corpus size. A COARSE
+    quantizer does not need MLlib's default 20 Lloyd iterations: cell
+    quality saturates well before convergence (FAISS trains IVF coarse
+    quantizers with 10), and each extra iteration is a full corpus
+    scan; maxIter=10 halves the training scans with the recall pin
+    (tests/test_llm_ops.py::test_ivf_kmeans_quantizer_improves_recall)
+    unchanged.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -268,7 +274,9 @@ def kmeans_centroids(
     feats = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
-    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(feats)
+    model = KMeans(
+        k=n_centroids, seed=seed, featuresCol="features", maxIter=10
+    ).fit(feats)
     spark = corpus.sparkSession
     cent_rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())

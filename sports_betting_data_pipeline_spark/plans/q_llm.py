@@ -3823,15 +3823,21 @@ def l56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.pmod("doc_id", F.lit(4)) == 0
     )
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        F.array_distinct(
-            F.filter(
-                F.split(F.lower("text"), r"\s+"), lambda t: t != ""
-            )
-        ).alias("sh"),
-    ).filter(F.size("sh") > 0)
+    toks = (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+                )
+            ).alias("sh"),
+        )
+        .filter(F.size("sh") > 0)
+        # tokenize once for both self-join sides (catalog runner
+        # clearCache()s after every query — bench.py / g01 pattern)
+        .cache()
+    )
     a, b = toks.alias("a"), toks.alias("b")
     # Size-band prefilter IMPLIED by the predicate: containment >= 0.9
     # forces |A∩B| >= 0.9|A| and |A∩B| <= |B|, so any qualifying
