@@ -241,8 +241,12 @@ def st07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == "view") & (F.pmod("user_id", F.lit(5)) == 0)
     )
     joined = stream_stream_join(purchases, views, key="user_id", window_seconds=3600)
+    # state = the join's buffered rows for ~200 fixture users: 2
+    # store instances cover it, and each extra one costs a commit per
+    # microbatch (the st16 sizing lesson; production re-sizes at
+    # first start for its own key cardinality)
     return run_stream_to_table(
-        joined, "st07_ssj", output_mode="append", state_partitions=4
+        joined, "st07_ssj", output_mode="append", state_partitions=2
     )
 
 
@@ -425,7 +429,7 @@ def st11_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         purchases, views, key="user_id", window_seconds=3600, how="left_outer"
     )
     return run_stream_to_table(
-        joined, "st11_ssloj", output_mode="append", state_partitions=4
+        joined, "st11_ssloj", output_mode="append", state_partitions=2
     )
 
 
@@ -874,4 +878,9 @@ def st17_stream_temporal_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame
             "total_value"
         ),
     )
-    return run_stream_to_table(agg, "st17_temporal", output_mode="complete")
+    # a handful of segment keys: 2 state partitions, not the default 8
+    # (measured ~1.9 s -> ~1.1 s at sf0.1 — per-partition store
+    # commits dominated this tiny-state complete-mode drain)
+    return run_stream_to_table(
+        agg, "st17_temporal", output_mode="complete", state_partitions=2
+    )
