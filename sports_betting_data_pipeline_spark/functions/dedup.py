@@ -740,19 +740,28 @@ def connected_components(
                 F.col("node").alias("nbr"), F.col("component").alias("nbr_comp")
             ),
             on="nbr",
-        ).select("node", F.col("nbr_comp").alias("component"))
-        # Fold the OLD label into the checkpointed frame: the
-        # convergence count then scans the materialized partitions
-        # instead of running a second join job every superstep.
+        ).select(
+            "node",
+            F.col("nbr_comp").alias("component"),
+            F.lit(False).alias("_is_old"),
+        )
+        # The node's OWN previous label rides the same union, tagged —
+        # min() over the tagged rows yields the new label AND the old
+        # one in ONE aggregation (no per-superstep join back to
+        # `labels`). The checkpoint is LAZY so the convergence count
+        # is the job that materializes it: one job per superstep, and
+        # superstep N+1 reads N's cached partitions.
         new_labels = (
-            labels.select("node", "component")
+            labels.select("node", "component", F.lit(True).alias("_is_old"))
             .unionByName(msgs)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
-            .join(
-                labels.select("node", F.col("component").alias("_old")), on="node"
+            .agg(
+                F.min("component").alias("component"),
+                F.min(F.when(F.col("_is_old"), F.col("component"))).alias(
+                    "_old"
+                ),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("component") != F.col("_old")).count()
         labels = new_labels.select("node", "component")
         if changed == 0:
