@@ -233,15 +233,31 @@ def embedding_neardup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])  # collapse multi-table collisions
     )
-    vec_a = base.select(F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"))
-    vec_b = base.select(F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"))
+    # Norms hoisted to one-per-row before the pair join (the ivf_topk
+    # lesson): the verify evaluates |candidate pairs| cosines, and
+    # cosine() would re-fold both norms per PAIR. Same arithmetic and
+    # operand order as cosine()'s internals, so values are identical.
+    vec_a = base.select(
+        F.col("_id").alias("id_a"),
+        F.col("_vec").alias("vec_a"),
+        l2_norm(F.col("_vec")).alias("_na"),
+    )
+    vec_b = base.select(
+        F.col("_id").alias("id_b"),
+        F.col("_vec").alias("vec_b"),
+        l2_norm(F.col("_vec")).alias("_nb"),
+    )
     return (
         pairs.join(vec_a, on="id_a")
         .join(vec_b, on="id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine_sim"),
+            F.round(
+                dot(F.col("vec_a"), F.col("vec_b"))
+                / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-12)),
+                6,
+            ).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )
@@ -846,6 +862,11 @@ def semdedup(
         # evaluates O(sum |cluster|^2) comparisons, and recomputing
         # both norms per pair (cosine()) tripled its array work
         .select("vec_id", "cent_id", vec_col, l2_norm(F.col(vec_col)).alias("_n"))
+        # both self-join sides read this — cached, the C-way
+        # assignment crossJoin+window runs once, not twice (catalog
+        # runner clearCache()s per query; production persists the
+        # assignment as its staging table)
+        .cache()
     )
     # The pair join's key space is only |centroids| wide — without a
     # salt the per-cluster O(|cluster|^2) cosine blocks land on C
