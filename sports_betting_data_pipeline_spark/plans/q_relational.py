@@ -3670,8 +3670,13 @@ def a20_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap cost is B× scan work with ZERO resampling shuffles,
     which is why this is the only bootstrap that exists at 100 TB.
     """
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice"
+    from sports_betting_data_pipeline_spark.io import widen_for_compute
+
+    # B×|orders| md5-derived weights are map-side CPU; the one-row-group
+    # fixture scan would run them all on a single task without the
+    # widen (no-op at production scale)
+    orders = widen_for_compute(
+        load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     )
     fanned = orders.select(
         "o_orderkey",
