@@ -2191,7 +2191,10 @@ def l39_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = ws_tokens(F.lower(F.col("text")))
     out = (
-        docs.select("doc_id", F.col("text"))
+        # rolling-hash folds are map-side CPU on a one-row-group
+        # fixture scan — widen or they run on a single task (SCALE.md
+        # "scan width" audit; no-op at production scale)
+        widen_for_compute(docs.select("doc_id", F.col("text")))
         .filter(F.size(toks) >= 6)
         .select(
             "doc_id",
