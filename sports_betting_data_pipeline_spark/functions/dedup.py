@@ -723,14 +723,21 @@ def connected_components(
     ``(node, component)``.
     """
     # Materialize the symmetrized edge list ONCE: it is re-joined every
-    # superstep, and without the checkpoint the entire upstream
+    # superstep, and without a barrier the entire upstream
     # edge-generation pipeline (e.g. the LSH candidate join) would
-    # re-execute per iteration.
+    # re-execute per iteration. Pre-partitioned on the join key and
+    # PERSISTED (not localCheckpoint: an RDD-scan leaf drops the
+    # partitioning metadata, while InMemoryRelation keeps it), so
+    # every superstep's message join shuffles only the narrow label
+    # table — the edges never move again. That is the standard Pregel
+    # layout, and the part that matters at edge-list scale.
     sym = (
         edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
         .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
-        .localCheckpoint(eager=True)
+        .repartition(F.col("nbr"))
+        .persist()
     )
+    sym.count()  # materialize before iterating
     labels = (
         sym.select("node").distinct().withColumn("component", F.col("node"))
     ).localCheckpoint(eager=True)
