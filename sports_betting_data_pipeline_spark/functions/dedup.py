@@ -169,7 +169,14 @@ def _minhash_base(
         .withColumn(
             "_sig", minhash_signature_from_shingles(F.col("_sh"), num_hashes)
         )
-        .repartition(F.col("_id"))  # compute _sh/_sig once, below the exchange
+        .repartition(F.col("_id"))
+        # cache, not just an exchange barrier: consumers prune
+        # DIFFERENT columns (buckets read _sig, verifies read _sh), so
+        # their exchange subtrees differ post-optimization and
+        # ReuseExchange cannot collapse them — each would re-run the
+        # shingle+signature fold. One cached evaluation serves all
+        # (l57's tokenize-once lesson; catalog runner clearCache()s)
+        .cache()
     )
 
 
