@@ -259,10 +259,11 @@ def minhash_lsh_candidates(
         # Exact-set key: sorted shingle array hashed — identical key
         # <=> identical shingle set <=> Jaccard exactly 1.0 (unlike
         # the minhash signature, which can collide at sim < 1). The
-        # representative is a window min (one shuffle, no join), and
-        # the trailing repartition is ONE exchange that both consumers
-        # (star edges + the banding path) reuse — without it the whole
-        # shingle+signature+sha2 pipeline would run twice.
+        # representative is a window min (one shuffle, no join).
+        # Cached because its two consumers (star edges + the banding
+        # path) prune different columns, so their exchange subtrees
+        # differ post-optimization and the sha2+window pipeline would
+        # otherwise run once per consumer (the _minhash_base lesson).
         w_set = Window.partitionBy("_setkey")
         members = (
             base.withColumn(
@@ -270,6 +271,7 @@ def minhash_lsh_candidates(
             )
             .withColumn("_rep", F.min("_id").over(w_set))
             .repartition(F.col("_id"))
+            .cache()
         )
         star = members.filter(F.col("_id") != F.col("_rep")).select(
             F.col("_rep").alias("id_a"),  # rep = min id, so id_a < id_b
