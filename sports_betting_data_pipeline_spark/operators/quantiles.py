@@ -46,17 +46,34 @@ def exact_quantile_cuts(
     buffered on one node. ``round_to`` rounds each cut (engine-portable
     boundaries for downstream bucketing); pass None to skip.
     """
-    ranked_src = (
+    # Local ranks WITHOUT a window: a window keyed on
+    # spark_partition_id() demands hashpartitioning(_pid), which
+    # Catalyst cannot know is already satisfied by physical layout —
+    # so the "local" rank used to cost a full extra shuffle of every
+    # value. Instead sort WITHIN the range partitions and read the
+    # local row number out of monotonically_increasing_id (documented
+    # layout: partition_index << 33 | row_number_in_partition). Ties
+    # in v may order arbitrarily between equal values, but every rank
+    # inside a tie run carries the same v, so the interpolated cuts
+    # are unaffected. The frame is cached because three branches
+    # (per-partition counts, the global-rank join, the n scalar) read
+    # it — the session-local stand-in for the sorted staging table a
+    # production exact-quantile pass would persist; at 100 TB the
+    # cache spills to disk, which is still one sort instead of three.
+    ranked = (
         df.select(F.col(col).alias("v"))
         .repartitionByRange(num_partitions, F.col("v"))
-        .withColumn("_pid", F.spark_partition_id())
+        .sortWithinPartitions("v")
+        .select(
+            "v",
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id()
+            .bitwiseAND(F.lit((1 << 33) - 1))
+            .alias("_rn"),
+        )
+        .cache()
     )
-    w_local = Window.partitionBy("_pid").orderBy("v")
-    ranked = ranked_src.withColumn("_rn", F.row_number().over(w_local) - 1)
 
-    # Derive counts from the SAME ranked lineage (not ranked_src) so
-    # both branches hang off one range exchange — ReuseExchange then
-    # guarantees identical pid assignment across branches.
     counts = ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     w_off = (
         Window.orderBy("_pid")
