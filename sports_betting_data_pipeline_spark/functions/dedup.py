@@ -82,13 +82,30 @@ def ngram_jaccard_pairs(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), k).alias("_sh"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-    )
+    ).cache()  # shingle once for both self-join sides
     left = sh.select(*[F.col(c).alias(c + "_l") for c in sh.columns])
     right = sh.select(*[F.col(c).alias(c + "_r") for c in sh.columns])
     if block_col:
-        joined = left.join(right, on=[F.col("_blk_l") == F.col("_blk_r")])
-    else:
-        joined = left.crossJoin(right)
+        # The block join's key space is only |blocks| wide, so the
+        # per-block O(n²) Jaccard folds would land on that many
+        # reducers no matter the core count (semdedup's salting
+        # lesson). Salting the left side deterministically and
+        # replicating the right across the salt spreads each block
+        # over |blocks|×S partitions; each pair still meets exactly
+        # once (the left row carries one salt).
+        _S = 8
+        left = left.withColumn("_salt_l", F.pmod(F.col("_id_l"), F.lit(_S)))
+        right = right.withColumn(
+            "_salt_r",
+            F.explode(F.sequence(F.lit(0), F.lit(_S - 1)).cast("array<bigint>")),
+        )
+        joined = left.join(
+            right,
+            on=[
+                F.col("_blk_l") == F.col("_blk_r"),
+                F.col("_salt_l") == F.col("_salt_r"),
+            ],
+        )
     return (
         joined.filter(F.col("_id_l") < F.col("_id_r"))
         .select(
