@@ -106,6 +106,8 @@ def ngram_jaccard_pairs(
                 F.col("_salt_l") == F.col("_salt_r"),
             ],
         )
+    else:
+        joined = left.crossJoin(right)
     return (
         joined.filter(F.col("_id_l") < F.col("_id_r"))
         .select(
