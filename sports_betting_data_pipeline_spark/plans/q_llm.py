@@ -3841,7 +3841,15 @@ def l56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # clearCache()s after every query — bench.py / g01 pattern)
         .cache()
     )
-    a, b = toks.alias("a"), toks.alias("b")
+    # The fixture scan is one row-group → the cached probe side is ONE
+    # partition, serializing every per-pair intersect fold on a single
+    # core no matter the join strategy (the widen_for_compute lesson).
+    # Widening the probe side + explicitly broadcasting the build side
+    # (audit-sized by contract — this plan runs on samples) gives
+    # core-count parallelism over the O(n²/lang) fold work with no
+    # shuffle of the big side at all.
+    a = widen_for_compute(toks).alias("a")
+    b = F.broadcast(toks).alias("b")
     # Size-band prefilter IMPLIED by the predicate: containment >= 0.9
     # forces |A∩B| >= 0.9|A| and |A∩B| <= |B|, so any qualifying
     # container has |B| >= 0.9|A| — pruning the pair set before the
@@ -3859,7 +3867,12 @@ def l56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.doc_id").alias("container_id"),
         F.size(F.array_intersect("a.sh", "b.sh")).alias("inter"),
         F.size("a.sh").alias("na"),
-        F.size(F.array_distinct(F.concat("a.sh", "b.sh"))).alias("un"),
+        # both sides are array_distinct'd, so |A∪B| = |A|+|B|−|A∩B|
+        # — arithmetic instead of a second O(|A|+|B|) hash fold
+        (
+            F.size("a.sh") + F.size("b.sh")
+            - F.size(F.array_intersect("a.sh", "b.sh"))
+        ).alias("un"),
     )
     return pairs.filter(
         F.col("inter") / F.col("na").cast("double") >= 0.9
