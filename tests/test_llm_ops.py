@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from sports_betting_data_pipeline_spark.functions.dedup import (
     minhash_lsh_candidates,
+    ngram_jaccard_pairs,
     simhash_neardup_pairs,
 )
 from sports_betting_data_pipeline_spark.functions.multimodal import (
@@ -92,6 +93,31 @@ def test_simhash_finds_exact_and_near_dups(planted_docs):
     # by design; planted perturbation is tiny so expect most).
     recovered = [p for p in pairs[:5] if p in found]
     assert len(recovered) >= 3
+
+
+def test_ngram_jaccard_blocked_equals_unblocked(planted_docs):
+    """The salted block join must return exactly the unblocked
+    cross-join result restricted to same-block pairs — and the
+    unblocked branch itself must keep working (the r5 salting change
+    briefly dropped its else-arm, leaving ``joined`` unbound for
+    ``block_col=None`` callers; no registered query hit it)."""
+    df, _ = planted_docs
+    blocked_df = df.withColumn("blk", (F.col("doc_id") % 2).cast("int"))
+    unblocked = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.5
+        ).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.jaccard_sim
+        for r in ngram_jaccard_pairs(
+            blocked_df, "doc_id", "text", k=3, threshold=0.5, block_col="blk"
+        ).collect()
+    }
+    assert unblocked  # planted near-dups must survive the threshold
+    expect = {p: s for p, s in unblocked.items() if p[0] % 2 == p[1] % 2}
+    assert blocked == expect
 
 
 @pytest.fixture(scope="module")
