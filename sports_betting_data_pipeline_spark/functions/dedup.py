@@ -700,7 +700,11 @@ def containment_prefix_pairs(
         F.col("_sh").alias("_sha"),
         F.col("_n").alias("_na"),
     )
-    sh_b = base.select(F.col("_id").alias("_bid"), F.col("_sh").alias("_shb"))
+    sh_b = base.select(
+        F.col("_id").alias("_bid"),
+        F.col("_sh").alias("_shb"),
+        F.col("_n").alias("_nbv"),
+    )
     verified = (
         cand.join(sh_a, on="_aid")
         .join(sh_b, on="_bid")
@@ -718,10 +722,12 @@ def containment_prefix_pairs(
         F.round(F.col("_inter") / F.col("_na").cast("double"), 6).alias(
             "containment"
         ),
+        # both sides are array_distinct'd, so |A∪B| = |A|+|B|−|A∩B| —
+        # arithmetic instead of a second O(|A|+|B|) hash fold per pair
         F.round(
             F.col("_inter")
             / F.greatest(
-                F.size(F.array_distinct(F.concat("_sha", "_shb"))), F.lit(1)
+                F.col("_na") + F.col("_nbv") - F.col("_inter"), F.lit(1)
             ).cast("double"),
             6,
         ).alias("jaccard"),
