@@ -95,8 +95,20 @@ def _rotation_order() -> list[str]:
     counts = {name: 0 for name in QUERIES}
     latest: dict[str, dict] = {}
     ages = {}
+
+    def _round_no(path: str) -> int:
+        # int-parse the round so r100 sorts after r99 (the glob's
+        # lexicographic order breaks past the 2-digit zero padding;
+        # ADVICE r5 flagged the same assumption in coverage_status.py)
+        try:
+            return int(os.path.basename(path).split("_r")[1].split(".")[0])
+        except (IndexError, ValueError):
+            return -1
+
     try:
-        for path in sorted(glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json"))):
+        for path in sorted(
+            glob.glob(os.path.join(_REPO_DIR, "CORRECTNESS_r*.json")), key=_round_no
+        ):
             with open(path) as fh:
                 data = json.load(fh)
             if not isinstance(data, dict):

@@ -73,16 +73,20 @@ def main() -> None:
     for name in sorted(QUERIES):
         best = None
         for _ in range(runs):
+            # Clear BEFORE each timed run, not once per query: many
+            # plans .cache() intermediates (MinHash base, SemDeDup
+            # assignment, CC edges, ...), so a per-query clear would
+            # let run 2 replay run 1's InMemoryRelation and min-of-N
+            # would report a warm-cache replay instead of the operator
+            # cost (ADVICE r5). Clearing here keeps every timed run
+            # cold-cache and still stops storage memory accumulating
+            # across the catalog sweep (ADVICE r4).
+            spark.catalog.clearCache()
             start = time.perf_counter()
             _consume(QUERIES[name](spark, sf_dir))
             elapsed = time.perf_counter() - start
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 4)
-        # a few queries .cache() intermediates (g01/g02/sql04/pl02);
-        # nothing outlives its own query, so drop them here instead of
-        # letting executor storage memory accumulate across the
-        # catalog sweep (ADVICE r4)
-        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     payload = json.dumps(
