@@ -94,7 +94,14 @@ def ngram_jaccard_pairs(
         # over |blocks|×S partitions; each pair still meets exactly
         # once (the left row carries one salt).
         _S = 8
-        left = left.withColumn("_salt_l", F.pmod(F.col("_id_l"), F.lit(_S)))
+        # Salt on a HASH of the id, not the id itself: pmod(id, S)
+        # fails analysis for string ids (the API accepts any id type)
+        # and clusters sequential ids; xxhash64 works for every type
+        # and spreads skew uniformly (ADVICE r5). Pair semantics are
+        # unchanged — each left row still carries exactly one salt.
+        left = left.withColumn(
+            "_salt_l", F.pmod(F.xxhash64(F.col("_id_l")), F.lit(_S))
+        )
         right = right.withColumn(
             "_salt_r",
             F.explode(F.sequence(F.lit(0), F.lit(_S - 1)).cast("array<bigint>")),

@@ -748,7 +748,13 @@ def st16_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     else:
         parts = [src_path]
-    stamp = ";".join(
+    # The stamp fingerprints BOTH the source parquet and the slice
+    # spec (cutoffs + mtime base) baked into the landing: editing the
+    # slice constants must invalidate the memo just like a regenerated
+    # fixture does, or the stream replays stale slices (ADVICE r5 —
+    # the r4 stale-file hazard, moved from data changes to code edits).
+    slice_spec = "spec=c30:2024-01-30;c3:2024-01-03;t0:1600000000;order=bulk,tail,replay"
+    stamp = slice_spec + "|" + ";".join(
         f"{p}:{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
         for p in sorted(parts)
     )

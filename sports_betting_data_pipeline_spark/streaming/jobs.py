@@ -702,6 +702,30 @@ def ohlc_candles(events: DataFrame, width_us: int = 21600000000) -> DataFrame:
     )
 
 
+def _log_frontier_drops(key, n_batch: int, n_kept: int) -> None:
+    """WARN when a (ts, event_id) high-water-mark guard discards rows.
+
+    The guard exists for REPLAYS: under the pinned mtime-ordered file
+    sources it never fires, but against a real source that is merely
+    out-of-order (not a replay) a silent drop would make
+    threshold_alerts/zscore diverge from the batch oracle with no
+    trace. The per-(key, batch) counter in the executor log is the
+    detection signal deployments watch instead of losing data silently
+    (ADVICE r5). Executor-side logging only — no output-schema change,
+    so oracle hashes are untouched.
+    """
+    dropped = n_batch - n_kept
+    if dropped > 0:
+        import logging  # executor-side import
+
+        logging.getLogger("sports_betting_data_pipeline_spark.streaming").warning(
+            "frontier guard dropped %d out-of-order row(s) behind the "
+            "high-water mark for key %s this microbatch",
+            dropped,
+            tuple(key),
+        )
+
+
 def threshold_alerts(events: DataFrame, threshold: float = 1500.0) -> DataFrame:
     """Stateful first-crossing alert: per user, emit exactly ONE row at
     the first event where the running value total reaches ``threshold``
@@ -762,6 +786,7 @@ def threshold_alerts(events: DataFrame, threshold: float = 1500.0) -> DataFrame:
         keep = (ts_ns > max_ns) | (
             (ts_ns == max_ns) & (pdf["event_id"] > max_eid)
         )
+        _log_frontier_drops(key, len(pdf), int(keep.sum()))
         pdf = pdf[keep]
         ts_ns = ts_ns[keep]
         for t, eid, v in zip(ts_ns, pdf["event_id"], pdf["value"].fillna(0.0)):
@@ -846,6 +871,7 @@ def zscore_anomalies(
         keep = (ts_ns > max_ns) | (
             (ts_ns == max_ns) & (pdf["event_id"] > max_eid)
         )
+        _log_frontier_drops(key, len(pdf), int(keep.sum()))
         pdf = pdf[keep]
         ts_ns = ts_ns[keep]
         if len(pdf):
