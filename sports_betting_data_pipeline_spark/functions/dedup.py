@@ -22,7 +22,6 @@ seeds) so results are reproducible across partitionings and runs.
 from __future__ import annotations
 
 from collections.abc import Sequence
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -495,22 +494,21 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).withColumn(
         "_h", F.when(F.col("_tok").isNotNull(), F.xxhash64("_tok"))
     )
+    # The 128 bit-counter expressions are built as SQL strings parsed
+    # server-side in ONE round trip each, not composed from Column
+    # operators: the operator form is ~1000 Py4J calls and measured
+    # ~1.2 s of DRIVER time per query construction — half of l09's
+    # wall clock at sf0.1 (r6). Identical analyzed plans either way;
+    # IF(NULL, 1, -1) = -1 matches when().otherwise(-1) on the nulled
+    # empty-doc hash.
     counters = toks.groupBy("_id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"_c{j}")
+            F.expr(f"sum(IF((shiftright(_h, {j}) & 1) = 1, 1, -1))").alias(f"_c{j}")
             for j in range(64)
         ]
     )
-    packed = reduce(
-        lambda a, b: a.bitwiseOR(b),
-        [
-            F.when(F.col(f"_c{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j))
-            .otherwise(F.lit(0).cast("long"))
-            for j in range(64)
-        ],
+    packed = F.expr(
+        " | ".join(f"IF(_c{j} > 0, shiftleft(1L, {j}), 0L)" for j in range(64))
     )
     return counters.select("_id", packed.alias("_sig"))
 
@@ -543,33 +541,33 @@ def simhash_neardup_pairs(
     sig = simhash_signatures(df, id_col, text_col)
     step = 64 // probes
 
-    def rotated(c: Column, k: int) -> Column:
+    def rotated_sql(k: int) -> str:
         if k == 0:
-            return c
-        return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+            return "_sig"
+        return f"(shiftleft(_sig, {k}) | shiftrightunsigned(_sig, {64 - k}))"
 
+    probe_structs = ", ".join(
+        f"named_struct('probe', {p}, 'bucket', "
+        f"shiftrightunsigned({rotated_sql(p * step)}, {64 - prefix_bits}))"
+        for p in range(probes)
+    )
     buckets = sig.select(
         "_id",
         "_sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(p).alias("probe"),
-                        F.shiftrightunsigned(
-                            rotated(F.col("_sig"), p * step), 64 - prefix_bits
-                        ).alias("bucket"),
-                    )
-                    for p in range(probes)
-                ]
-            )
-        ).alias("_p"),
+        F.expr(f"explode(array({probe_structs}))").alias("_p"),
     ).select("_id", "_sig", "_p.probe", "_p.bucket")
     # Explicit co-partition on the join key BEFORE deriving the two
-    # sides: both branches then hang off one identical exchange, which
-    # the engine reuses at runtime instead of recomputing the whole
-    # signature aggregation per side (measured 2.8 s -> 1.1 s at
-    # sf0.1; same partitioning the join needs, so no extra shuffle).
+    # sides: under a shuffle join both branches hang off one identical
+    # exchange that ReuseExchange collapses, so the signature
+    # aggregation computes once (measured 2.8 s -> 1.1 s at sf0.1,
+    # r5). CAVEAT (r6): when the planner instead broadcasts one side
+    # (small-table estimate at fixture scale), the exchanges vanish
+    # and the aggregation runs once per side — measured equal here
+    # (the two small aggs overlap across cores), and a .cache() that
+    # would force compute-once was A/B'd at parity too (its
+    # materialization job cancels the saving), so the shuffle-join
+    # co-partition stays the one shape that wins where it matters:
+    # at scale, where the sides outgrow the broadcast threshold.
     bkt = buckets.repartition("probe", "bucket")
     left = bkt.select(
         "probe", "bucket", F.col("_id").alias("id_a"), F.col("_sig").alias("sig_a")

@@ -445,33 +445,126 @@ def ivf_mutual_nn(
     filter squares the miss, so the noise-floor recall (~0.5 at
     nprobe=4 over ~8 cells/side) measures the data, not the method.
 
-    Scale: two ivf_topk passes (centroid broadcast + cell-pruned
-    equi-join + per-query top-1 window) and one tiny equi-join of the
-    two top-1 tables. Nothing is O(|A|×|B|).
+    Scale: ONE unioned IVF machinery for both directions instead of
+    two disjoint ivf_topk passes (r5's shape — each pass re-scanned
+    its sides and re-ran the cell machinery; nothing was shareable
+    because the subtrees used different centroid tables). Here the
+    two sides union into one (side, id, vec, norm) table that is
+    scanned ONCE: a single 2C-centroid broadcast computes every
+    row-vs-centroid cosine, one window ranks cells per (row,
+    centroid-side) — own-side rank 1 is the row's cell assignment,
+    other-side ranks ≤ nprobe are its probes — and the cached ranked
+    table feeds both roles of one cell equi-join that scores each
+    direction's candidates together. Mutuality needs no self-join:
+    normalize each direction's top-1 to (a_id, b_id) and keep pairs
+    seen from BOTH directions (count = 2 in one aggregation) — the
+    cos from the a→b direction survives via max (dot and norm
+    products are bitwise-commutative, so both directions carry the
+    identical float). Nothing is O(|A|×|B|); at 10^9 vectors per
+    side the dominant term is still the ~nprobe/C candidate scan,
+    but with half the stage count and one corpus scan of r5's shape.
     """
-    ab = ivf_topk(
-        b,
-        a.select(F.col("a_id").alias("query_id"), F.col("va").alias("query_vec")),
-        k=1,
-        nprobe=nprobe,
-        id_col="b_id",
-        vec_col="vb",
-        centroids=cents_b,
-    ).select(
-        F.col("query_id").alias("a_id"),
-        "b_id",
-        F.col("cosine_sim").alias("cos_sim"),
+    from sports_betting_data_pipeline_spark.io import widen_for_compute
+
+    spark = a.sparkSession
+    sides = widen_for_compute(
+        a.select(
+            F.lit(0).alias("_side"),
+            F.col("a_id").alias("_id"),
+            F.col("va").alias("_vec"),
+        ).unionByName(
+            b.select(
+                F.lit(1).alias("_side"),
+                F.col("b_id").alias("_id"),
+                F.col("vb").alias("_vec"),
+            )
+        )
+    ).withColumn("_norm", l2_norm(F.col("_vec")))
+    cents = cents_a.select(
+        F.lit(0).alias("_cside"), "cent_id", "cv"
+    ).unionByName(cents_b.select(F.lit(1).alias("_cside"), "cent_id", "cv"))
+
+    sims = sides.crossJoin(F.broadcast(cents)).select(
+        "_side",
+        "_id",
+        "_vec",
+        "_norm",
+        "_cside",
+        "cent_id",
+        cosine(F.col("_vec"), F.col("cv")).alias("_csim"),
     )
-    ba = ivf_topk(
-        a,
-        b.select(F.col("b_id").alias("query_id"), F.col("vb").alias("query_vec")),
-        k=1,
-        nprobe=nprobe,
-        id_col="a_id",
-        vec_col="va",
-        centroids=cents_a,
-    ).select("a_id", F.col("query_id").alias("b_id"))
-    return ab.join(ba, on=["a_id", "b_id"]).select("a_id", "b_id", "cos_sim")
+    w_cell = Window.partitionBy("_side", "_id", "_cside").orderBy(
+        F.col("_csim").desc(), F.col("cent_id")
+    )
+    # cache: assignment and probe roles are two consumers of this one
+    # subtree; their differing filters/projections defeat ReuseExchange
+    # (SCALE.md r5), and without the cache the whole scan+window would
+    # run once per role. Tiny table (2|rows|·C narrow rows); the
+    # catalog runners clearCache() per run.
+    ranked = (
+        sims.withColumn("_rn", F.row_number().over(w_cell))
+        .filter(
+            F.when(F.col("_cside") == F.col("_side"), F.col("_rn") <= 1).otherwise(
+                F.col("_rn") <= nprobe
+            )
+        )
+        .cache()
+    )
+    # corpus role: own-side top-1 cell. Round-robin re-fan-out — the
+    # cached window output is AQE-coalesced to byte-minimal partition
+    # counts, which would serialize the interpreted candidate dots.
+    assigned = ranked.filter(F.col("_cside") == F.col("_side")).select(
+        F.col("_side").alias("_c_side"),
+        F.col("_id").alias("_c_id"),
+        F.col("_vec").alias("_c_vec"),
+        F.col("_norm").alias("_c_norm"),
+        "cent_id",
+    ).repartition(spark.sparkContext.defaultParallelism)
+    # probe role: other-side top-nprobe cells (query of side s probes
+    # side 1-s's quantizer, so its candidates join on _cside)
+    probes = ranked.filter(F.col("_cside") != F.col("_side")).select(
+        F.col("_side").alias("_q_side"),
+        F.col("_id").alias("_q_id"),
+        F.col("_vec").alias("_q_vec"),
+        F.col("_norm").alias("_q_norm"),
+        F.col("_cside").alias("_c_side"),
+        "cent_id",
+    )
+    cands = assigned.join(F.broadcast(probes), on=["_c_side", "cent_id"]).select(
+        "_q_side",
+        "_q_id",
+        "_c_id",
+        # corpus-vec × query-vec operand order and corpus×query norm
+        # product keep the floats bit-identical to ivf_topk's scoring
+        (
+            dot(F.col("_c_vec"), F.col("_q_vec"))
+            / F.greatest(F.col("_c_norm") * F.col("_q_norm"), F.lit(1e-12))
+        ).alias("_cos"),
+    )
+    w_top = Window.partitionBy("_q_side", "_q_id").orderBy(
+        F.col("_cos").desc(), F.col("_c_id")
+    )
+    top1 = cands.withColumn("_rn", F.row_number().over(w_top)).filter(
+        F.col("_rn") <= 1
+    )
+    return (
+        top1.select(
+            F.when(F.col("_q_side") == 0, F.col("_q_id"))
+            .otherwise(F.col("_c_id"))
+            .alias("a_id"),
+            F.when(F.col("_q_side") == 0, F.col("_c_id"))
+            .otherwise(F.col("_q_id"))
+            .alias("b_id"),
+            F.when(F.col("_q_side") == 0, F.round(F.col("_cos"), 6)).alias("_ab_cos"),
+        )
+        .groupBy("a_id", "b_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_dirs"),
+            F.max("_ab_cos").alias("cos_sim"),
+        )
+        .filter(F.col("_n_dirs") == 2)
+        .select("a_id", "b_id", "cos_sim")
+    )
 
 
 def pq_codebook(
