@@ -86,8 +86,27 @@ def _projection_literals(dim: int, bits: int, seed: int) -> list[list[float]]:
     return rng.standard_normal((bits, dim)).tolist()
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Sign-projection bucket id: bit i = (vec · plane_i) > 0."""
+def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-projection bucket id: bit i = (vec · plane_i) > 0.
+
+    Built as ONE SQL string parsed server-side when given a column
+    NAME: the Column-operator form is ~(bits × dim) Py4J round trips
+    (~1.1 s of driver time per lsh_topk construction at bits=8,
+    dim=64 — r6); `repr(float)` literals round-trip exactly, so the
+    parsed plan is bit-identical to the operator form. A Column
+    argument falls back to the operator path (test helper usage).
+    """
+    if isinstance(vec_col, str):
+        terms = []
+        for i, plane in enumerate(planes):
+            arr = ",".join(f"{float(v)!r}D" for v in plane)
+            proj = (
+                f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "0.0D, (acc, v) -> acc + v)"
+            )
+            terms.append(f"IF({proj} > 0, {1 << i}L, 0L)")
+        return F.expr("(" + " + ".join(terms) + ")")
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         proj = dot(vec_col, F.array(*[F.lit(float(v)) for v in plane]))
@@ -116,9 +135,9 @@ def lsh_topk(
     Output: (query_id, vec_id, cosine_sim, rank) within-bucket.
     """
     planes = _projection_literals(dim, bits, seed)
-    corpus_b = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), planes))
+    corpus_b = corpus.withColumn("_bucket", lsh_bucket(vec_col, planes))
     queries_b = queries.withColumn(
-        "_bucket", lsh_bucket(F.col(query_vec_col), planes)
+        "_bucket", lsh_bucket(query_vec_col, planes)
     )
     joined = corpus_b.join(
         F.broadcast(queries_b.select(query_id_col, query_vec_col, "_bucket")),

@@ -2683,60 +2683,23 @@ def a15_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def geo01_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geospatial nearest-neighbor join: each customer's closest
+    """AUDIT-ONLY geospatial nearest-neighbor: each customer's closest
     supplier by great-circle (haversine) distance over deterministic
     md5-derived coordinates (the engine has no geo columns in the
     fixtures; the coordinate synthesis IS the portable-fixture idiom,
     and the distance/join machinery is the real operator). Trig stays
     JVM-side; the argmin is a WindowGroupLimit per customer.
 
-    Scale: broadcast the supplier side (dims broadcast; the cross
-    product is |cust|×|supp| — at real scale you geohash-bucket both
-    sides first (the same blocking idea as the LSH joins) so each
-    probe only meets nearby cells; this query is the exact-verify
-    stage of that pipeline.
+    The |cust|×|supp| broadcast cross product makes this the brute
+    audit for the production twin geo02_nearest_supplier_blocked
+    (grid-cell equi-joins + certified exactness, no BNLJ), the same
+    audit/production split as l42/l43 and l56/l57. Keep for small
+    cohorts and as the equivalence oracle; register-scale runs use
+    geo02.
     """
-    customer = load_table(spark, sf_dir, "customer").filter(
-        F.col("c_custkey") < 200
-    )
-    supplier = load_table(spark, sf_dir, "supplier")
-
-    def coord(prefix: str, key: Column, salt: str, mod: int, scale: float, off: float):
-        h = F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(prefix), key.cast("string"), F.lit(salt))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
-        return (h % mod) / scale - off
-
-    cust = customer.select(
-        "c_custkey",
-        coord("", F.col("c_custkey"), "|lat", 1700, 10.0, 85.0).alias("clat"),
-        coord("", F.col("c_custkey"), "|lon", 3600, 10.0, 180.0).alias("clon"),
-    )
-    supp = supplier.select(
-        "s_suppkey",
-        coord("s", F.col("s_suppkey"), "|lat", 1700, 10.0, 85.0).alias("slat"),
-        coord("s", F.col("s_suppkey"), "|lon", 3600, 10.0, 180.0).alias("slon"),
-    )
-    d_km = (
-        2
-        * 6371.0
-        * F.asin(
-            F.sqrt(
-                F.pow(F.sin(F.radians(F.col("slat") - F.col("clat")) / 2), 2)
-                + F.cos(F.radians("clat"))
-                * F.cos(F.radians("slat"))
-                * F.pow(F.sin(F.radians(F.col("slon") - F.col("clon")) / 2), 2)
-            )
-        )
-    )
+    cust, supp = _geo_tables(spark, sf_dir)
     dists = cust.crossJoin(F.broadcast(supp)).select(
-        "c_custkey", "s_suppkey", d_km.alias("d_km")
+        "c_custkey", "s_suppkey", _geo_d_km().alias("d_km")
     )
     w = Window.partitionBy("c_custkey").orderBy("d_km", "s_suppkey")
     return (
@@ -2748,6 +2711,243 @@ def geo01_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("d_km", 3).alias("distance_km"),
         )
     )
+
+
+def _geo_coord(prefix: str, key: Column, salt: str, mod: int, scale: float, off: float):
+    """Deterministic md5-derived coordinate (shared by geo01/geo02 so
+    the twins stay bit-identical)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(prefix), key.cast("string"), F.lit(salt))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % mod) / scale - off
+
+
+def _geo_tables(spark: SparkSession, sf_dir: str):
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") < 200
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    cust = customer.select(
+        "c_custkey",
+        _geo_coord("", F.col("c_custkey"), "|lat", 1700, 10.0, 85.0).alias("clat"),
+        _geo_coord("", F.col("c_custkey"), "|lon", 3600, 10.0, 180.0).alias("clon"),
+    )
+    supp = supplier.select(
+        "s_suppkey",
+        _geo_coord("s", F.col("s_suppkey"), "|lat", 1700, 10.0, 85.0).alias("slat"),
+        _geo_coord("s", F.col("s_suppkey"), "|lon", 3600, 10.0, 180.0).alias("slon"),
+    )
+    return cust, supp
+
+
+def _geo_d_km() -> Column:
+    """Haversine km between (clat, clon) and (slat, slon) — the ONE
+    distance expression both geo twins share, so their floats (and the
+    deterministic (d_km, s_suppkey) argmin tiebreak) agree bitwise."""
+    return (
+        2
+        * 6371.0
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(F.col("slat") - F.col("clat")) / 2), 2)
+                + F.cos(F.radians("clat"))
+                * F.cos(F.radians("slat"))
+                * F.pow(F.sin(F.radians(F.col("slon") - F.col("clon")) / 2), 2)
+            )
+        )
+    )
+
+
+@register(
+    "geo02_nearest_supplier_blocked",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey,
+               (('0x' || left(md5(CAST(c_custkey AS VARCHAR) || '|lat'), 8))
+                ::BIGINT % 1700) / 10.0 - 85.0 AS lat,
+               (('0x' || left(md5(CAST(c_custkey AS VARCHAR) || '|lon'), 8))
+                ::BIGINT % 3600) / 10.0 - 180.0 AS lon
+        FROM customer WHERE c_custkey < 200
+    ),
+    supp AS (
+        SELECT s_suppkey,
+               (('0x' || left(md5('s' || CAST(s_suppkey AS VARCHAR) || '|lat'),
+                              8))::BIGINT % 1700) / 10.0 - 85.0 AS lat,
+               (('0x' || left(md5('s' || CAST(s_suppkey AS VARCHAR) || '|lon'),
+                              8))::BIGINT % 3600) / 10.0 - 180.0 AS lon
+        FROM supplier
+    ),
+    dists AS (
+        SELECT c.c_custkey, s.s_suppkey,
+               2 * 6371.0 * asin(sqrt(
+                   power(sin(radians(s.lat - c.lat) / 2), 2)
+                   + cos(radians(c.lat)) * cos(radians(s.lat))
+                     * power(sin(radians(s.lon - c.lon) / 2), 2)
+               )) AS d_km
+        FROM cust c, supp s
+    )
+    SELECT c_custkey,
+           s_suppkey AS nearest_suppkey,
+           round(d_km, 3) AS distance_km
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY c_custkey ORDER BY d_km, s_suppkey
+        ) AS rn FROM dists
+    ) WHERE rn = 1
+    """,
+)
+def geo02_nearest_supplier_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION geospatial nearest-neighbor: geo01's exact result
+    (the oracle is geo01's brute-force SQL, so equivalence is
+    hash-checked, not argued) with grid-cell EQUI-joins instead of the
+    cross product — the last audit-only BNLJ shape retired (VERDICT r5
+    next-#8).
+
+    Mechanics: 30° grid cells; each supplier lands in its own cell,
+    each customer probes its 3×3 neighborhood (longitude wraps, the
+    latitude band clips at the poles), and the per-customer argmin is
+    ``min(struct(d_km, s_suppkey))`` — a map-side-combining aggregate
+    with geo01's exact (distance, key) tiebreak. A candidate is
+    CERTIFIED globally nearest when its distance beats the provable
+    lower bound on any supplier outside the probed region, derived
+    from the haversine formula itself: sin²(θ/2) ≥ sin²(Δφ/2) gives
+    θ ≥ dφ_edge across the latitude edges, and sin²(θ/2) ≥
+    cosφ_p·cosφ_q·sin²(Δλ/2) ≥ cos²φ_m·sin²(Δλ/2) gives θ ≥
+    2·asin(cos φ_m · sin(dλ_edge/2)) across the longitude edges
+    (φ_m = the probed band's extreme |latitude|). Customers whose
+    candidate fails the bound — or whose 3×3 neighborhood is empty —
+    fall back to an explode-over-all-72-cells EQUI-join against the
+    full supplier table: still no cartesian/BNLJ node, linear in
+    |fallback|×|cells|, and exact by construction.
+
+    Scale: suppliers shuffle once on cell id; customers explode ×9
+    (probe fan-out) and join per cell — the join key space is the
+    occupied-cell set, so hot regions parallelize by cell rather than
+    serializing through one broadcast-nested-loop stage. The
+    certified fraction rises with supplier density (at fixture scale
+    most cells hold suppliers, so fallback is the sparse-pole tail);
+    the bound is conservative, which can only cost fallback work,
+    never correctness.
+    """
+    cust, supp = _geo_tables(spark, sf_dir)
+    cell = 30.0
+
+    cgrid = cust.select(
+        "c_custkey",
+        "clat",
+        "clon",
+        F.floor((F.col("clat") + 90.0) / cell).cast("int").alias("_ci"),
+        F.floor((F.col("clon") + 180.0) / cell).cast("int").alias("_cj"),
+    )
+    # probed region (3x3 neighborhood) bounds + outside-distance lower
+    # bound, all per customer. Latitude band clips at the poles to
+    # match the cells that actually exist.
+    lo_lat = F.greatest(F.lit(-90.0), (F.col("_ci") - 1) * cell - 90.0)
+    hi_lat = F.least(F.lit(90.0), (F.col("_ci") + 2) * cell - 90.0)
+    lo_lon = (F.col("_cj") - 1) * cell - 180.0  # unwrapped; width 90 < 360
+    hi_lon = (F.col("_cj") + 2) * cell - 180.0
+    dphi_edge = F.least(F.col("clat") - lo_lat, hi_lat - F.col("clat"))
+    dlam_edge = F.least(F.col("clon") - lo_lon, hi_lon - F.col("clon"))
+    phi_m = F.greatest(F.abs(lo_lat), F.abs(hi_lat))
+    bound_km = 6371.0 * F.least(
+        F.radians(dphi_edge),
+        2.0 * F.asin(F.cos(F.radians(phi_m)) * F.sin(F.radians(dlam_edge) / 2.0)),
+    )
+    cbounded = cgrid.withColumn("_bound_km", bound_km)
+
+    sgrid = supp.select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        F.floor((F.col("slat") + 90.0) / cell).cast("int").alias("_si"),
+        F.floor((F.col("slon") + 180.0) / cell).cast("int").alias("_sj"),
+    )
+
+    probes = (
+        cbounded.select(
+            "c_custkey",
+            "clat",
+            "clon",
+            "_bound_km",
+            F.explode(
+                F.expr(
+                    "array(-1, 0, 1)"
+                )
+            ).alias("_di"),
+            F.col("_ci"),
+            F.col("_cj"),
+        )
+        .select(
+            "c_custkey",
+            "clat",
+            "clon",
+            "_bound_km",
+            (F.col("_ci") + F.col("_di")).alias("_si"),
+            F.explode(F.expr("array(-1, 0, 1)")).alias("_dj"),
+            F.col("_cj"),
+        )
+        .filter((F.col("_si") >= 0) & (F.col("_si") < 6))
+        .select(
+            "c_custkey",
+            "clat",
+            "clon",
+            "_bound_km",
+            "_si",
+            F.pmod(F.col("_cj") + F.col("_dj"), F.lit(12)).alias("_sj"),
+        )
+    )
+    cand = probes.join(sgrid, on=["_si", "_sj"]).select(
+        "c_custkey",
+        "_bound_km",
+        F.struct(_geo_d_km().alias("d_km"), F.col("s_suppkey")).alias("_ds"),
+    )
+    best1 = cand.groupBy("c_custkey", "_bound_km").agg(F.min("_ds").alias("_b"))
+    certified = best1.filter(F.col("_b.d_km") < F.col("_bound_km")).select(
+        "c_custkey",
+        F.col("_b.s_suppkey").alias("nearest_suppkey"),
+        F.round(F.col("_b.d_km"), 3).alias("distance_km"),
+    )
+
+    # exact fallback for uncertified customers: replicate each one to
+    # every cell and reuse the same cell equi-join — semantically the
+    # full scan, but expressed without a cartesian/BNLJ node and
+    # bounded by |fallback| × 72 rows.
+    fb_cust = cust.join(
+        certified.select("c_custkey"), on="c_custkey", how="left_anti"
+    )
+    fb_probes = fb_cust.select(
+        "c_custkey",
+        "clat",
+        "clon",
+        F.explode(F.sequence(F.lit(0), F.lit(71))).alias("_cell72"),
+    ).select(
+        "c_custkey",
+        "clat",
+        "clon",
+        (F.col("_cell72") / 12).cast("int").alias("_si"),
+        F.pmod(F.col("_cell72"), F.lit(12)).cast("int").alias("_sj"),
+    )
+    fb_best = (
+        fb_probes.join(sgrid, on=["_si", "_sj"])
+        .select(
+            "c_custkey",
+            F.struct(_geo_d_km().alias("d_km"), F.col("s_suppkey")).alias("_ds"),
+        )
+        .groupBy("c_custkey")
+        .agg(F.min("_ds").alias("_b"))
+        .select(
+            "c_custkey",
+            F.col("_b.s_suppkey").alias("nearest_suppkey"),
+            F.round(F.col("_b.d_km"), 3).alias("distance_km"),
+        )
+    )
+    return certified.unionByName(fb_best)
 
 
 @register(
