@@ -51,8 +51,10 @@ def odds_ladder() -> tuple[int, ...]:
 
 def ladder_array() -> Column:
     """The ladder as a literal array column (broadcast to every task
-    as part of the serialized plan — no shuffle, no join)."""
-    return F.array(*[F.lit(v) for v in odds_ladder()])
+    as part of the serialized plan — no shuffle, no join). One
+    server-parsed expression, not 291 F.lit calls: ~0.3 s of driver
+    time per ladder consumer otherwise (SCALE.md r6)."""
+    return F.expr(f"array({', '.join(str(v) for v in odds_ladder())})")
 
 
 def _snap_magnitude(m: Column, lo_min: int, tie_up: bool) -> Column:

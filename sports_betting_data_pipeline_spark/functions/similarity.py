@@ -621,19 +621,13 @@ def pq_codebook(
     )
     w = Window.orderBy("_cid")
     coded = firsts.withColumn("code", F.row_number().over(w).cast("long") - 1)
+    structs = ", ".join(
+        f"named_struct('s', {s}, 'cvec', slice(_v, {s * dsub + 1}, {dsub}))"
+        for s in range(m)
+    )
     return coded.select(
         "code",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(F.col("_v"), s * dsub + 1, dsub).alias("cvec"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("_sc"),
+        F.expr(f"explode(array({structs}))").alias("_sc"),
     ).select(F.col("_sc.s").alias("s"), "code", F.col("_sc.cvec").alias("cvec"))
 
 
@@ -650,22 +644,17 @@ def _sq_l2(a: Column, b: Column) -> Column:
 def _subspace_rows(
     df: DataFrame, m: int, dsub: int, id_alias: str, vec_col: str
 ) -> DataFrame:
-    """(id, s, subvec) — m narrow rows per vector."""
+    """(id, s, subvec) — m narrow rows per vector. The m slice-structs
+    are one server-parsed expression (SCALE.md r6: loop-built Column
+    operators are Py4J chatter at plan-construction time)."""
+    structs = ", ".join(
+        f"named_struct('s', {s}, 'subvec', "
+        f"slice(CAST(`{vec_col}` AS ARRAY<DOUBLE>), {s * dsub + 1}, {dsub}))"
+        for s in range(m)
+    )
     return df.select(
         F.col(id_alias),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("s"),
-                        F.slice(F.col(vec_col).cast("array<double>"), s * dsub + 1, dsub).alias(
-                            "subvec"
-                        ),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("_sv"),
+        F.expr(f"explode(array({structs}))").alias("_sv"),
     ).select(id_alias, F.col("_sv.s").alias("s"), F.col("_sv.subvec").alias("subvec"))
 
 
@@ -749,7 +738,7 @@ def pq_topk(
         .groupBy(query_id_col, id_col)
         .agg(
             *[
-                F.sum(F.when(F.col("s") == s, F.col("d2"))).alias(f"_d{s}")
+                F.expr(f"sum(IF(s = {s}, d2, NULL))").alias(f"_d{s}")
                 for s in range(m)
             ]
         )
@@ -891,7 +880,7 @@ def ivfpq_topk(
         .groupBy(query_id_col, id_col)
         .agg(
             *[
-                F.sum(F.when(F.col("s") == s, F.col("d2"))).alias(f"_d{s}")
+                F.expr(f"sum(IF(s = {s}, d2, NULL))").alias(f"_d{s}")
                 for s in range(m)
             ]
         )

@@ -153,18 +153,41 @@ def o04_kelly_stakes(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").filter(
         F.pmod("event_id", F.lit(20)) == 0
     )
+    # LAYERED selects so each derived expression references the PREVIOUS
+    # alias instead of inlining its whole Column tree: PySpark duplicates
+    # the subtree per reference, and every DataFrame op eagerly ANALYZES
+    # the full plan JVM-side — with f/p_true/p_imp inlined, the 291-rung
+    # ladder array appeared ~6x and one .select() cost 0.7 s of driver
+    # time (SCALE.md r6). Catalyst's CollapseProject re-merges the
+    # layers at optimization, so the executed plan is identical.
     odds = drawn_odds(F.col("event_id"))
-    p_imp = F.when(odds > 0, 100.0 / (odds + 100.0)).otherwise(
-        -odds / (-odds + 100.0)
-    )
-    b = F.when(odds > 0, odds / 100.0).otherwise(100.0 / (-odds))
-    p_true = F.least(p_imp * 1.05, F.lit(0.99))
-    f = (b * p_true - (1 - p_true)) / b
-    return events.select(
+    priced = events.select("event_id", odds.alias("_odds")).select(
         "event_id",
-        odds.cast("long").alias("odds"),
-        F.round(f, 6).alias("kelly_fraction"),
-        F.round(F.greatest(f, F.lit(0.0)) * 1000.0, 2).alias("stake"),
+        "_odds",
+        F.when(F.col("_odds") > 0, 100.0 / (F.col("_odds") + 100.0))
+        .otherwise(-F.col("_odds") / (-F.col("_odds") + 100.0))
+        .alias("_p_imp"),
+        F.when(F.col("_odds") > 0, F.col("_odds") / 100.0)
+        .otherwise(100.0 / (-F.col("_odds")))
+        .alias("_b"),
+    )
+    kelly = priced.select(
+        "event_id",
+        "_odds",
+        "_b",
+        F.least(F.col("_p_imp") * 1.05, F.lit(0.99)).alias("_p_true"),
+    ).select(
+        "event_id",
+        "_odds",
+        (
+            (F.col("_b") * F.col("_p_true") - (1 - F.col("_p_true"))) / F.col("_b")
+        ).alias("_f"),
+    )
+    return kelly.select(
+        "event_id",
+        F.col("_odds").cast("long").alias("odds"),
+        F.round(F.col("_f"), 6).alias("kelly_fraction"),
+        F.round(F.greatest(F.col("_f"), F.lit(0.0)) * 1000.0, 2).alias("stake"),
     )
 
 
@@ -208,15 +231,28 @@ def o05_devig_two_way(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").filter(
         F.pmod("event_id", F.lit(20)) == 0
     )
-    odds_a = drawn_odds(F.col("event_id"))
-    odds_b = drawn_odds(F.col("event_id") + 7919)
-    def implied(o):
+
+    # layered like o04: each ladder draw appears ONCE in the plan
+    def implied(name: str):
+        o = F.col(name)
         return F.when(o > 0, 100.0 / (o + 100.0)).otherwise(-o / (-o + 100.0))
-    pa, pb = implied(odds_a), implied(odds_b)
-    return events.select(
+
+    mkt = events.select(
         "event_id",
-        odds_a.cast("long").alias("odds_a"),
-        odds_b.cast("long").alias("odds_b"),
-        F.round(pa + pb - 1.0, 6).alias("overround"),
-        F.round(pa / (pa + pb), 6).alias("fair_prob_a"),
+        drawn_odds(F.col("event_id")).alias("_oa"),
+        drawn_odds(F.col("event_id") + 7919).alias("_ob"),
+    )
+    probs = mkt.select(
+        "event_id",
+        "_oa",
+        "_ob",
+        implied("_oa").alias("_pa"),
+        implied("_ob").alias("_pb"),
+    )
+    return probs.select(
+        "event_id",
+        F.col("_oa").cast("long").alias("odds_a"),
+        F.col("_ob").cast("long").alias("odds_b"),
+        F.round(F.col("_pa") + F.col("_pb") - 1.0, 6).alias("overround"),
+        F.round(F.col("_pa") / (F.col("_pa") + F.col("_pb")), 6).alias("fair_prob_a"),
     )
