@@ -77,11 +77,18 @@ def ngram_jaccard_pairs(
     (source, length bucket, LSH band) so the join is an equi-join.
     Output: (id_a, id_b, jaccard_sim), id_a < id_b.
     """
+    # NOT cached: each self-join side recomputes the shingle
+    # projection, which is map-side width-k splitting — cheaper to do
+    # twice than to materialize shingle arrays wider than the text
+    # itself (r6 cold-cache A/B: uncached 3.6 s vs cached 4.3 s for
+    # the CC-clustering consumers; at 100 TB the same argument holds —
+    # caching the wide intermediate costs more storage/IO than the
+    # narrow recompute).
     sh = df.select(
         F.col(id_col).alias("_id"),
         shingles(F.col(text_col), k).alias("_sh"),
         *( [F.col(block_col).alias("_blk")] if block_col else [] ),
-    ).cache()  # shingle once for both self-join sides
+    )
     left = sh.select(*[F.col(c).alias(c + "_l") for c in sh.columns])
     right = sh.select(*[F.col(c).alias(c + "_r") for c in sh.columns])
     if block_col:
