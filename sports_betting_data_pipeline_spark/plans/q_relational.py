@@ -2836,6 +2836,15 @@ def geo02_nearest_supplier_blocked(spark: SparkSession, sf_dir: str) -> DataFram
     never correctness.
     """
     cust, supp = _geo_tables(spark, sf_dir)
+    return blocked_nearest_supplier(cust, supp)
+
+
+def blocked_nearest_supplier(cust: DataFrame, supp: DataFrame) -> DataFrame:
+    """The geo02 machinery over arbitrary coordinate tables
+    (c_custkey, clat, clon) × (s_suppkey, slat, slon) — exposed so the
+    certification bound can be property-tested on random coordinates,
+    not just the fixture's md5-derived ones (tests/test_properties.py).
+    """
     cell = 30.0
 
     cgrid = cust.select(

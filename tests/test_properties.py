@@ -501,3 +501,75 @@ def test_exact_quantile_cuts_matches_numpy(spark, vals, probs):
     assert len(got) == len(probs)
     for g, w in zip(got, want):
         assert g == pytest.approx(w, rel=1e-12, abs=1e-9), (vals, probs)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.data())
+def test_blocked_nearest_neighbor_certification_is_exact(spark, data):
+    """geo02's grid-blocked nearest-neighbor (certification bound +
+    all-cells fallback) must equal the brute-force argmin for RANDOM
+    coordinates, not just the fixture's md5-derived ones — a wrong
+    certification inequality would surface here as a customer matched
+    to a non-nearest supplier."""
+    import math
+
+    from sports_betting_data_pipeline_spark.plans.q_relational import (
+        blocked_nearest_supplier,
+    )
+
+    n_c = data.draw(st.integers(min_value=1, max_value=12))
+    n_s = data.draw(st.integers(min_value=1, max_value=25))
+    coord = st.tuples(
+        st.floats(min_value=-85.0, max_value=85.0, allow_nan=False),
+        st.floats(min_value=-180.0, max_value=179.9, allow_nan=False),
+    )
+    custs = data.draw(
+        st.lists(coord, min_size=n_c, max_size=n_c)
+    )
+    supps = data.draw(
+        st.lists(coord, min_size=n_s, max_size=n_s)
+    )
+
+    cust = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(custs)],
+        ["c_custkey", "clat", "clon"],
+    ).select(
+        "c_custkey",
+        F.col("clat").cast("double"),
+        F.col("clon").cast("double"),
+    )
+    supp = spark.createDataFrame(
+        [(j, la, lo) for j, (la, lo) in enumerate(supps)],
+        ["s_suppkey", "slat", "slon"],
+    ).select(
+        "s_suppkey",
+        F.col("slat").cast("double"),
+        F.col("slon").cast("double"),
+    )
+
+    def hav(c, s):
+        (clat, clon), (slat, slon) = c, s
+        a = (
+            math.sin(math.radians(slat - clat) / 2) ** 2
+            + math.cos(math.radians(clat))
+            * math.cos(math.radians(slat))
+            * math.sin(math.radians(slon - clon) / 2) ** 2
+        )
+        return 2 * 6371.0 * math.asin(math.sqrt(a))
+
+    want = {}
+    for i, c in enumerate(custs):
+        best = min(
+            ((hav(c, s), j) for j, s in enumerate(supps)),
+        )
+        want[i] = best[1]
+
+    got = {
+        r["c_custkey"]: r["nearest_suppkey"]
+        for r in blocked_nearest_supplier(cust, supp).collect()
+    }
+    assert got == want
