@@ -24,8 +24,40 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Double-precision dot product of two numeric arrays."""
+def _qname(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def _l2_norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
+
+
+# The string fast paths below exist because each higher-order lambda
+# costs ~13 ms of driver-side construction (r6 profiling; cosine() is
+# 6 lambdas), paid at PLAN BUILD time by every ANN/similarity query —
+# one server-parsed expression string is a single Py4J call and the
+# parsed tree is identical to the Column-operator form (lsh_bucket's
+# lesson), so results are bit-for-bit unchanged. Column arguments
+# keep the operator path (composed-expression callers, tests).
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Double-precision dot product of two numeric arrays. Pass column
+    NAMES to get the server-parsed fast path (plan-construction cost)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(_qname(a), _qname(b)))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -33,7 +65,9 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_l2_norm_sql(_qname(a)))
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -43,7 +77,13 @@ def l2_norm(a: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        qa, qb = _qname(a), _qname(b)
+        return F.expr(
+            f"{_dot_sql(qa, qb)} / "
+            f"greatest({_l2_norm_sql(qa)} * {_l2_norm_sql(qb)}, 1.0E-12D)"
+        )
     return dot(a, b) / F.greatest(l2_norm(a) * l2_norm(b), F.lit(1e-12))
 
 
@@ -68,7 +108,7 @@ def brute_force_topk(
     ).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        cosine(vec_col, query_vec_col).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
@@ -145,7 +185,7 @@ def lsh_topk(
     ).select(
         F.col(query_id_col),
         F.col(id_col),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cosine_sim"),
+        cosine(vec_col, query_vec_col).alias("cosine_sim"),
     )
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col)
@@ -259,12 +299,12 @@ def embedding_neardup_pairs(
     vec_a = base.select(
         F.col("_id").alias("id_a"),
         F.col("_vec").alias("vec_a"),
-        l2_norm(F.col("_vec")).alias("_na"),
+        l2_norm("_vec").alias("_na"),
     )
     vec_b = base.select(
         F.col("_id").alias("id_b"),
         F.col("_vec").alias("vec_b"),
-        l2_norm(F.col("_vec")).alias("_nb"),
+        l2_norm("_vec").alias("_nb"),
     )
     return (
         pairs.join(vec_a, on="id_a")
@@ -273,7 +313,7 @@ def embedding_neardup_pairs(
             "id_a",
             "id_b",
             F.round(
-                dot(F.col("vec_a"), F.col("vec_b"))
+                dot("vec_a", "vec_b")
                 / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-12)),
                 6,
             ).alias("cosine_sim"),
@@ -369,7 +409,7 @@ def ivf_topk(
             F.col(df_id),
             F.col(df_vec),
             F.col("cent_id"),
-            cosine(F.col(df_vec), F.col("cv")).alias("_csim"),
+            cosine(df_vec, "cv").alias("_csim"),
         )
         w = Window.partitionBy(df_id).orderBy(
             F.col("_csim").desc(), F.col("cent_id")
@@ -391,10 +431,10 @@ def ivf_topk(
     # only narrow (query_id, id, cosine_sim) rows — vectors never ride
     # the top-k exchange.
     assigned = nearest_cells(corpus, id_col, vec_col, 1).withColumn(
-        "_cnorm", l2_norm(F.col(vec_col))
+        "_cnorm", l2_norm(vec_col)
     )
     probes = nearest_cells(queries, query_id_col, query_vec_col, nprobe).withColumn(
-        "_qnorm", l2_norm(F.col(query_vec_col))
+        "_qnorm", l2_norm(query_vec_col)
     )
 
     # Scoring-join shape: the CORPUS side stays put and the probe
@@ -422,7 +462,7 @@ def ivf_topk(
         F.col(query_id_col),
         F.col(id_col),
         (
-            dot(F.col(vec_col), F.col(query_vec_col))
+            dot(vec_col, query_vec_col)
             / F.greatest(F.col("_cnorm") * F.col("_qnorm"), F.lit(1e-12))
         ).alias("cosine_sim"),
     )
@@ -498,7 +538,7 @@ def ivf_mutual_nn(
                 F.col("vb").alias("_vec"),
             )
         )
-    ).withColumn("_norm", l2_norm(F.col("_vec")))
+    ).withColumn("_norm", l2_norm("_vec"))
     cents = cents_a.select(
         F.lit(0).alias("_cside"), "cent_id", "cv"
     ).unionByName(cents_b.select(F.lit(1).alias("_cside"), "cent_id", "cv"))
@@ -510,7 +550,7 @@ def ivf_mutual_nn(
         "_norm",
         "_cside",
         "cent_id",
-        cosine(F.col("_vec"), F.col("cv")).alias("_csim"),
+        cosine("_vec", "cv").alias("_csim"),
     )
     w_cell = Window.partitionBy("_side", "_id", "_cside").orderBy(
         F.col("_csim").desc(), F.col("cent_id")
@@ -556,7 +596,7 @@ def ivf_mutual_nn(
         # corpus-vec × query-vec operand order and corpus×query norm
         # product keep the floats bit-identical to ivf_topk's scoring
         (
-            dot(F.col("_c_vec"), F.col("_q_vec"))
+            dot("_c_vec", "_q_vec")
             / F.greatest(F.col("_c_norm") * F.col("_q_norm"), F.lit(1e-12))
         ).alias("_cos"),
     )
@@ -854,7 +894,7 @@ def ivfpq_topk(
         sims = df.crossJoin(F.broadcast(cents)).select(
             F.col(df_id),
             F.col("cent_id"),
-            cosine(F.col(df_vec), F.col("cv")).alias("_csim"),
+            cosine(df_vec, "cv").alias("_csim"),
         )
         w = Window.partitionBy(df_id).orderBy(F.col("_csim").desc(), F.col("cent_id"))
         return (
@@ -949,7 +989,7 @@ def semdedup(
     """
     assigned = (
         corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine(F.col(vec_col), F.col("cv")))
+        .withColumn("_sim", cosine(vec_col, "cv"))
         .withColumn(
             "_rn",
             F.row_number().over(
@@ -962,7 +1002,7 @@ def semdedup(
         # per-vector norm computed ONCE here: the pair stage below
         # evaluates O(sum |cluster|^2) comparisons, and recomputing
         # both norms per pair (cosine()) tripled its array work
-        .select("vec_id", "cent_id", vec_col, l2_norm(F.col(vec_col)).alias("_n"))
+        .select("vec_id", "cent_id", vec_col, l2_norm(vec_col).alias("_n"))
         # both self-join sides read this — cached, the C-way
         # assignment crossJoin+window runs once, not twice (catalog
         # runner clearCache()s per query; production persists the
@@ -996,7 +1036,7 @@ def semdedup(
         a.join(b, ["cent_id", "_salt"])
         .filter(F.col("a_id") < F.col("b_id"))
         .filter(
-            dot(F.col("_va"), F.col("_vb"))
+            dot("_va", "_vb")
             / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-12))
             >= F.lit(threshold)
         )

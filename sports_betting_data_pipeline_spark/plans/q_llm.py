@@ -2443,18 +2443,18 @@ def l42_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = emb.filter(F.pmod("label", F.lit(2)) == 0).select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("_va"),
-        l2_norm(F.col("embedding")).alias("_na"),
+        l2_norm("embedding").alias("_na"),
     )
     b = emb.filter(F.pmod("label", F.lit(2)) == 1).select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("_vb"),
-        l2_norm(F.col("embedding")).alias("_nb"),
+        l2_norm("embedding").alias("_nb"),
     )
     x = widen_for_compute(a).crossJoin(F.broadcast(b)).select(
         "a_id",
         "b_id",
         (
-            dot(F.col("_va"), F.col("_vb"))
+            dot("_va", "_vb")
             / F.greatest(F.col("_na") * F.col("_nb"), F.lit(1e-12))
         ).alias("cos_sim"),
     )
@@ -2664,7 +2664,7 @@ def pl03_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         shingles(F.lower(F.col("text")), 3).alias("sh"),
         F.col("embedding").alias("v"),
-        l2_norm(F.col("embedding")).alias("_n"),
+        l2_norm("embedding").alias("_n"),
     )
     qids = list(_PL03_QUERY_IDS)
     q = corpus.filter(F.col("id").isin(qids)).select(
@@ -2685,7 +2685,7 @@ def pl03_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.size("sh") + F.size("qsh") - n_inter)
         ).alias("lex"),
         (
-            dot(F.col("v"), F.col("qv"))
+            dot("v", "qv")
             / F.greatest(F.col("_n") * F.col("_qn"), F.lit(1e-12))
         ).alias("vec"),
     )
@@ -3059,7 +3059,7 @@ def l48_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sims = corpus.crossJoin(F.broadcast(anchors)).select(
         F.col("query_id").alias("anchor_id"),
         F.col("vec_id"),
-        cosine(F.col("embedding"), F.col("query_vec")).alias("sim"),
+        cosine("embedding", "query_vec").alias("sim"),
     )
     wtop = Window.partitionBy("anchor_id").orderBy(
         F.desc("sim"), F.asc("vec_id")
