@@ -573,3 +573,48 @@ def test_blocked_nearest_neighbor_certification_is_exact(spark, data):
         for r in blocked_nearest_supplier(cust, supp).collect()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+            st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+def test_similarity_string_fast_path_is_bit_identical(spark, pairs):
+    """dot/l2_norm/cosine's server-parsed string form must stay
+    BIT-identical to the Column-operator form (the fast path's whole
+    correctness argument; oracle hashes depend on it). Exact ==, not
+    approx: the two forms must produce the same expression tree, so
+    any float divergence at all is a regression."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        cosine,
+        dot,
+        l2_norm,
+    )
+
+    a = [x for x, _ in pairs]
+    b = [y for _, y in pairs]
+    df = spark.createDataFrame(
+        [(a, b)], "va: array<double>, vb: array<double>"
+    )
+    row = df.select(
+        dot("va", "vb").alias("dot_s"),
+        dot(F.col("va"), F.col("vb")).alias("dot_c"),
+        l2_norm("va").alias("n_s"),
+        l2_norm(F.col("va")).alias("n_c"),
+        cosine("va", "vb").alias("cos_s"),
+        cosine(F.col("va"), F.col("vb")).alias("cos_c"),
+    ).collect()[0]
+    assert row["dot_s"] == row["dot_c"], pairs
+    assert row["n_s"] == row["n_c"], pairs
+    assert row["cos_s"] == row["cos_c"], pairs
