@@ -450,15 +450,80 @@ def l11_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5, bits=8, dim=64)
 
 
-@register("l12_embedding_neardup")
+def _l12_oracle_sql() -> str:
+    """DuckDB twin of the full multi-table sign-projection LSH pipeline
+    (plane literals shared with the engine via _projection_literals, so
+    both engines project against bit-identical hyperplanes). The sign
+    of each projection is an ordered double sum on BOTH engines (DuckDB
+    list_dot_product and Spark's per-(id,plane) hash-agg both
+    accumulate in vector-index order), so bucket bits — and therefore
+    the CANDIDATE SET — match exactly; verified at sf0.01 and sf0.1.
+    The 6dp cosine rounding absorbs last-ulp verify differences (the
+    l10/pl03 pattern)."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        _projection_literals,
+    )
+
+    all_planes = [_projection_literals(64, 8, 42 + t) for t in range(8)]
+    flat = [p for planes in all_planes for p in planes]
+    rows = ",\n".join(
+        "({}, [{}]::DOUBLE[])".format(
+            j, ",".join(repr(float(w)) for w in plane)
+        )
+        for j, plane in enumerate(flat)
+    )
+    return f"""
+    WITH planted AS (
+        SELECT vec_id + 10000000 AS vec_id,
+               list_transform(embedding, (x, i) -> CASE WHEN i = 1
+                   THEN CAST(CAST(x AS DOUBLE) + 0.01 AS FLOAT4) ELSE x END)
+                   AS embedding
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), corpus AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM planted
+    ), planes(j, w) AS (VALUES
+    {rows}
+    ), proj AS (
+        SELECT c.vec_id, p.j, list_dot_product(c.embedding::DOUBLE[], p.w) AS pr
+        FROM corpus c CROSS JOIN planes p
+    ), buckets AS (
+        SELECT vec_id, CAST(j // 8 AS INT) AS table_id,
+               sum(CASE WHEN pr > 0 THEN 1::BIGINT << CAST(j % 8 AS INT)
+                        ELSE 0 END) AS bucket
+        FROM proj GROUP BY 1, 2
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b USING (table_id, bucket)
+        WHERE a.vec_id < b.vec_id
+    ), v AS (
+        SELECT vec_id, embedding::DOUBLE[] AS vv,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                   AS nn
+        FROM corpus
+    )
+    SELECT id_a, id_b, cosine_sim FROM (
+        SELECT id_a, id_b,
+               round(list_dot_product(va.vv, vb.vv)
+                     / greatest(va.nn * vb.nn, 1e-12), 6) AS cosine_sim
+        FROM cand
+        JOIN v va ON va.vec_id = cand.id_a
+        JOIN v vb ON vb.vec_id = cand.id_b
+    ) WHERE cosine_sim >= 0.99
+    """
+
+
+@register("l12_embedding_neardup", oracle=_l12_oracle_sql())
 def l12_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection with PLANTED duplicates: the
     fixture embeddings are near-orthogonal (no natural near-dups), so
     the corpus is unioned with slightly-perturbed copies of every
     100th vector; the multi-table LSH self-join must recover those
-    pairs at cosine >= 0.99. Deterministic rows-only check; recall
-    across bucket boundaries and bucket-skew bounds are pinned in
-    tests/test_llm_ops.py."""
+    pairs at cosine >= 0.99. Hash-checked end-to-end against a DuckDB
+    twin of the whole LSH pipeline (:func:`_l12_oracle_sql` — planes,
+    buckets, candidate join, exact-cosine verify); recall across
+    bucket boundaries and bucket-skew bounds are additionally pinned
+    in tests/test_llm_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     planted = emb.filter(F.pmod(F.col("vec_id"), F.lit(100)) == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"),
