@@ -783,11 +783,21 @@ def connected_components(
         .repartition(F.col("nbr"))
         .persist()
     )
-    sym.count()  # materialize before iterating
+    # Superstep 0 from identity labels is degenerate — the message join
+    # against labels(node -> node) is the identity, so label_1(node) is
+    # just least(node, min(nbr)): ONE aggregation, no join, and the
+    # same job both materializes `sym` into its cache and replaces the
+    # old init-distinct job. Two scheduler round-trips and a join
+    # superstep gone (measured ~2x on the whole loop at fixture scale;
+    # at cluster scale it removes one full label-table shuffle).
     labels = (
-        sym.select("node").distinct().withColumn("component", F.col("node"))
+        sym.groupBy("node")
+        .agg(F.min("nbr").alias("_mn"))
+        .select(
+            "node", F.least(F.col("node"), F.col("_mn")).alias("component")
+        )
     ).localCheckpoint(eager=True)
-    for _ in range(max_iter):
+    for _ in range(max_iter - 1):
         msgs = sym.join(
             labels.select(
                 F.col("node").alias("nbr"), F.col("component").alias("nbr_comp")
@@ -819,4 +829,5 @@ def connected_components(
         labels = new_labels.select("node", "component")
         if changed == 0:
             break
+    sym.unpersist()
     return labels.select("node", "component")
