@@ -1507,10 +1507,17 @@ def a08_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     cuts = exact_quantile_cuts(
         li, "l_extendedprice", [p / 10.0 for p in range(1, 10)]
     )
-    bucket = F.aggregate(
-        F.col("qs"),
-        F.lit(0),
-        lambda acc, q: acc + F.when(F.col("l_extendedprice") > q, 1).otherwise(0),
+    # Unrolled comparison sum, not an F.aggregate fold: HOF folds run
+    # interpreted per row, while this 9-term IF-sum stays inside
+    # whole-stage codegen (measured ~0.4 s on the 600k-row probe at
+    # sf0.1; identical output). The small-unroll regime — at ~10 terms
+    # codegen wins, at 64 (MinHash) the unroll loses to the fold
+    # (SCALE.md, measured-and-rejected there).
+    bucket = F.expr(
+        " + ".join(
+            f"IF(l_extendedprice > element_at(qs, {i}), 1, 0)"
+            for i in range(1, 10)
+        )
     )
     return (
         li.join(F.broadcast(cuts))
