@@ -237,6 +237,50 @@ def test_connected_components_known_graph(spark):
     assert got == want
 
 
+def test_connected_components_random_vs_union_find(spark):
+    # Seeded random graphs (sparse, dense, and a diameter-10 chain with
+    # stragglers) checked against a pure-Python union-find: the fused
+    # superstep-0 rewrite must agree with the textbook answer on every
+    # topology, including ones needing many supersteps.
+    import random
+
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        connected_components,
+    )
+
+    def union_find_components(edge_list):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    rng = random.Random(7)
+    cases = [
+        [(rng.randrange(30), rng.randrange(30)) for _ in range(12)],
+        [(rng.randrange(15), rng.randrange(15)) for _ in range(60)],
+        [(i, i + 1) for i in range(10)] + [(50, 51), (60, 61), (61, 62)],
+    ]
+    for edge_list in cases:
+        edge_list = [(a, b) for a, b in edge_list if a != b]
+        edges = spark.createDataFrame(edge_list, ["id_a", "id_b"])
+        got = {
+            (r["node"], r["component"])
+            for r in connected_components(edges).collect()
+        }
+        want = set(union_find_components(edge_list).items())
+        assert got == want
+
+
 def test_incremental_exact_dedupe_rules(spark):
     from sports_betting_data_pipeline_spark.functions.corpus import (
         incremental_exact_dedupe,
