@@ -77,6 +77,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     shard_col: str = "lang",
+    n_tokens_col: str | None = None,
 ) -> DataFrame:
     """Concat-and-chop sequence packing: within each shard, documents
     are concatenated in ``id_col`` order and chopped into
@@ -88,12 +89,23 @@ def pack_sequences(
     One shuffle (the shard-partitioned window cumsum); shards pack
     independently and in parallel. Zero-token docs are excluded (they
     occupy no sequence).
+
+    Pass ``n_tokens_col`` to reuse an already-computed token count
+    instead of re-tokenizing ``text_col``: composed pipelines (pl02)
+    cache a NARROW (id, shard, n_tokens) survivor projection — the
+    cache-narrow-reductions rule — and the packing stage must be able
+    to consume it without dragging the text column through the cache.
     """
     w = Window.partitionBy(shard_col).orderBy(id_col)
+    count_expr = (
+        F.col(n_tokens_col).cast("long")
+        if n_tokens_col
+        else F.size(ws_tokens(F.col(text_col))).cast("long")
+    )
     toks = docs.select(
         id_col,
         shard_col,
-        F.size(ws_tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        count_expr.alias("n_tokens"),
     ).filter(F.col("n_tokens") > 0)
     cum = toks.withColumn("_cum", F.sum("n_tokens").over(w)).withColumn(
         "_start", F.col("_cum") - F.col("n_tokens")

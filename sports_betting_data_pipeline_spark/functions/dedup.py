@@ -56,9 +56,18 @@ def exact_dedupe_canonical(
 # Jaccard on shingle sets
 # ---------------------------------------------------------------------------
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two distinct-element arrays."""
+    """Exact Jaccard similarity of two distinct-element arrays.
+
+    The union size is computed ARITHMETICALLY (|A| + |B| - |A∩B|,
+    exact because the inputs are distinct-element by contract) rather
+    than with ``array_union``: the union fold would build a second
+    per-pair hash set AND allocate the union array, roughly doubling
+    the per-candidate cost of every all-pairs/LSH verify stage that
+    calls this — the same arithmetic-union rewrite l56's containment
+    verify measured at ~2x on its pair stage. ``size()`` is an O(1)
+    length lookup on both operands."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return inter / F.greatest(union, F.lit(1))
 
 

@@ -1844,13 +1844,28 @@ def pl02_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # good feeds three consumers (mixture fit, selection join, packing)
     # and mixed two — cache both so the decontam/chunk-dedup upstream
     # (the expensive shingle and chunk joins) evaluates once, not per
-    # branch. Both are post-filter survivor sets: tiny at any SF.
-    good = deduped.filter(
-        F.round(quality_score(F.col("text")), 6) >= 0.5
-    ).cache()
+    # branch. The cached survivor set is projected down to
+    # (doc_id, lang, n_tokens) BEFORE caching — the token count is the
+    # only thing packing needs from the text, so materializing the
+    # text column would violate the cache-narrow-reductions rule
+    # (SCALE.md r6); pack_sequences consumes the precomputed count via
+    # n_tokens_col.
+    from sports_betting_data_pipeline_spark.functions.text import ws_tokens
+
+    good = (
+        deduped.filter(F.round(quality_score(F.col("text")), 6) >= 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+        )
+        .cache()
+    )
     mixed = temperature_mixture(good, group_col="lang", n_target=300).cache()
     sel = good.join(mixed.select("doc_id", "rk"), on="doc_id")
-    packed = pack_sequences(sel, budget=512, shard_col="lang")
+    packed = pack_sequences(
+        sel, budget=512, shard_col="lang", n_tokens_col="n_tokens"
+    )
     return packed.join(mixed.select("doc_id", "rk"), on="doc_id").select(
         "doc_id", "lang", "rk", "n_tokens", "start_bin", "end_bin", "start_off"
     )
