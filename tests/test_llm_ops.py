@@ -120,6 +120,35 @@ def test_ngram_jaccard_blocked_equals_unblocked(planted_docs):
     assert blocked == expect
 
 
+def test_ngram_jaccard_hashed_equals_string(planted_docs):
+    """hashed=True (the default: shingles xxhash64'd to longs before
+    the self-join) must return the same (pair, jaccard_sim) set as the
+    certified-exact string comparison — equal up to the documented
+    per-pair 64-bit collision bound, which on any test-sized corpus
+    means exactly equal. Guards the contract that hashing changes the
+    physical join payload, never the result."""
+    df, pairs = planted_docs
+    blocked_df = df.withColumn("blk", (F.col("doc_id") % 2).cast("int"))
+    for kwargs in (
+        dict(k=3, threshold=0.5),
+        dict(k=1, threshold=0.35, block_col="blk"),
+    ):
+        hashed = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in ngram_jaccard_pairs(
+                blocked_df, "doc_id", "text", hashed=True, **kwargs
+            ).collect()
+        }
+        exact = {
+            (r.id_a, r.id_b): r.jaccard_sim
+            for r in ngram_jaccard_pairs(
+                blocked_df, "doc_id", "text", hashed=False, **kwargs
+            ).collect()
+        }
+        assert hashed == exact
+        assert hashed  # the planted dups must be present, not vacuous
+
+
 @pytest.fixture(scope="module")
 def embedding_fixture(spark):
     rng = np.random.default_rng(7)
