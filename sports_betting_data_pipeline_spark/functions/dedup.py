@@ -167,7 +167,9 @@ def ngram_jaccard_pairs(
 _LONG_MAX = (1 << 63) - 1
 
 
-def minhash_signature_from_shingles(sh: Column, num_hashes: int = 32) -> Column:
+def minhash_signature_from_shingles(
+    sh: Column, num_hashes: int = 32, pre_hashed: bool = False
+) -> Column:
     """MinHash signature from a shingle array, in ONE pass.
 
     Each shingle string is xxhash64'd exactly once; the ``num_hashes``
@@ -179,10 +181,16 @@ def minhash_signature_from_shingles(sh: Column, num_hashes: int = 32) -> Column:
     projection collapse inline the whole tokenize→shingle pipeline
     into every one of those expressions.
 
+    ``pre_hashed=True`` means ``sh`` already holds the per-shingle
+    xxhash64 longs (the :func:`_minhash_base` payload-hashing layout)
+    and the first-level hash is skipped — the signature is
+    bit-identical to hashing the strings here, because it IS the same
+    xxhash64 application, just hoisted to the producer.
+
     Empty shingle sets yield an all-``_LONG_MAX`` signature (callers
     filter on ``size(sh) > 0``).
     """
-    base_hashes = F.transform(sh, lambda s: F.xxhash64(s))
+    base_hashes = sh if pre_hashed else F.transform(sh, lambda s: F.xxhash64(s))
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return F.aggregate(
         base_hashes,
@@ -217,18 +225,31 @@ def _minhash_base(
     re-inlining the fold (see SCALE.md "Expression-level lessons").
     The input is widened FIRST so the shingle+signature fold runs
     core-parallel even off a single-row-group scan (no-op at scale —
-    io.widen_for_compute)."""
+    io.widen_for_compute).
+
+    ``_sh`` holds the per-shingle xxhash64 LONGS, not the strings
+    (SCALE.md "Hash the join payload"): the cached/shuffled rows carry
+    array<bigint>, the verify intersect compares longs, and the
+    signature fold consumes the same values pre_hashed (bit-identical
+    signatures — the first-level hash is merely hoisted). Verified
+    Jaccard stays exact up to the documented within-pair 64-bit
+    collision bound."""
     from sports_betting_data_pipeline_spark.io import widen_for_compute
 
     return (
         widen_for_compute(df.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col).alias("_id"),
-            shingles(F.col(text_col), k).alias("_sh"),
+            F.transform(
+                shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+            ).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
         .withColumn(
-            "_sig", minhash_signature_from_shingles(F.col("_sh"), num_hashes)
+            "_sig",
+            minhash_signature_from_shingles(
+                F.col("_sh"), num_hashes, pre_hashed=True
+            ),
         )
         .repartition(F.col("_id"))
         # cache, not just an exchange barrier: consumers prune
@@ -328,7 +349,21 @@ def minhash_lsh_candidates(
         w_set = Window.partitionBy("_setkey")
         members = (
             base.withColumn(
-                "_setkey", F.sha2(F.concat_ws("\x01", F.array_sort("_sh")), 256)
+                # _sh holds hashed longs; render to strings for the
+                # 256-bit set key (sha2 kept over xxhash64(array):
+                # a 64-bit setkey would enter the birthday regime at
+                # 10^10+ docs and a colliding key forges a FALSE
+                # exact-dup star edge — correctness, not perf).
+                "_setkey",
+                F.sha2(
+                    F.concat_ws(
+                        "\x01",
+                        F.transform(
+                            F.array_sort("_sh"), lambda h: h.cast("string")
+                        ),
+                    ),
+                    256,
+                ),
             )
             .withColumn("_rep", F.min("_id").over(w_set))
             .repartition(F.col("_id"))
