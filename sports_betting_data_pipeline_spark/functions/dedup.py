@@ -719,6 +719,15 @@ def containment_prefix_pairs(
         .select(
             F.col(id_col).alias("_id"),
             F.col(block_col).alias("_blk"),
+            # Tokens stay STRINGS here: the payload-hashing rewrite
+            # that won 2.2x on the all-pairs Jaccard join was A/B'd on
+            # this pipeline too and measured SLOWER (1.35 -> 2.14 s at
+            # sf0.1, interleaved, identical pairs) — the cost center
+            # is the exploded (block, token) postings joins, not the
+            # verify intersects, and short repeated vocab tokens join
+            # as cheaply as longs while the extra per-array hash pass
+            # is pure overhead. See SCALE.md "Hash the join payload"
+            # for when the trick does and does not apply.
             F.array_distinct(
                 F.filter(
                     F.split(F.lower(F.col(text_col)), r"\s+"),
