@@ -177,6 +177,18 @@ def test_pack_sequences_matches_python_reference(spark, docs):
         assert sb <= eb
         # straddles a boundary exactly when the tail doesn't fit
         assert (sb != eb) == (off + n_tok > budget)
+    # the n_tokens_col passthrough (pl02's narrow-cache path) must be
+    # indistinguishable from tokenizing text_col itself
+    from sports_betting_data_pipeline_spark.functions.text import ws_tokens
+
+    pre = df.withColumn("ntc", F.size(ws_tokens(F.col("text"))))
+    got_pre = {
+        r.doc_id: (r.n_tokens, r.start_bin, r.end_bin, r.start_off)
+        for r in pack_sequences(
+            pre, budget=budget, shard_col="lang", n_tokens_col="ntc"
+        ).collect()
+    }
+    assert got_pre == got
 
 
 def test_temperature_mixture_quota_invariants(spark):
