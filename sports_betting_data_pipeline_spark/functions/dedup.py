@@ -27,7 +27,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sports_betting_data_pipeline_spark.functions.text import shingles
+from sports_betting_data_pipeline_spark.functions.text import (
+    _qname as _sql_qname,
+    shingles,
+    shingles_sql,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -106,13 +110,19 @@ def ngram_jaccard_pairs(
     # the CC-clustering consumers; at 100 TB the same argument holds —
     # caching the wide intermediate costs more storage/IO than the
     # narrow recompute).
-    sh_expr = shingles(F.col(text_col), k)
+    # Server-parsed (one Py4J call; identical tree — the dot/cosine
+    # fast-path pattern): shingling + the optional payload hash.
     if hashed:
         # xxhash64 is injective-in-practice per the bound above; the
         # transform keeps array_distinct's dedup (distinct strings map
         # to distinct longs absent a collision), preserving the
         # distinct-element contract jaccard() relies on.
-        sh_expr = F.transform(sh_expr, lambda s: F.xxhash64(s))
+        sh_expr = F.expr(
+            f"transform({shingles_sql(_sql_qname(text_col), k)}, "
+            "s -> xxhash64(s))"
+        )
+    else:
+        sh_expr = shingles(text_col, k)
     sh = df.select(
         F.col(id_col).alias("_id"),
         sh_expr.alias("_sh"),
@@ -167,8 +177,22 @@ def ngram_jaccard_pairs(
 _LONG_MAX = (1 << 63) - 1
 
 
+def minhash_signature_sql(sh: str, num_hashes: int = 32, pre_hashed: bool = False) -> str:
+    """SQL text of :func:`minhash_signature_from_shingles` over an
+    arbitrary SQL expression ``sh`` — the server-parsed fast path
+    (4 construction lambdas -> one parse call, identical tree)."""
+    base = sh if pre_hashed else f"transform({sh}, s -> xxhash64(s))"
+    return (
+        f"aggregate({base}, "
+        f"array_repeat({_LONG_MAX}L, {num_hashes}), "
+        f"(acc, h) -> zip_with(acc, "
+        f"transform(sequence(0, {num_hashes - 1}), i -> xxhash64(h, i)), "
+        f"(a, b) -> least(a, b)))"
+    )
+
+
 def minhash_signature_from_shingles(
-    sh: Column, num_hashes: int = 32, pre_hashed: bool = False
+    sh: Column | str, num_hashes: int = 32, pre_hashed: bool = False
 ) -> Column:
     """MinHash signature from a shingle array, in ONE pass.
 
@@ -188,8 +212,11 @@ def minhash_signature_from_shingles(
     xxhash64 application, just hoisted to the producer.
 
     Empty shingle sets yield an all-``_LONG_MAX`` signature (callers
-    filter on ``size(sh) > 0``).
+    filter on ``size(sh) > 0``). Pass a column NAME for the
+    server-parsed fast path.
     """
+    if isinstance(sh, str):
+        return F.expr(minhash_signature_sql(_sql_qname(sh), num_hashes, pre_hashed))
     base_hashes = sh if pre_hashed else F.transform(sh, lambda s: F.xxhash64(s))
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     return F.aggregate(
@@ -240,15 +267,16 @@ def _minhash_base(
         widen_for_compute(df.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col).alias("_id"),
-            F.transform(
-                shingles(F.col(text_col), k), lambda s: F.xxhash64(s)
+            F.expr(
+                f"transform({shingles_sql(_sql_qname(text_col), k)}, "
+                "s -> xxhash64(s))"
             ).alias("_sh"),
         )
         .filter(F.size("_sh") > 0)
         .withColumn(
             "_sig",
             minhash_signature_from_shingles(
-                F.col("_sh"), num_hashes, pre_hashed=True
+                "_sh", num_hashes, pre_hashed=True
             ),
         )
         .repartition(F.col("_id"))
@@ -274,25 +302,21 @@ def minhash_band_buckets(
     store without re-scanning history
     (:func:`incremental_neardup_novel`)."""
     rows_per_band = num_hashes // bands
+    # One server-parsed explode expression (the simhash probe_structs
+    # pattern): the Column-loop form was bands × rows_per_band Py4J
+    # round trips of pure construction.
+    structs = ", ".join(
+        "named_struct('band_id', {b}, 'band_hash', xxhash64({b}, {refs}))".format(
+            b=b,
+            refs=", ".join(
+                f"_sig[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(bands)
+    )
     return base.select(
         "_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
-                                F.col("_sig")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("_band"),
+        F.expr(f"explode(array({structs}))").alias("_band"),
     ).select("_id", "_band.band_id", "_band.band_hash")
 
 

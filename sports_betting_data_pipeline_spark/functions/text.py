@@ -40,8 +40,23 @@ LANG_MARKERS: dict[str, list[str]] = {
 STOPWORDS = ["the", "a", "an", "is", "are", "of", "and", "or", "to", "in"]
 
 
-def ws_tokens(text: Column) -> Column:
-    """Whitespace tokenization; drops empty tokens."""
+def _qname(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def ws_tokens_sql(t: str) -> str:
+    """SQL text of :func:`ws_tokens` over an arbitrary SQL expression
+    ``t`` — the server-parsed fast path (see similarity.py's dot/cosine
+    note: every higher-order lambda costs ~13 ms of driver-side
+    construction; one parsed string is one Py4J call, identical tree)."""
+    return f"filter(split({t}, '\\\\s+'), t -> t != '')"
+
+
+def ws_tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; drops empty tokens. Pass a column NAME
+    for the server-parsed fast path."""
+    if isinstance(text, str):
+        return F.expr(ws_tokens_sql(_qname(text)))
     return F.filter(F.split(text, r"\s+"), lambda t: t != "")
 
 
@@ -121,11 +136,24 @@ def fingerprint64(text: Column) -> Column:
     return F.xxhash64(normalized)
 
 
-def shingles(text: Column, k: int = 3) -> Column:
+def shingles_sql(t: str, k: int = 3) -> str:
+    """SQL text of :func:`shingles` over an arbitrary SQL expression
+    ``t`` (same let-binding structure, same tree — one parse call)."""
+    return (
+        f"transform(array({ws_tokens_sql(f'lower({t})')}), "
+        f"toks -> array_distinct(transform("
+        f"sequence(1, greatest(size(toks) - {k - 1}, 1)), "
+        f"i -> concat_ws(' ', slice(toks, i, {k})))))[0]"
+    )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles (the MinHash/Jaccard input unit).
 
     Sliding window over whitespace tokens via transform+slice; text
-    shorter than k tokens yields its single full-token join.
+    shorter than k tokens yields its single full-token join. Pass a
+    column NAME for the server-parsed fast path (5 construction
+    lambdas -> one parse call).
 
     The token array is LET-BOUND through a single-element ``transform``
     before the sliding window: a lambda body re-evaluates every
@@ -134,6 +162,8 @@ def shingles(text: Column, k: int = 3) -> Column:
     re-run split+filter once per shingle (~tokens× redundant work —
     measured 3.4s -> 0.5s over 5000 docs at sf0.1).
     """
+    if isinstance(text, str):
+        return F.expr(shingles_sql(_qname(text), k))
 
     def build(toks: Column) -> Column:
         n = F.size(toks)

@@ -630,3 +630,52 @@ def test_similarity_string_fast_path_is_bit_identical(spark, pairs):
     assert row["dot_s"] == row["dot_c"], pairs
     assert row["n_s"] == row["n_c"], pairs
     assert row["cos_s"] == row["cos_c"], pairs
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.text(
+        alphabet=st.sampled_from(list("ab c`'\\\t\né")),
+        max_size=40,
+    ),
+    st.integers(1, 4),
+)
+def test_text_string_fast_paths_are_bit_identical(spark, text, k):
+    """ws_tokens/shingles/minhash-signature server-parsed string forms
+    must stay BIT-identical to the Column-operator forms — including
+    on texts containing quotes, backslashes, tabs and non-ASCII, which
+    exercise the SQL-literal escaping in the generated expression
+    text."""
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        minhash_signature_from_shingles,
+    )
+    from sports_betting_data_pipeline_spark.functions.text import (
+        shingles,
+        ws_tokens,
+    )
+
+    df = spark.createDataFrame([(text,)], "t: string")
+    sh_s = shingles("t", k)
+    sh_c = shingles(F.col("t"), k)
+    row = df.select(
+        ws_tokens("t").alias("wt_s"),
+        ws_tokens(F.col("t")).alias("wt_c"),
+        sh_s.alias("sh_s"),
+        sh_c.alias("sh_c"),
+        minhash_signature_from_shingles(sh_s, 8).alias("sig_c2"),
+    ).collect()[0]
+    assert row["wt_s"] == row["wt_c"], repr(text)
+    assert row["sh_s"] == row["sh_c"], repr(text)
+    # the string signature path reads a named column; compare via a
+    # second select over the materialized shingle column
+    df2 = spark.createDataFrame([(row["sh_s"],)], "sh: array<string>")
+    row2 = df2.select(
+        minhash_signature_from_shingles("sh", 8).alias("sig_s"),
+        minhash_signature_from_shingles(F.col("sh"), 8).alias("sig_c"),
+    ).collect()[0]
+    assert row2["sig_s"] == row2["sig_c"], repr(text)
+    assert row2["sig_s"] == row["sig_c2"], repr(text)
