@@ -48,70 +48,84 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sports_betting_data_pipeline_spark.operators.temporal import (
-    iso_to_eastern_string,
-    ns_epoch_to_eastern_string,
-    ns_epoch_to_naive_string,
+    iso_to_eastern_sql,
+    ns_epoch_to_eastern_sql,
+    ns_epoch_to_naive_sql,
 )
 from sports_betting_data_pipeline_spark.schemas import SHEET_COLUMNS
 
+# The 25-column projections below are emitted as SQL TEXT and parsed
+# server-side (one F.expr per output column): the Column-operator form
+# of this operator was ~4,400 Py4J round trips of pure construction
+# (~0.9 s per flatten_sheet call — r6 profiling), all of it tiny
+# expression-builder chatter. Trees are identical; the flatten goldens
+# and the p01 oracle pin the rendering cell-exact.
 
-def _s(col: Column) -> Column:
+
+def _s(x: str) -> str:
     """Stringify with the reference's `""` absent-default (main.py:96-125)."""
-    return F.coalesce(col.cast("string"), F.lit(""))
+    return f"coalesce(CAST({x} AS STRING), '')"
 
 
-def _competitor(df_col: str, idx: int, field: str) -> Column:
+def _competitor(df_col: str, idx: int, field: str) -> str:
     # competitors[idx].field with "" default; reference indexes [0]/[1]
     # unguarded (main.py:97-110) — we default instead of raising
     # (try_element_at: null, not ANSI error, on short arrays).
-    return _s(F.try_element_at(F.col(df_col), F.lit(idx + 1)).getField(field))
+    return _s(f"try_element_at({df_col}, {idx + 1}).{field}")
 
 
-def _event_columns(fidelity_branch_b: bool = False) -> list[Column]:
-    """Event-level columns shared by both branches (main.py:88-110)."""
+def _event_columns(fidelity_branch_b: bool = False) -> list[tuple[str, str]]:
+    """(sql, alias) event-level columns shared by both branches
+    (main.py:88-110)."""
     if fidelity_branch_b:
         # C2: branch B passes `scheduled` through raw (main.py:141).
-        scheduled = _s(F.col("scheduled"))
+        scheduled = _s("scheduled")
     else:
         # C1: ISO-Z → America/New_York aware string (main.py:89-95).
-        scheduled = _s(iso_to_eastern_string(F.col("scheduled")))
+        scheduled = _s(iso_to_eastern_sql("scheduled"))
     return [
-        _s(F.col("event_id")).alias("Event ID"),
-        scheduled.alias("Event Scheduled Time"),
-        _s(F.col("display_name")).alias("Event Name"),
-        _competitor("competitors", 0, "display_name").alias("Event Competitor 1"),
-        _competitor("competitors", 0, "abbreviation").alias(
-            "Event Competitor 1 Abbreviation"
+        (_s("event_id"), "Event ID"),
+        (scheduled, "Event Scheduled Time"),
+        (_s("display_name"), "Event Name"),
+        (_competitor("competitors", 0, "display_name"), "Event Competitor 1"),
+        (
+            _competitor("competitors", 0, "abbreviation"),
+            "Event Competitor 1 Abbreviation",
         ),
-        _competitor("competitors", 0, "side").alias("Event Competitor 1 Side"),
-        _competitor("competitors", 1, "display_name").alias("Event Competitor 2"),
-        _competitor("competitors", 1, "abbreviation").alias(
-            "Event Competitor 2 Abbreviation"
+        (_competitor("competitors", 0, "side"), "Event Competitor 1 Side"),
+        (_competitor("competitors", 1, "display_name"), "Event Competitor 2"),
+        (
+            _competitor("competitors", 1, "abbreviation"),
+            "Event Competitor 2 Abbreviation",
         ),
-        _competitor("competitors", 1, "side").alias("Event Competitor 2 Side"),
+        (_competitor("competitors", 1, "side"), "Event Competitor 2 Side"),
     ]
 
 
-def _market_columns() -> list[Column]:
+def _market_columns() -> list[tuple[str, str]]:
     """Market-level columns (main.py:111-114)."""
     return [
-        _s(F.col("m_id")).alias("Market ID"),
-        _s(F.col("m_name")).alias("Market Name"),
-        _s(F.col("m_type")).alias("Market Type"),
-        _s(F.col("m_status")).alias("Market Status"),
+        (_s("m_id"), "Market ID"),
+        (_s("m_name"), "Market Name"),
+        (_s("m_type"), "Market Type"),
+        (_s("m_status"), "Market Status"),
     ]
 
 
-def _selection_columns(sel: Column) -> list[Column]:
+def _selection_columns(sel: str) -> list[tuple[str, str]]:
     """Selection-level columns (main.py:120-125 / 166-171)."""
     return [
-        _s(sel.getField("line_id")).alias("Selection ID"),
-        _s(sel.getField("display_name")).alias("Selection Name"),
-        _s(sel.getField("odds")).alias("Selection Odds"),
-        _s(F.col("status")).alias("Event Status"),
-        _s(sel.getField("stake")).alias("Selection Stake"),
-        _s(sel.getField("value")).alias("Selection Value"),
+        (_s(f"{sel}.line_id"), "Selection ID"),
+        (_s(f"{sel}.display_name"), "Selection Name"),
+        (_s(f"{sel}.odds"), "Selection Odds"),
+        (_s("status"), "Event Status"),
+        (_s(f"{sel}.stake"), "Selection Stake"),
+        (_s(f"{sel}.value"), "Selection Value"),
     ]
+
+
+def _exprs(pairs: list[tuple[str, str]]) -> list[Column]:
+    return [F.expr(sql).alias(alias) for sql, alias in pairs]
 
 
 def flatten_sheet(events: DataFrame, fidelity: bool = False) -> DataFrame:
@@ -171,16 +185,20 @@ def flatten_sheet(events: DataFrame, fidelity: bool = False) -> DataFrame:
         .withColumn("sel", F.try_element_at("sel_group", F.lit(1)))
     )
     a_rows = branch_a.select(
-        *_event_columns(fidelity_branch_b=False),
-        *_market_columns(),
-        _s(F.col("ml_id")).alias("Market Line ID"),
-        _s(F.col("ml_name")).alias("Market Line Name"),
-        _s(F.col("ml_line")).alias("Market Line"),
-        F.coalesce(F.col("ml_favourite"), F.lit("NA")).alias("Market Line Favourite"),
-        _s(F.col("ml_type")).alias("Market Line Type"),
-        *_selection_columns(F.col("sel")),
+        *_exprs(_event_columns(fidelity_branch_b=False)),
+        *_exprs(_market_columns()),
+        *_exprs([
+            (_s("ml_id"), "Market Line ID"),
+            (_s("ml_name"), "Market Line Name"),
+            (_s("ml_line"), "Market Line"),
+            ("coalesce(ml_favourite, 'NA')", "Market Line Favourite"),
+            (_s("ml_type"), "Market Line Type"),
+        ]),
+        *_exprs(_selection_columns("sel")),
         # C3: epoch-ns → US/Eastern aware string (main.py:126-131).
-        _s(ns_epoch_to_eastern_string("m_updated_at")).alias("Market Updated"),
+        *_exprs([
+            (_s(ns_epoch_to_eastern_sql("m_updated_at")), "Market Updated"),
+        ]),
     )
 
     # --- Branch B: markets WITHOUT lines (main.py:134-176) -------------
@@ -208,21 +226,21 @@ def flatten_sheet(events: DataFrame, fidelity: bool = False) -> DataFrame:
     if fidelity:
         # C4: naive server-local rendering (main.py:172-174); engine
         # sessions are pinned UTC so this is the naive-UTC string.
-        updated_b = _s(ns_epoch_to_naive_string("m_updated_at"))
+        updated_b = _s(ns_epoch_to_naive_sql("m_updated_at"))
     else:
-        updated_b = _s(ns_epoch_to_eastern_string("m_updated_at"))
+        updated_b = _s(ns_epoch_to_eastern_sql("m_updated_at"))
     b_rows = branch_b.select(
-        *_event_columns(fidelity_branch_b=fidelity),
-        *_market_columns(),
-        *[F.lit("NA").alias(c) for c in (
+        *_exprs(_event_columns(fidelity_branch_b=fidelity)),
+        *_exprs(_market_columns()),
+        *_exprs([("'NA'", c) for c in (
             "Market Line ID",
             "Market Line Name",
             "Market Line",
             "Market Line Favourite",
             "Market Line Type",
-        )],
-        *_selection_columns(F.col("sel")),
-        updated_b.alias("Market Updated"),
+        )]),
+        *_exprs(_selection_columns("sel")),
+        *_exprs([(updated_b, "Market Updated")]),
     )
 
     out = a_rows.unionByName(b_rows)

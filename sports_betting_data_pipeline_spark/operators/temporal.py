@@ -99,6 +99,73 @@ def ns_epoch_to_eastern_string(col_name: str, tz: str = "US/Eastern") -> Column:
     return render_aware(ns_epoch_to_timestamp(col_name), tz)
 
 
+# --- SQL-text forms (server-parsed fast path) ------------------------------
+# The C1/C3/C4 render chains are ~25 Column ops each and flatten_sheet
+# builds them 4x per call — ~0.25 s of pure Py4J construction (r6
+# profiling). These emit the SAME expression trees as the Column
+# builders above (subtree duplication per reference and all), parsed
+# in one gateway call. The Column forms stay for composed arguments
+# and tests; a property test pins string ≡ Column bit-identical.
+
+ISO_Z_FORMAT_SQL = '"yyyy-MM-dd\'T\'HH:mm:ss\'Z\'"'
+
+
+def parse_iso_utc_sql(col: str) -> str:
+    return f"to_timestamp({col}, {ISO_Z_FORMAT_SQL})"
+
+
+def ns_epoch_to_timestamp_sql(col: str) -> str:
+    return f"timestamp_micros(({col}) div 1000)"
+
+
+def _fraction_sql(local: str) -> str:
+    frac = f"date_format({local}, 'SSSSSS')"
+    return f"CASE WHEN {frac} != '000000' THEN concat('.', {frac}) ELSE '' END"
+
+
+def _offset_sql(ts: str, tz: str) -> str:
+    off = (
+        f"CAST(unix_timestamp(from_utc_timestamp({ts}, '{tz}')) "
+        f"- unix_timestamp({ts}) AS BIGINT)"
+    )
+    sign = f"CASE WHEN {off} < 0 THEN '-' ELSE '+' END"
+    hh = f"lpad(CAST(CAST(abs({off}) / 3600 AS BIGINT) AS STRING), 2, '0')"
+    mm = (
+        f"lpad(CAST(pmod(CAST(abs({off}) / 60 AS BIGINT), 60) AS STRING), "
+        f"2, '0')"
+    )
+    return f"concat({sign}, {hh}, ':', {mm})"
+
+
+def render_aware_sql(ts: str, tz: str) -> str:
+    local = f"from_utc_timestamp({ts}, '{tz}')"
+    rendered = (
+        f"concat(date_format({local}, 'yyyy-MM-dd HH:mm:ss'), "
+        f"{_fraction_sql(local)}, {_offset_sql(ts, tz)})"
+    )
+    return f"CASE WHEN ({ts}) IS NOT NULL THEN {rendered} END"
+
+
+def render_naive_sql(ts: str) -> str:
+    rendered = (
+        f"concat(date_format({ts}, 'yyyy-MM-dd HH:mm:ss'), "
+        f"{_fraction_sql(ts)})"
+    )
+    return f"CASE WHEN ({ts}) IS NOT NULL THEN {rendered} END"
+
+
+def iso_to_eastern_sql(col: str, tz: str = "America/New_York") -> str:
+    return render_aware_sql(parse_iso_utc_sql(col), tz)
+
+
+def ns_epoch_to_eastern_sql(col: str, tz: str = "US/Eastern") -> str:
+    return render_aware_sql(ns_epoch_to_timestamp_sql(col), tz)
+
+
+def ns_epoch_to_naive_sql(col: str) -> str:
+    return render_naive_sql(ns_epoch_to_timestamp_sql(col))
+
+
 def ns_epoch_to_naive_string(col_name: str) -> Column:
     """C4 end-to-end: epoch-ns int → naive UTC rendered string."""
     return render_naive(ns_epoch_to_timestamp(col_name))

@@ -679,3 +679,48 @@ def test_text_string_fast_paths_are_bit_identical(spark, text, k):
     ).collect()[0]
     assert row2["sig_s"] == row2["sig_c"], repr(text)
     assert row2["sig_s"] == row["sig_c2"], repr(text)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.one_of(
+        st.none(),
+        st.integers(min_value=0, max_value=4_102_444_800_000_000_000),
+    )
+)
+def test_temporal_sql_forms_match_column_forms(spark, ns):
+    """The C1/C3/C4 render chains' SQL-text forms (flatten_sheet's
+    construction fast path) must stay bit-identical to the Column
+    builders — across DST boundaries, µs fractions, and null inputs."""
+    from sports_betting_data_pipeline_spark.operators.temporal import (
+        iso_to_eastern_sql,
+        iso_to_eastern_string,
+        ns_epoch_to_eastern_sql,
+        ns_epoch_to_eastern_string,
+        ns_epoch_to_naive_sql,
+        ns_epoch_to_naive_string,
+    )
+
+    iso = (
+        None
+        if ns is None
+        else __import__("datetime")
+        .datetime.utcfromtimestamp((ns // 1_000_000_000) % 4_102_444_800)
+        .strftime("%Y-%m-%dT%H:%M:%SZ")
+    )
+    df = spark.createDataFrame([(ns, iso)], "ns: long, iso: string")
+    row = df.select(
+        F.expr(ns_epoch_to_eastern_sql("ns")).alias("e_s"),
+        ns_epoch_to_eastern_string("ns").alias("e_c"),
+        F.expr(ns_epoch_to_naive_sql("ns")).alias("n_s"),
+        ns_epoch_to_naive_string("ns").alias("n_c"),
+        F.expr(iso_to_eastern_sql("iso")).alias("i_s"),
+        iso_to_eastern_string(F.col("iso")).alias("i_c"),
+    ).collect()[0]
+    assert row["e_s"] == row["e_c"], ns
+    assert row["n_s"] == row["n_c"], ns
+    assert row["i_s"] == row["i_c"], (ns, iso)
