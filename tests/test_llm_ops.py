@@ -79,6 +79,29 @@ def test_minhash_exact_dup_estimated_sim_is_one(planted_docs):
     assert row[0].jaccard_sim == 1.0
 
 
+def test_minhash_prehashed_signature_equals_string_signature(planted_docs):
+    """_minhash_base's payload-hashing layout (shingles xxhash64'd to
+    longs, signature consuming them pre_hashed=True) must yield the
+    SAME signatures as folding the shingle strings directly — the
+    hoist claim the base's bit-identical-signature docstring makes.
+    Also pins the band-bucket SQL form against first principles: equal
+    signatures => equal band hashes => l08's buckets are unchanged."""
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        minhash_signature_from_shingles,
+    )
+    from sports_betting_data_pipeline_spark.functions.text import shingles
+
+    df, _ = planted_docs
+    sh = shingles("text", 3)
+    rows = df.select(
+        minhash_signature_from_shingles(sh, 32).alias("sig_str"),
+        minhash_signature_from_shingles(
+            F.transform(sh, lambda s: F.xxhash64(s)), 32, pre_hashed=True
+        ).alias("sig_pre"),
+    ).collect()
+    assert rows and all(r.sig_str == r.sig_pre for r in rows)
+
+
 def test_simhash_finds_exact_and_near_dups(planted_docs):
     df, pairs = planted_docs
     found = {
