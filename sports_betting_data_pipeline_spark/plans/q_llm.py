@@ -1095,7 +1095,10 @@ def l21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-label connected components. Quadratic within the dominant
     block — use :func:`l22_lsh_dedup_clusters` as the production-scale
     path (LSH candidate edges, never O(n²)); keep this one for sampled
-    audits of the LSH path's recall.
+    audits of the LSH path's recall. The pair stage rides
+    ngram_jaccard_pairs' hashed payload (exact up to the documented
+    within-pair 64-bit collision bound, ~5e-14 per pair; pass
+    hashed=False there for a certified-exact string audit).
 
     Oracle: the same components via a recursive CTE (DuckDB) — label
     enumeration to fixpoint, then min per node. Spark converges in
@@ -3823,7 +3826,9 @@ def l55_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncations of one another. Emits the survivor plus how many
     copies it displaces; the dedup DECISION, separated from the
     clustering MECHANISM, so policies swap without touching the graph
-    code.
+    code. (Clustering pairs use the hashed-payload Jaccard — exact up
+    to the within-pair 64-bit collision bound documented on
+    ngram_jaccard_pairs.)
 
     Scale: survivor selection is one WindowGroupLimit argmax over the
     (node, component) table joined to dim-width doc metadata — the
