@@ -89,6 +89,38 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # Self-normalizing artifact (VERDICT r6 #5): cross-run comparisons
+    # on a shared box are confounded by ambient load (measured
+    # ×1.0-1.3 within a day). Emit the per-query MEDIAN ratio vs the
+    # previous BENCH_FULL.json so every artifact carries its own
+    # correction factor — the median over the (mostly untouched)
+    # catalog is robust to the handful of queries a round actually
+    # changes. ambient_factor > 1 means THIS run saw a slower box;
+    # divide by it before reading per-query deltas as real.
+    ambient = {}
+    try:
+        with open(os.path.join(_REPO_DIR, "BENCH_FULL.json")) as fh:
+            prev = json.loads(fh.read())
+        prev_q = prev.get("queries") or {}
+        ratios = sorted(
+            timings[q] / prev_q[q]
+            for q in timings
+            if q in prev_q and prev_q[q] > 0
+        )
+        if ratios:
+            mid = len(ratios) // 2
+            med = (
+                ratios[mid]
+                if len(ratios) % 2
+                else (ratios[mid - 1] + ratios[mid]) / 2
+            )
+            ambient = {
+                "ambient_factor": round(med, 4),
+                "ambient_ref_total": prev.get("value"),
+                "ambient_n": len(ratios),
+            }
+    except (OSError, ValueError, KeyError, ZeroDivisionError):
+        pass
     payload = json.dumps(
         {
             "metric": "total_query_seconds",
@@ -96,6 +128,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            **ambient,
         }
     )
     # Persist the full per-query table too: stdout capture can truncate

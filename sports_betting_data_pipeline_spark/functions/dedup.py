@@ -848,55 +848,113 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    fuse: int = 3,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation —
     turns near-dup PAIRS (l07/l08/l09 output) into dedup CLUSTERS,
     each labeled with its minimum member id.
 
     The Pregel pattern on DataFrames: every node starts labeled with
-    itself; each superstep every node takes the min of its own label
-    and its neighbors' labels; converged when no label changes (≤ graph
-    diameter supersteps — near-dup clusters are dense, so typically
-    2-3). Each superstep is one shuffle on node id; ``localCheckpoint``
-    truncates the growing lineage so superstep N doesn't recompute
-    1..N-1. The per-superstep convergence count is a driver-side
-    scalar, not a collect of the data.
+    itself; each propagation level every node takes the min of its own
+    label and its neighbors' labels; converged when no label changes
+    (≤ graph diameter levels — near-dup clusters are dense, so
+    typically 2-3). ``max_iter`` counts propagation LEVELS;
+    ``max_iter=0`` returns identity labels with no propagation.
+
+    The per-level cost at fixture scale is a measured ~0.35 s DRIVER
+    floor (plan build + localCheckpoint physical planning — SCALE.md
+    §Round-6), not data cost, so the scheduling unit here is a fused
+    JOB of ``fuse`` consecutive levels: one plan chains ``fuse``
+    join+agg levels and the convergence comparison between its last
+    two levels, so a diameter-≤2 graph (every dedup fixture) finishes
+    in ONE job where the per-level loop needed three (init, propagate,
+    confirm). Deeper graphs continue in fused jobs of ``fuse`` levels;
+    each job is one action whose driver-side ``changed`` count is the
+    materializing job, exactly as before. Comparing the job's last two
+    levels is a sound convergence test: labels decrease monotonically,
+    so level k == level k-1 means level k-1 was already a fixed point.
+    At cluster scale the fused plan trades one label-table shuffle per
+    level (unchanged) against 3× fewer scheduler round-trips.
 
     Output: one row per node appearing in ``edges`` —
     ``(node, component)``.
     """
+    if max_iter <= 0:
+        # ADVICE r6: the fused first level used to run unconditionally,
+        # silently raising the parameter's floor to 1 — max_iter=0 now
+        # returns identity labels with no propagation work, matching
+        # the loop-based implementation's original contract.
+        nodes = (
+            edges.select(
+                F.explode(F.array(F.col(src), F.col(dst))).alias("node")
+            ).distinct()
+        )
+        return nodes.select("node", F.col("node").alias("component"))
     # Materialize the symmetrized edge list ONCE: it is re-joined every
-    # superstep, and without a barrier the entire upstream
-    # edge-generation pipeline (e.g. the LSH candidate join) would
-    # re-execute per iteration. Pre-partitioned on the join key and
-    # PERSISTED (not localCheckpoint: an RDD-scan leaf drops the
-    # partitioning metadata, while InMemoryRelation keeps it), so
-    # every superstep's message join shuffles only the narrow label
-    # table — the edges never move again. That is the standard Pregel
-    # layout, and the part that matters at edge-list scale.
+    # level, and without a barrier the entire upstream edge-generation
+    # pipeline (e.g. the LSH candidate join) would re-execute per
+    # iteration. Pre-partitioned on the join key and PERSISTED (not
+    # localCheckpoint: an RDD-scan leaf drops the partitioning
+    # metadata, while InMemoryRelation keeps it), so every level's
+    # message join shuffles only the narrow label table — the edges
+    # never move again. Within one fused job the cache fills on its
+    # first scan and the later levels' joins read it back.
+    # Symmetrize with ONE scan of the upstream edge pipeline: a
+    # two-branch union would embed the (possibly expensive, un-persisted)
+    # edge-generation subtree TWICE in the materializing job — the
+    # branches differ in their top projection, so ReuseExchange cannot
+    # collapse them and e.g. l22's LSH candidate join would run twice.
+    # explode(array(fwd, rev)) reads the pipeline once and emits both
+    # directions per row.
     sym = (
-        edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr"))
-        .unionByName(edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("node"), F.col(dst).alias("nbr")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("node"), F.col(src).alias("nbr")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select("_e.node", "_e.nbr")
         .repartition(F.col("nbr"))
         .persist()
     )
-    # Superstep 0 from identity labels is degenerate — the message join
-    # against labels(node -> node) is the identity, so label_1(node) is
-    # just least(node, min(nbr)): ONE aggregation, no join, and the
-    # same job both materializes `sym` into its cache and replaces the
-    # old init-distinct job. Two scheduler round-trips and a join
-    # superstep gone (measured ~2x on the whole loop at fixture scale;
-    # at cluster scale it removes one full label-table shuffle).
-    labels = (
-        sym.groupBy("node")
-        .agg(F.min("nbr").alias("_mn"))
-        .select(
-            "node", F.least(F.col("node"), F.col("_mn")).alias("component")
-        )
-    ).localCheckpoint(eager=True)
-    for _ in range(max_iter - 1):
+    # Size the loop's shuffles ONCE from the measured edge count
+    # instead of letting AQE re-derive the same answer per stage: the
+    # label loop is LATENCY-bound (a fused job is ~7 sequential tiny
+    # stages), and AQE's per-stage re-plan round-trips are the
+    # dominant cost at dedup-edge scale (measured 2.9 s → 0.9 s on a
+    # 249-edge list, SCALE.md §Round-7). One count job materializes
+    # the persisted edges (so the fused job below reads cache) and
+    # yields the partition budget; in the small regime we also switch
+    # AQE off for the loop — there is nothing left for it to adapt.
+    # At real edge-list scale (n_sym ≥ ~2M endpoints/partition budget)
+    # the partition count saturates at the session setting and AQE
+    # stays ON, keeping skew-join handling for hub nodes.
+    spark = edges.sparkSession
+    n_sym = sym.count()
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(1, min(session_parts, 1 + n_sym // 2_000_000))
+    small_regime = loop_parts < session_parts
+    prev_adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    if small_regime:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+
+    def _level(lbl: DataFrame) -> DataFrame:
+        """One min-propagation level as a lazy PLAN (no action).
+
+        The node's OWN previous label rides the message union, tagged —
+        min() over the tagged rows yields the new label AND the old one
+        in ONE aggregation, so the convergence comparison between the
+        job's last two levels costs nothing extra.
+        """
         msgs = sym.join(
-            labels.select(
+            lbl.select(
                 F.col("node").alias("nbr"), F.col("component").alias("nbr_comp")
             ),
             on="nbr",
@@ -905,14 +963,8 @@ def connected_components(
             F.col("nbr_comp").alias("component"),
             F.lit(False).alias("_is_old"),
         )
-        # The node's OWN previous label rides the same union, tagged —
-        # min() over the tagged rows yields the new label AND the old
-        # one in ONE aggregation (no per-superstep join back to
-        # `labels`). The checkpoint is LAZY so the convergence count
-        # is the job that materializes it: one job per superstep, and
-        # superstep N+1 reads N's cached partitions.
-        new_labels = (
-            labels.select("node", "component", F.lit(True).alias("_is_old"))
+        return (
+            lbl.select("node", "component", F.lit(True).alias("_is_old"))
             .unionByName(msgs)
             .groupBy("node")
             .agg(
@@ -921,10 +973,55 @@ def connected_components(
                     "_old"
                 ),
             )
-        ).localCheckpoint(eager=False)
-        changed = new_labels.filter(F.col("component") != F.col("_old")).count()
-        labels = new_labels.select("node", "component")
-        if changed == 0:
-            break
-    sym.unpersist()
-    return labels.select("node", "component")
+        )
+
+    try:
+        # Level 1 from identity labels is degenerate — the message join
+        # against labels(node -> node) is the identity, so label_1(node)
+        # is just least(node, min(nbr)): ONE aggregation, no join.
+        labels = (
+            sym.groupBy("node")
+            .agg(F.min("nbr").alias("_mn"))
+            .select(
+                "node", F.least(F.col("node"), F.col("_mn")).alias("component")
+            )
+        )
+        levels_done = 1
+        last = None
+        for _ in range(min(max(fuse, 1), max_iter) - 1):
+            last = _level(labels)
+            labels = last.select("node", "component")
+            levels_done += 1
+        if last is None:
+            # First job was the bare level-1 aggregation (fuse == 1 or
+            # max_iter == 1): it carries no _old column, so there is no
+            # convergence info yet.
+            labels = labels.localCheckpoint(eager=True)
+            if max_iter == 1:
+                return labels
+            changed = 1  # unknown; the loop's first job decides
+        else:
+            checkpointed = last.localCheckpoint(eager=False)
+            changed = checkpointed.filter(
+                F.col("component") != F.col("_old")
+            ).count()
+            labels = checkpointed.select("node", "component")
+        while changed != 0 and levels_done < max_iter:
+            last = None
+            for _ in range(min(max(fuse, 1), max_iter - levels_done)):
+                last = _level(labels)
+                labels = last.select("node", "component")
+                levels_done += 1
+            checkpointed = last.localCheckpoint(eager=False)
+            changed = checkpointed.filter(
+                F.col("component") != F.col("_old")
+            ).count()
+            labels = checkpointed.select("node", "component")
+        return labels
+    finally:
+        if small_regime:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(session_parts)
+            )
+            spark.conf.set("spark.sql.adaptive.enabled", prev_adaptive)
+        sym.unpersist()

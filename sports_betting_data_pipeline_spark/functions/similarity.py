@@ -137,11 +137,12 @@ def lsh_bucket(vec_col: Column | str, planes: list[list[float]]) -> Column:
     argument falls back to the operator path (test helper usage).
     """
     if isinstance(vec_col, str):
+        qv = _qname(vec_col)
         terms = []
         for i, plane in enumerate(planes):
             arr = ",".join(f"{float(v)!r}D" for v in plane)
             proj = (
-                f"aggregate(zip_with(`{vec_col}`, array({arr}), "
+                f"aggregate(zip_with({qv}, array({arr}), "
                 "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
                 "0.0D, (acc, v) -> acc + v)"
             )

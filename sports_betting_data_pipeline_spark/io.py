@@ -108,7 +108,35 @@ def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df if n >= target else df.repartition(target)
 
 
-_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _dir_fingerprint(path: str) -> tuple[int, int]:
+    """(max mtime_ns, entry count) of a table path — the staleness
+    stamp for :func:`load_table`'s memo (ADVICE r6: a fixture dir
+    regenerated within one Spark application must not be served from
+    the memoized listing; same hazard class st16's mtime stamp
+    guards). A flat parquet dir is one ``scandir``; a missing path
+    fingerprints as (0, 0) and lets ``spark.read`` raise its own
+    error. Single files (a bare .parquet) stamp their own stat."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_mtime_ns, 1)
+        mx = st.st_mtime_ns
+        n = 0
+        with os.scandir(path) as it:
+            for e in it:
+                n += 1
+                try:
+                    m = e.stat().st_mtime_ns
+                except OSError:
+                    continue
+                if m > mx:
+                    mx = m
+        return (mx, n)
+    except OSError:
+        return (0, 0)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -122,17 +150,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bench run, for fixture files that never change mid-session. The
     cached object is a lazy immutable DataFrame, so reuse is free;
     keys carry the applicationId so a restarted session can never see
-    a dead context's plans. (At 100 TB the same cost is catalog-level
+    a dead context's plans, plus a directory fingerprint (max
+    mtime_ns + entry count — one ``scandir``) so a fixture dir
+    regenerated mid-session is re-resolved instead of served from the
+    stale listing. (At 100 TB the same cost is catalog-level
     metadata — a real deployment memoizes it in the metastore the
-    same way.)
+    same way, invalidated by table version.)
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_engine_confs(spark)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), name)
+    path = table_path(sf_dir, name)
+    key = (
+        spark.sparkContext.applicationId,
+        os.path.abspath(sf_dir),
+        name,
+        _dir_fingerprint(path),
+    )
     df = _TABLE_CACHE.get(key)
     if df is None:
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = spark.read.parquet(path)
         if name == "events":
             df = normalize_events_ts(df)
         _TABLE_CACHE[key] = df

@@ -2877,12 +2877,21 @@ def blocked_nearest_supplier(cust: DataFrame, supp: DataFrame) -> DataFrame:
     )
     cbounded = cgrid.withColumn("_bound_km", bound_km)
 
+    # Clamp supplier cell ids into the valid grid (ADVICE r6): slat=90
+    # floors to band 6 and slon=180 to column 12, cells no probe (or
+    # the 72-cell fallback) ever joins, making exact-boundary suppliers
+    # invisible. least() folds the lat edge into the last band;
+    # pmod folds lon 180 onto -180 (the same physical meridian).
     sgrid = supp.select(
         "s_suppkey",
         "slat",
         "slon",
-        F.floor((F.col("slat") + 90.0) / cell).cast("int").alias("_si"),
-        F.floor((F.col("slon") + 180.0) / cell).cast("int").alias("_sj"),
+        F.least(
+            F.floor((F.col("slat") + 90.0) / cell).cast("int"), F.lit(5)
+        ).alias("_si"),
+        F.pmod(
+            F.floor((F.col("slon") + 180.0) / cell).cast("int"), F.lit(12)
+        ).alias("_sj"),
     )
 
     probes = (

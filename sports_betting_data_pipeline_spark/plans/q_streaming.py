@@ -753,7 +753,16 @@ def st16_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice constants must invalidate the memo just like a regenerated
     # fixture does, or the stream replays stale slices (ADVICE r5 —
     # the r4 stale-file hazard, moved from data changes to code edits).
-    slice_spec = "spec=c30:2024-01-30;c3:2024-01-03;t0:1600000000;order=bulk,tail,replay"
+    # The spec string is DERIVED from the same variables the slice
+    # builder below consumes (ADVICE r6: a hand-maintained duplicate
+    # literal let a cutoff edit slip past the memo).
+    cut_bulk, cut_replay = "2024-01-30", "2024-01-03"
+    t0 = 1_600_000_000
+    slice_names = ("b1_bulk", "b2_tail", "b3_replay")
+    slice_spec = (
+        f"spec=c30:{cut_bulk};c3:{cut_replay};t0:{t0};"
+        f"order={','.join(slice_names)}"
+    )
     stamp = slice_spec + "|" + ";".join(
         f"{p}:{os.stat(p).st_mtime_ns}:{os.stat(p).st_size}"
         for p in sorted(parts)
@@ -767,14 +776,13 @@ def st16_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not fresh:
         shutil.rmtree(src, ignore_errors=True)
         os.makedirs(src, exist_ok=True)
-        c30 = F.lit("2024-01-30").cast("timestamp")
-        c3 = F.lit("2024-01-03").cast("timestamp")
+        c30 = F.lit(cut_bulk).cast("timestamp")
+        c3 = F.lit(cut_replay).cast("timestamp")
         slices = [
-            ("b1_bulk", events.filter(F.col("ts") < c30)),
-            ("b2_tail", events.filter(F.col("ts") >= c30)),
-            ("b3_replay", events.filter(F.col("ts") < c3)),
+            (slice_names[0], events.filter(F.col("ts") < c30)),
+            (slice_names[1], events.filter(F.col("ts") >= c30)),
+            (slice_names[2], events.filter(F.col("ts") < c3)),
         ]
-        t0 = 1_600_000_000
         for i, (name, df) in enumerate(slices):
             d = os.path.join(src, name)
             df.coalesce(1).write.mode("overwrite").parquet(d)

@@ -333,6 +333,75 @@ def test_connected_components_random_vs_union_find(spark):
         assert got == want
 
 
+def test_connected_components_fused_loop_and_bounds(spark):
+    # The fused multi-level jobs (r7) must agree with the per-level
+    # contract on every boundary: a diameter-30 chain with DESCENDING
+    # ids (min label enters at the far end — worst case: every level
+    # moves it one hop, exercising several fused continuation jobs),
+    # max_iter=0 identity labels (ADVICE r6: the fused first level must
+    # not run), max_iter=1 single-level truncation, and a non-default
+    # fuse width. The loop's temporary shuffle/AQE conf must be
+    # restored afterwards.
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        connected_components,
+    )
+
+    chain = [(100 - i, 100 - i - 1) for i in range(30)]  # 100..70
+    edges = spark.createDataFrame(chain, ["id_a", "id_b"])
+    before = (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, max_iter=40).collect()
+    }
+    assert got == {(n, 70) for n in range(70, 101)}
+    assert before == (
+        spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled"),
+    )
+
+    # identity labels, one row per distinct node, no propagation
+    got0 = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, max_iter=0).collect()
+    }
+    assert got0 == {(n, n) for n in range(70, 101)}
+
+    # max_iter=1: exactly one propagation level — each node takes the
+    # min over its closed neighborhood, nothing further
+    got1 = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, max_iter=1).collect()
+    }
+    assert got1 == {(100, 99)} | {
+        (n, n - 1) for n in range(71, 100)
+    } | {(70, 70)}
+
+    # fuse=1 reproduces the per-level schedule; fuse=7 a wider one
+    for fuse in (1, 7):
+        gotf = {
+            (r["node"], r["component"])
+            for r in connected_components(
+                edges, max_iter=40, fuse=fuse
+            ).collect()
+        }
+        assert gotf == {(n, 70) for n in range(70, 101)}
+
+    # max_iter truncation is part of the contract: 25 levels move the
+    # min label 25 hops up the 30-chain, leaving the far five nodes
+    # with partially-propagated labels exactly as the per-level
+    # schedule did
+    got25 = {
+        (r["node"], r["component"])
+        for r in connected_components(edges, max_iter=25).collect()
+    }
+    assert got25 == {(n, 70) for n in range(70, 96)} | {
+        (n, n - 25) for n in range(96, 101)
+    }
+
+
 def test_incremental_exact_dedupe_rules(spark):
     from sports_betting_data_pipeline_spark.functions.corpus import (
         incremental_exact_dedupe,

@@ -535,9 +535,12 @@ def test_blocked_nearest_neighbor_certification_is_exact(spark, data):
 
     n_c = data.draw(st.integers(min_value=1, max_value=12))
     n_s = data.draw(st.integers(min_value=1, max_value=25))
+    # Full closed ranges — slat=90 / slon=180 floor into nonexistent
+    # grid cells unless sgrid clamps them (ADVICE r6); hypothesis
+    # weights interval endpoints heavily, so the boundary is exercised.
     coord = st.tuples(
-        st.floats(min_value=-85.0, max_value=85.0, allow_nan=False),
-        st.floats(min_value=-180.0, max_value=179.9, allow_nan=False),
+        st.floats(min_value=-90.0, max_value=90.0, allow_nan=False),
+        st.floats(min_value=-180.0, max_value=180.0, allow_nan=False),
     )
     custs = data.draw(
         st.lists(coord, min_size=n_c, max_size=n_c)
@@ -578,13 +581,24 @@ def test_blocked_nearest_neighbor_certification_is_exact(spark, data):
         best = min(
             ((hav(c, s), j) for j, s in enumerate(supps)),
         )
-        want[i] = best[1]
+        want[i] = best
 
     got = {
         r["c_custkey"]: r["nearest_suppkey"]
         for r in blocked_nearest_supplier(cust, supp).collect()
     }
-    assert got == want
+    assert set(got) == set(want)
+    for i, (best_d, best_j) in want.items():
+        # Distance-optimality rather than argmin identity: boundary
+        # coordinates (both poles, the antimeridian) make physically
+        # coincident points with different ids, where JVM-vs-libm ULP
+        # noise may break the (d_km, s_suppkey) tiebreak; 1e-9 km
+        # (a micron) passes only FP noise, never a certification bug.
+        assert hav(custs[i], supps[got[i]]) <= best_d + 1e-9, (
+            i,
+            got[i],
+            best_j,
+        )
 
 
 @settings(

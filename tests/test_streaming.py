@@ -586,3 +586,92 @@ def test_stateful_alerts_drop_cross_batch_regressions(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["alert_event_id"] == 11
     assert rows[0]["cum_value"] == 1700.0
+
+
+def test_frontier_drop_counter_exposed_in_state(spark, tmp_path):
+    """VERDICT r6 #7: the high-water-mark guard's dropped-row count
+    must be OBSERVABLE, not just an executor-log WARN — read back per
+    key from the operator's checkpointed state via
+    frontier_drop_counts. Zero on an in-order source; exactly the
+    replayed-row count when a batch regresses behind the frontier."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        frontier_drop_counts,
+        run_stream_to_table,
+        threshold_alerts,
+        zscore_anomalies,
+    )
+
+    base = 1_700_000_000
+    cols = ["event_id", "user_id", "event_type", "value", "ts_s"]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, cols).select(
+            "event_id", "user_id", "event_type", "value",
+            F.timestamp_seconds("ts_s").alias("ts"),
+        )
+
+    def land(dirname, batches):
+        src = tmp_path / dirname
+        os.makedirs(src, exist_ok=True)
+        for name, df in batches:
+            df.coalesce(1).write.parquet(str(src / name))
+            _time.sleep(1.1)  # file source orders batches by mod time
+        schema = batches[0][1].schema
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{src}/*")
+        )
+
+    # Out-of-order: batch b replays 2 rows behind user 1's frontier.
+    ooo = land(
+        "fd_ooo",
+        [
+            ("a", mk([(i, 1, "bet", 300.0, base + i * 60) for i in range(3)])),
+            ("b", mk([(10 + i, 1, "bet", 400.0, base - 3600 + i * 60)
+                      for i in range(2)])),
+            ("c", mk([(20, 2, "bet", 50.0, base)])),
+        ],
+    )
+    ck = str(tmp_path / "fd_ooo_ck")
+    run_stream_to_table(
+        threshold_alerts(ooo, threshold=1500.0),
+        "fd_ooo_alerts",
+        output_mode="update",
+        checkpoint_dir=ck,
+    )
+    drops = {
+        r["user_id"]: r["dropped"]
+        for r in frontier_drop_counts(spark, ck).collect()
+    }
+    assert drops == {1: 2, 2: 0}
+
+    # In-order source (zscore path): counter exists and is ZERO for
+    # every key — the alarm surface a deployment watches.
+    inorder = land(
+        "fd_in",
+        [
+            ("a", mk([(i, u, "bet", 10.0 * i, base + i * 60)
+                      for i in range(6) for u in (1, 2)])),
+            ("b", mk([(100 + i, 1, "bet", 10.0, base + 3600 + i * 60)
+                      for i in range(3)])),
+        ],
+    )
+    ck2 = str(tmp_path / "fd_in_ck")
+    run_stream_to_table(
+        zscore_anomalies(inorder, min_history=3),
+        "fd_in_anom",
+        output_mode="update",
+        checkpoint_dir=ck2,
+    )
+    drops2 = {
+        r["user_id"]: r["dropped"]
+        for r in frontier_drop_counts(spark, ck2).collect()
+    }
+    assert set(drops2) == {1, 2}
+    assert all(v == 0 for v in drops2.values())
