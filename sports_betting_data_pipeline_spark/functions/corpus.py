@@ -33,7 +33,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sports_betting_data_pipeline_spark.functions.text import shingles, ws_tokens
+from sports_betting_data_pipeline_spark.functions.text import (
+    shingles,
+    shingles_from_tokens,
+    ws_tokens,
+)
 
 
 def decontaminate_hits(
@@ -42,6 +46,7 @@ def decontaminate_hits(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 5,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Eval-set contamination detection (the n-gram-overlap rule used
     for pretraining decontamination): a corpus doc is contaminated if
@@ -51,19 +56,34 @@ def decontaminate_hits(
     n_bench_hits = how many DISTINCT benchmark docs overlap. Anti-join
     the corpus against this to get the clean set.
 
+    Pass ``tokens_col`` (a precomputed ``ws_tokens(text)`` array on
+    BOTH inputs) to skip re-tokenizing: composed pipelines (pl02)
+    cache one token base and feed every stage from it; shingle output
+    is identical (see :func:`text.shingles_from_tokens`).
+
     Scale: explode both sides to (shingle, id), equi-join on shingle,
     count distinct benchmark ids per corpus doc. The benchmark side is
     small (an eval suite); the shuffle carries only (shingle, id)
     pairs. Never quadratic.
     """
+    if tokens_col is not None:
+        sh = shingles_from_tokens(F.col(tokens_col), k)
+    else:
+        sh = shingles(F.col(text_col), k)
+    # No dropDuplicates on either exploded side: shingles() is
+    # array_distinct per doc, so (id, shingle) rows are already unique
+    # — the two dedup shuffles removed here were full-table no-ops
+    # (r7; ~1M-row shuffles at sf0.1 for zero semantic effect). The
+    # count_distinct aggregate below is insensitive to duplicate
+    # corpus rows anyway.
     bench_sh = benchmark.select(
         F.col(id_col).alias("_bid"),
-        F.explode(shingles(F.col(text_col), k)).alias("_shingle"),
-    ).dropDuplicates()
+        F.explode(sh).alias("_shingle"),
+    )
     corp_sh = corpus.select(
         F.col(id_col).alias(id_col),
-        F.explode(shingles(F.col(text_col), k)).alias("_shingle"),
-    ).dropDuplicates()
+        F.explode(sh).alias("_shingle"),
+    )
     return (
         corp_sh.join(bench_sh, on="_shingle")
         .groupBy(id_col)
@@ -126,6 +146,7 @@ def chunk_dedup_stats(
     chunk_tokens: int = 20,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Repeated-chunk exact dedup (the line/paragraph-level dedup of
     MassiveText/RefinedWeb, adapted to fixed windows because the
@@ -146,7 +167,12 @@ def chunk_dedup_stats(
     doc. The (hash, first) table is the persistable chunk index (same
     shape as the l28 fingerprint store). Never quadratic.
     """
-    toks = ws_tokens(F.col(text_col))
+    # tokens_col: consume a precomputed ws_tokens array instead of
+    # re-tokenizing (pl02's shared token base; chunks are built from
+    # the raw — not lowered — tokens either way).
+    toks = (
+        F.col(tokens_col) if tokens_col is not None else ws_tokens(F.col(text_col))
+    )
     base = docs.select(
         F.col(id_col).alias("_id"), toks.alias("_toks")
     ).filter(F.size("_toks") > 0)

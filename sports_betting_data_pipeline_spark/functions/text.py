@@ -100,18 +100,29 @@ def mean_token_length(text: Column) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
+def quality_score_tokens(toks: Column) -> Column:
+    """:func:`quality_score` from a precomputed ``ws_tokens`` array —
+    the shared-tokenization path (pl02). Identical arithmetic, same
+    feature definitions; only the tokenize step is hoisted out."""
+    n = F.size(toks).cast("long")
+    denom = F.greatest(F.size(toks), F.lit(1))
+    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    mtl = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+        / denom
+    )
+    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    sw = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS))) / denom
+    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
+    uniq = F.size(F.array_distinct(toks)) / denom
+    return (len_ok + mtl_ok + sw_ok + uniq) / F.lit(4.0)
+
+
 def quality_score(text: Column) -> Column:
     """Bounded [0,1] quality heuristic combining pretraining-filter
     features: enough-but-not-degenerate length, sane mean token length,
     some stopword mass, low repetition."""
-    n = ws_token_count(text)
-    len_ok = F.when((n >= 10) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
-    mtl = mean_token_length(text)
-    mtl_ok = F.when((mtl >= 2.0) & (mtl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
-    sw = stopword_ratio(text)
-    sw_ok = F.when(sw >= 0.05, F.lit(1.0)).otherwise(F.lit(0.0))
-    uniq = uniq_token_ratio(text)
-    return (len_ok + mtl_ok + sw_ok + uniq) / F.lit(4.0)
+    return quality_score_tokens(ws_tokens(text))
 
 
 def lang_id(text: Column) -> Column:
@@ -145,6 +156,29 @@ def shingles_sql(t: str, k: int = 3) -> str:
         f"sequence(1, greatest(size(toks) - {k - 1}, 1)), "
         f"i -> concat_ws(' ', slice(toks, i, {k})))))[0]"
     )
+
+
+def shingles_from_tokens(
+    toks: Column, k: int = 3, lowercase: bool = True
+) -> Column:
+    """:func:`shingles` from a precomputed ``ws_tokens`` array — the
+    shared-tokenization path for composed pipelines (pl02 caches ONE
+    token base and feeds every stage). Output is identical to
+    ``shingles(text, k)``: lowercasing never creates or destroys
+    whitespace, so ``ws_tokens(lower(text))`` equals a per-token
+    ``lower`` over ``ws_tokens(text)`` (pinned by test). Same
+    let-binding-through-transform trick as :func:`shingles` — the
+    per-index lambda must not re-evaluate the token pipeline."""
+    base = F.transform(toks, lambda t: F.lower(t)) if lowercase else toks
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
+        )
+
+    return F.transform(F.array(base), build)[0]
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:

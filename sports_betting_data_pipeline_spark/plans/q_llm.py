@@ -1833,9 +1833,19 @@ def pl02_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         pack_sequences,
         temperature_mixture,
     )
-    from sports_betting_data_pipeline_spark.functions.text import quality_score
+    from sports_betting_data_pipeline_spark.functions.text import (
+        quality_score,
+        ws_tokens,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
+    # NOT a shared cached token base: caching (doc_id, lang, toks) and
+    # feeding every stage from it was built and MEASURED SLOWER than
+    # re-tokenizing per stage (r7 interleaved A/B: 4.4 s vs 3.9 s cold
+    # at sf0.1) — the cache materializes corpus-width token arrays and
+    # the stages' real cost is their shingle/chunk joins, not the
+    # tokenize pass. The tokens_col/shingles_from_tokens seams remain
+    # (parity-pinned) for corpora where tokenization IS the bottleneck.
     bench = docs.filter(F.pmod("doc_id", F.lit(97)) == 0)
     corpus = docs.filter(F.pmod("doc_id", F.lit(97)) != 0)
     hits = decontaminate_hits(corpus, bench, k=5)
@@ -1853,14 +1863,12 @@ def pl02_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # text column would violate the cache-narrow-reductions rule
     # (SCALE.md r6); pack_sequences consumes the precomputed count via
     # n_tokens_col.
-    from sports_betting_data_pipeline_spark.functions.text import ws_tokens
-
     good = (
         deduped.filter(F.round(quality_score(F.col("text")), 6) >= 0.5)
         .select(
             "doc_id",
             "lang",
-            F.size(ws_tokens(F.col("text"))).cast("long").alias("n_tokens"),
+            F.size(ws_tokens("text")).cast("long").alias("n_tokens"),
         )
         .cache()
     )

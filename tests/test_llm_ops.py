@@ -1020,3 +1020,69 @@ def test_bitext_ann_noise_floor_recall_pinned(spark, sf_dir):
     assert exact
     recall = len(exact & ann) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_shared_token_base_parity(planted_docs, spark):
+    """pl02's shared-tokenization refactor (r7) must be a pure hoist:
+    shingles/quality/decontamination/chunk-dedup computed from a
+    precomputed ws_tokens array must equal the text-input originals
+    bit-for-bit (lowercasing never creates or destroys whitespace, so
+    tokenize-then-lower == lower-then-tokenize for ws splitting)."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        chunk_dedup_stats,
+        decontaminate_hits,
+    )
+    from sports_betting_data_pipeline_spark.functions.text import (
+        quality_score,
+        quality_score_tokens,
+        shingles,
+        shingles_from_tokens,
+        ws_tokens,
+    )
+
+    df, _ = planted_docs
+    # mixed-case + punctuation + multi-space probes on top of the
+    # planted corpus
+    extra = spark.createDataFrame(
+        [(900, "The  QUICK brown FOX!  over THE lazy dog the a an of"),
+         (901, "x"), (902, "  "), (903, "AbC dEf AbC A B C d e f g h")],
+        ["doc_id", "text"],
+    )
+    df = df.unionByName(extra)
+    toked = df.withColumn("_toks", ws_tokens(F.col("text")))
+
+    rows = toked.select(
+        (shingles(F.col("text"), 5) == shingles_from_tokens(F.col("_toks"), 5))
+        .alias("sh_eq"),
+        (
+            F.round(quality_score(F.col("text")), 9)
+            == F.round(quality_score_tokens(F.col("_toks")), 9)
+        ).alias("q_eq"),
+    ).collect()
+    assert rows and all(r.sh_eq and r.q_eq for r in rows)
+
+    bench = toked.filter(F.col("doc_id") % 7 == 0)
+    corpus = toked.filter(F.col("doc_id") % 7 != 0)
+    via_text = {
+        (r.doc_id, r.n_bench_hits)
+        for r in decontaminate_hits(corpus, bench, k=3).collect()
+    }
+    via_toks = {
+        (r.doc_id, r.n_bench_hits)
+        for r in decontaminate_hits(
+            corpus, bench, k=3, tokens_col="_toks"
+        ).collect()
+    }
+    assert via_text == via_toks and via_text
+
+    cd_text = {
+        (r.doc_id, r.n_chunks, r.n_dup_chunks, r.dup_ratio)
+        for r in chunk_dedup_stats(toked, chunk_tokens=5).collect()
+    }
+    cd_toks = {
+        (r.doc_id, r.n_chunks, r.n_dup_chunks, r.dup_ratio)
+        for r in chunk_dedup_stats(
+            toked, chunk_tokens=5, tokens_col="_toks"
+        ).collect()
+    }
+    assert cd_text == cd_toks and cd_text
