@@ -362,6 +362,114 @@ def l09_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _l58_oracle_sql() -> str:
+    """DuckDB twin of the SimHash near-dup machinery (VERDICT r6 #8 —
+    the l12 pattern applied to l09's family): the production query
+    (l09) hashes tokens with Spark's xxhash64, which DuckDB cannot
+    reproduce, so it stays rows-only; THIS query swaps in a portable
+    60-bit token hash — the first 15 hex chars of md5(token), parsed
+    identically by Spark's conv() and DuckDB's hex cast — and runs the
+    SAME signature fold (±1 bit counters), prefix blocking, and
+    Hamming verify on both engines. Every downstream step is exact
+    integer arithmetic, so the pair set hash-checks bit-for-bit."""
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS c{j}"
+        for j in range(60)
+    )
+    pack = " | ".join(
+        f"(CASE WHEN c{j} > 0 THEN 1::BIGINT << {j} ELSE 0 END)"
+        for j in range(60)
+    )
+    dtoks = _DTOKS.format(src="lower(text)")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, unnest({dtoks}) AS tok
+        FROM documents WHERE doc_id % 3 = 0
+    ), h AS (
+        SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        FROM t
+    ), c AS (
+        SELECT doc_id,
+               {sums}
+        FROM h GROUP BY doc_id
+    ), s AS (
+        SELECT doc_id, {pack} AS sig FROM c
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM s a JOIN s b
+      ON (a.sig >> 48) = (b.sig >> 48) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 8
+    """
+
+
+@register("l58_simhash_portable", oracle=_l58_oracle_sql())
+def l58_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked SimHash near-dup twin of l09 on a 1/3 sampled
+    slice: portable md5-derived 60-bit token hashes (see
+    :func:`_l58_oracle_sql`), the columnar ±1-counter signature fold
+    of :func:`functions.dedup.simhash_signatures` (60 codegen'd SUM
+    aggregates, one shuffle on doc id), 12-bit prefix blocks, exact
+    Hamming ≤ 8 verify. Single-block (no multi-probe rotations): the
+    twin pins the signature/blocking/verify MACHINERY against an
+    independent engine; l09 remains the production multi-probe
+    variant. Token-less docs are excluded on both engines (inner
+    explode ≡ unnest).
+
+    Scale: identical shape to l09 — scan-side hashing, narrow
+    (block, sig, id) self-join, never all-pairs."""
+    from sports_betting_data_pipeline_spark.io import widen_for_compute
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.pmod("doc_id", F.lit(3)) == 0
+    )
+    toks = (
+        widen_for_compute(docs.select("doc_id", "text"))
+        .select(
+            F.col("doc_id").alias("_id"),
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""
+                )
+            ).alias("_tok"),
+        )
+        .withColumn(
+            "_h",
+            F.expr("CAST(conv(substring(md5(_tok), 1, 15), 16, 10) AS BIGINT)"),
+        )
+    )
+    counters = toks.groupBy("_id").agg(
+        *[
+            F.expr(f"sum(IF((shiftright(_h, {j}) & 1) = 1, 1, -1))").alias(
+                f"_c{j}"
+            )
+            for j in range(60)
+        ]
+    )
+    packed = F.expr(
+        " | ".join(f"IF(_c{j} > 0, shiftleft(1L, {j}), 0L)" for j in range(60))
+    )
+    sigs = counters.select(
+        "_id", packed.alias("_sig")
+    ).withColumn("_blk", F.expr("shiftrightunsigned(_sig, 48)"))
+    a = sigs.select(
+        F.col("_blk"), F.col("_id").alias("id_a"), F.col("_sig").alias("_sa")
+    )
+    b = sigs.select(
+        F.col("_blk"), F.col("_id").alias("id_b"), F.col("_sig").alias("_sb")
+    )
+    return (
+        a.join(b, on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= 8)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

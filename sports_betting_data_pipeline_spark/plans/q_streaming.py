@@ -199,7 +199,10 @@ def st06_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     return run_stream_to_table(
-        stateful_user_stats(stream), "st06_stateful", output_mode="update"
+        stateful_user_stats(stream),
+        "st06_stateful",
+        output_mode="update",
+        state_partitions=16,  # see st13's sizing note
     )
 
 
@@ -573,8 +576,15 @@ def st13_threshold_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = read_events_stream(spark, sf_dir)
+    # state_partitions=16: the vectorized update is C-speed, so the
+    # bottleneck is Arrow transfer volume per worker — 16 workers
+    # measured faster than 8 (r7: 1.24 vs 1.46 s addBatch) while
+    # staying well under key cardinality (150 users).
     return run_stream_to_table(
-        threshold_alerts(stream), "st13_alerts", output_mode="update"
+        threshold_alerts(stream),
+        "st13_alerts",
+        output_mode="update",
+        state_partitions=16,
     )
 
 
@@ -680,7 +690,10 @@ def st15_stream_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     return run_stream_to_table(
-        zscore_anomalies(stream), "st15_anomalies", output_mode="update"
+        zscore_anomalies(stream),
+        "st15_anomalies",
+        output_mode="update",
+        state_partitions=16,  # see st13's sizing note
     )
 
 

@@ -189,11 +189,29 @@ def run_stream_to_table(
     ``checkpoint_dir`` pins the checkpoint location; pass one to read
     operator state back afterwards (:func:`frontier_drop_counts` —
     the temp checkpoint Spark otherwise creates is deleted on query
-    stop)."""
+    stop). Without one, the drain parks its checkpoint on a RAM-backed
+    tmpfs when the platform has one: the checkpoint of an availableNow
+    drain into a MEMORY sink has no durability value (the sink dies
+    with the process anyway), and the offset/commit-log fsyncs are a
+    measurable slice of the per-query floor. A unique dir per call —
+    never keyed on ``name`` — so a repeat drain (bench best-of-N)
+    re-reads the source instead of resuming a committed checkpoint
+    and returning an empty table. Production passes a real
+    ``checkpoint_dir`` on durable storage."""
+    import shutil
+    import uuid
+
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    scratch_ck = None
+    if checkpoint_dir is None and os.path.isdir("/dev/shm") and os.access(
+        "/dev/shm", os.W_OK
+    ):
+        scratch_ck = os.path.join(
+            "/dev/shm", "spark_drain_ck", uuid.uuid4().hex
+        )
     try:
         writer = (
             stream_df.writeStream.format("memory")
@@ -203,10 +221,14 @@ def run_stream_to_table(
         )
         if checkpoint_dir is not None:
             writer = writer.option("checkpointLocation", checkpoint_dir)
+        elif scratch_ck is not None:
+            writer = writer.option("checkpointLocation", scratch_ck)
         query = writer.start()
         query.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if scratch_ck is not None:
+            shutil.rmtree(scratch_ck, ignore_errors=True)
     return spark.table(name)
 
 
@@ -430,12 +452,18 @@ def stateful_user_stats(events: DataFrame) -> DataFrame:
             }
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # Narrow the Arrow transfer (see threshold_alerts); the running
+    # totals consume only (user_id, value).
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -830,31 +858,57 @@ def threshold_alerts(events: DataFrame, threshold: float = 1500.0) -> DataFrame:
         _log_frontier_drops(key, len(pdf), int(keep.sum()))
         pdf = pdf[keep]
         ts_ns = ts_ns[keep]
-        for t, eid, v in zip(ts_ns, pdf["event_id"], pdf["value"].fillna(0.0)):
-            cum += float(v)
-            n += 1
-            if cum >= threshold:
-                state.update((cum, n, True, int(t), int(eid), dropped))
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "alert_event_id": [int(eid)],
-                        "cum_value": [round(cum, 2)],
-                        "n_events_before": [n],
-                    }
-                )
-                return
+        # Vectorized running sum (r7): cumsum over [state.cum, v0, v1,
+        # ...] accumulates strictly left-to-right STARTING FROM the
+        # carried state value, so every partial sum is bit-identical
+        # to the former per-row `cum += v` loop — including across
+        # batch boundaries (((cum+v0)+v1) association, which a
+        # `cum + np.cumsum(vals)` would NOT preserve) — at C speed
+        # instead of ~4000 Python iterations per key per batch (the
+        # st13 addBatch floor). The first index whose partial sum
+        # crosses the threshold is the alert row.
+        import numpy as np
+
+        vals = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+        cums = np.cumsum(np.concatenate(([cum], vals)))[1:]
+        hit = np.nonzero(cums >= threshold)[0]
+        if hit.size:
+            i = int(hit[0])
+            cum_i = float(cums[i])
+            eid_i = int(pdf["event_id"].iloc[i])
+            state.update(
+                (cum_i, n + i + 1, True, int(ts_ns.iloc[i]), eid_i, dropped)
+            )
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "alert_event_id": [eid_i],
+                    "cum_value": [round(cum_i, 2)],
+                    "n_events_before": [n + i + 1],
+                }
+            )
+            return
         if len(pdf):
+            cum = float(cums[-1])
+            n += len(pdf)
             max_ns = int(ts_ns.iloc[-1])
             max_eid = int(pdf["event_id"].iloc[-1])
         state.update((cum, n, False, max_ns, max_eid, dropped))
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # Narrow the Arrow transfer: the stateful node serializes EVERY
+    # input column into Python (column pruning does not reach through
+    # FlatMapGroupsInPandasWithState), so project the four consumed
+    # columns first — props alone is wider than the rest combined.
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
 
 
@@ -903,8 +957,6 @@ def zscore_anomalies(
     )
 
     def update(key, pdf_iter, state):
-        import math
-
         n, s, ss, max_ns, max_eid, dropped = (
             state.get if state.exists else (0, 0.0, 0.0, -(1 << 62), -1, 0)
         )
@@ -920,34 +972,65 @@ def zscore_anomalies(
         if len(pdf):
             max_ns = int(ts_ns.iloc[-1])
             max_eid = int(pdf["event_id"].iloc[-1])
+        # Vectorized prefix statistics (r7): cumsum over
+        # [carried_state, v0, v1, ...] reproduces the sequential
+        # `s += v` / `ss += v*v` accumulation bit-for-bit (strict
+        # left-to-right association from the state value — see
+        # threshold_alerts), and the per-row mean/var/z arithmetic is
+        # the same IEEE expression element-wise. Only the handful of
+        # FLAGGED rows go back through Python (round() kept Python-side
+        # because np.round's scale-rint-divide can differ from
+        # Python's correctly-rounded round() in the last ulp).
+        import numpy as np
+
+        vals = pdf["value"].fillna(0.0).to_numpy(dtype="float64")
+        m = len(vals)
         out = []
-        for eid, v in zip(pdf["event_id"], pdf["value"].fillna(0.0)):
-            v = float(v)
-            if n >= min_history:
-                mean = s / n
-                var = (ss - s * s / n) / (n - 1)
-                if var > 0:
-                    z = (v - mean) / math.sqrt(var)
-                    if abs(z) > threshold:
-                        out.append(
-                            {
-                                "user_id": int(key[0]),
-                                "event_id": int(eid),
-                                "z": round(z, 4),
-                                "n_prev": n,
-                            }
-                        )
-            n += 1
-            s += v
-            ss += v * v
+        if m:
+            s_run = np.cumsum(np.concatenate(([s], vals)))
+            ss_run = np.cumsum(np.concatenate(([ss], vals * vals)))
+            n_prior = n + np.arange(m, dtype="int64")
+            s_prior = s_run[:-1]
+            ss_prior = ss_run[:-1]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                mean = s_prior / n_prior
+                var = (ss_prior - s_prior * s_prior / n_prior) / (
+                    n_prior - 1
+                )
+                z = (vals - mean) / np.sqrt(var)
+            flag = (
+                (n_prior >= min_history)
+                & (var > 0)
+                & (np.abs(z) > threshold)
+            )
+            if flag.any():
+                idx = np.nonzero(flag)[0]
+                eids = pdf["event_id"].to_numpy()
+                out = [
+                    {
+                        "user_id": int(key[0]),
+                        "event_id": int(eids[i]),
+                        "z": round(float(z[i]), 4),
+                        "n_prev": int(n_prior[i]),
+                    }
+                    for i in idx
+                ]
+            n += m
+            s = float(s_run[-1])
+            ss = float(ss_run[-1])
         state.update((n, s, ss, max_ns, max_eid, dropped))
         if out:
             yield pd.DataFrame(out)
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        update,
-        outputStructType=out_schema,
-        stateStructType=state_schema,
-        outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+    # Narrow the Arrow transfer (see threshold_alerts).
+    return (
+        events.select("user_id", "ts", "event_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
     )
