@@ -1489,15 +1489,17 @@ def a08_equiheight_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     data point, which rounds exactly on both sides).
 
     Scale: pass 1 computes the cuts with the DISTRIBUTED exact
-    quantile operator (operators/quantiles.py: range-partition →
-    per-partition local ranks + offset cumsum → broadcast-join the 18
-    needed ranks and interpolate) — builtin ``percentile`` is also
-    exact but funnels every value through one final merge buffer, the
-    shape that dies at 100 TB; this one never materializes the value
-    set on a node (3× faster already at sf0.1). Pass 2 re-scans with
-    the cuts BROADCAST as a 1-row scalar and buckets map-side — the
-    same two-pass scan-heavy/shuffle-light shape as l33's budget
-    cutoff.
+    quantile operator (operators/quantiles.py, r7: iterative bucket
+    refinement — histogram scans with map-side combine steer each
+    target rank into an ever-narrower candidate set; only histogram
+    partials ever shuffle, and the final window ranks a
+    threshold-bounded candidate slice) — builtin ``percentile`` is
+    also exact but funnels every value through one final merge buffer,
+    the shape that dies at 100 TB, and the r6 range-partition+sort
+    design shuffled the whole column to answer 18 ranks. Pass 2
+    re-scans with the cuts BROADCAST as a 1-row scalar and buckets
+    map-side — the same two-pass scan-heavy/shuffle-light shape as
+    l33's budget cutoff.
     """
     from sports_betting_data_pipeline_spark.operators.quantiles import (
         exact_quantile_cuts,

@@ -415,12 +415,17 @@ def test_ts02_arg_extremes_are_partial_aggregable(spark, sf_dir):
 
 
 def test_a08_uses_distributed_exact_quantiles(spark, sf_dir):
-    # Pass 1 must be the range-partitioned exact-quantile operator —
-    # builtin percentile() funnels every value through one merge
-    # buffer, which cannot survive the target scale.
+    # Pass 1 must be the bucket-refinement exact-quantile operator
+    # (r7) — builtin percentile() funnels every value through one
+    # merge buffer, which cannot survive the target scale, and the r6
+    # range-partition design sorted the full column. The only sort
+    # left in the plan is the per-rank window over the
+    # threshold-bounded candidate slice (plus the final 10-row
+    # orderBy); the full column is never exchanged.
     plan = plan_text(QUERIES["a08_equiheight_histogram"](spark, sf_dir))
     assert "percentile" not in plan.lower()
-    assert "rangepartitioning" in plan.lower()
+    # the histogram aggregate must partial-combine map-side
+    assert "partial_count" in plan.lower() or "partial_min" in plan.lower()
 
 
 def test_exact_quantile_cuts_matches_builtin(spark, sf_dir):

@@ -738,3 +738,43 @@ def test_temporal_sql_forms_match_column_forms(spark, ns):
     assert row["e_s"] == row["e_c"], ns
     assert row["n_s"] == row["n_c"], ns
     assert row["i_s"] == row["i_c"], (ns, iso)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.sampled_from([0.0, 1.0, 1.5, 2.0, 2.0, 7.25, -3.5, 1e6, -1e6]),
+        min_size=30,
+        max_size=120,
+    ),
+    probs=st.lists(
+        st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=4,
+    ),
+)
+def test_exact_quantile_cuts_multilevel_refinement(spark, vals, probs):
+    # Force the bucket-refinement loop through MULTIPLE levels and the
+    # single-distinct-value early-resolution path (duplicate-heavy
+    # values, tiny threshold, 4-way buckets): exactness must never
+    # depend on refine_threshold/buckets/max_levels — they only prune.
+    import numpy as np
+
+    from sports_betting_data_pipeline_spark.operators.quantiles import (
+        exact_quantile_cuts,
+    )
+
+    probs = sorted(probs)
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"])
+    got = exact_quantile_cuts(
+        df, "v", probs, round_to=None,
+        buckets=4, refine_threshold=3, max_levels=3,
+    ).collect()[0]["qs"]
+    want = np.quantile(np.array(vals, dtype=float), probs, method="linear")
+    assert len(got) == len(probs)
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12, abs=1e-9), (vals, probs)
