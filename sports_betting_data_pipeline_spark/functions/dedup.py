@@ -849,6 +849,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 25,
     fuse: int = 3,
+    size_hint: int | None = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation —
     turns near-dup PAIRS (l07/l08/l09 output) into dedup CLUSTERS,
@@ -923,20 +924,25 @@ def connected_components(
         .repartition(F.col("nbr"))
         .persist()
     )
-    # Size the loop's shuffles ONCE from the measured edge count
-    # instead of letting AQE re-derive the same answer per stage: the
-    # label loop is LATENCY-bound (a fused job is ~7 sequential tiny
-    # stages), and AQE's per-stage re-plan round-trips are the
-    # dominant cost at dedup-edge scale (measured 2.9 s → 0.9 s on a
-    # 249-edge list, SCALE.md §Round-7). One count job materializes
-    # the persisted edges (so the fused job below reads cache) and
-    # yields the partition budget; in the small regime we also switch
-    # AQE off for the loop — there is nothing left for it to adapt.
-    # At real edge-list scale (n_sym ≥ ~2M endpoints/partition budget)
-    # the partition count saturates at the session setting and AQE
-    # stays ON, keeping skew-join handling for hub nodes.
+    # Size the loop's shuffles ONCE from the edge count instead of
+    # letting AQE re-derive the same answer per stage: the label loop
+    # is LATENCY-bound (a fused job is ~7 sequential tiny stages), and
+    # AQE's per-stage re-plan round-trips are the dominant cost at
+    # dedup-edge scale (measured 2.9 s → 0.9 s on a 249-edge list,
+    # SCALE.md §Round-7). The count comes either from ``size_hint``
+    # (an UPPER BOUND on edge rows, e.g. the corpus row count read
+    # from parquet footer metadata — io.table_row_count; catalog
+    # statistics, no job) or from one count job that also materializes
+    # the persisted edges. The hint is strictly better when available:
+    # no extra job, AND the small-regime conf is active while the
+    # first fused job materializes the (possibly expensive) upstream
+    # edge-generation pipeline, whose tiny stages pay the same AQE
+    # floor. In the small regime AQE goes off for the loop — there is
+    # nothing left for it to adapt; at real edge scale the partition
+    # budget saturates at the session setting and AQE stays ON,
+    # keeping skew-join handling for hub nodes.
     spark = edges.sparkSession
-    n_sym = sym.count()
+    n_sym = 2 * size_hint if size_hint is not None else sym.count()
     session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(1, min(session_parts, 1 + n_sym // 2_000_000))
     small_regime = loop_parts < session_parts

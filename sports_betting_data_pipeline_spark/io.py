@@ -176,6 +176,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_ROW_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Row count of a fixture table from its parquet FOOTER metadata —
+    driver-side, no Spark job, memoized on the directory fingerprint.
+
+    This is the engine's stand-in for catalog table statistics: a
+    cost-based planner reads exactly this number from the metastore
+    before picking a physical strategy. Callers use it as a SIZE HINT
+    for plan-time posture decisions (e.g.
+    ``connected_components(size_hint=...)`` sizing its label-loop
+    shuffles); at warehouse scale the count is huge and every hint
+    saturates to the session's configured parallelism, so nothing
+    changes — the hint only matters in the small regime it measures.
+    Returns None when the footprint can't be read (caller falls back
+    to measuring with a job)."""
+    path = table_path(sf_dir, name)
+    key = (os.path.abspath(path), _dir_fingerprint(path))
+    n = _ROW_COUNT_CACHE.get(key)
+    if n is None:
+        try:
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(path):
+                n = 0
+                with os.scandir(path) as it:
+                    for e in it:
+                        if e.name.endswith(".parquet") and not e.name.startswith(
+                            (".", "_")
+                        ):
+                            n += pq.ParquetFile(e.path).metadata.num_rows
+            else:
+                n = pq.ParquetFile(path).metadata.num_rows
+        except Exception:
+            return None
+        _ROW_COUNT_CACHE[key] = n
+    return n
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

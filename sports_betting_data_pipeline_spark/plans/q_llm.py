@@ -59,7 +59,7 @@ from sports_betting_data_pipeline_spark.functions.text import (
     ws_token_count,
     ws_tokens,
 )
-from sports_betting_data_pipeline_spark.io import load_table, widen_for_compute
+from sports_betting_data_pipeline_spark.io import load_table, table_row_count, widen_for_compute
 from sports_betting_data_pipeline_spark.plans.catalog import register
 
 # DuckDB fragment equal to text.ws_tokens.
@@ -1219,7 +1219,11 @@ def l21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", k=1,
         threshold=0.35, block_col="lang",
     ).select("id_a", "id_b")
-    cc = connected_components(pairs)
+    # footer-stat size hint, ×32 edge bound — see l22's sizing note
+    hint = table_row_count(sf_dir, "documents")
+    cc = connected_components(
+        pairs, size_hint=32 * hint if hint else None
+    )
     return cc.select(
         F.col("node").alias("doc_id"),
         "component",
@@ -1288,7 +1292,17 @@ def l22_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3, num_hashes=32, bands=8, verify_threshold=0.35,
         collapse_exact=True,
     ).select("id_a", "id_b")
-    cc = connected_components(pairs)
+    # size_hint: corpus row count from parquet footer metadata (io
+    # .table_row_count — catalog statistics, no job), ×32 as a
+    # generous near-dup-edges-per-doc bound. CC sizes its label loop
+    # from it AND skips its edge-count job; the small-regime conf is
+    # then already active while the first fused job materializes the
+    # LSH candidate pipeline (whose tiny stages pay the same AQE
+    # floor). Saturates to session parallelism at warehouse scale.
+    hint = table_row_count(sf_dir, "documents")
+    cc = connected_components(
+        pairs, size_hint=32 * hint if hint else None
+    )
     return cc.select(
         F.col("node").alias("doc_id"),
         "component",
@@ -3962,7 +3976,11 @@ def l55_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, id_col="doc_id", text_col="text", k=1,
         threshold=0.35, block_col="lang",
     ).select("id_a", "id_b")
-    cc = connected_components(pairs)
+    # footer-stat size hint, ×32 edge bound — see l22's sizing note
+    hint = table_row_count(sf_dir, "documents")
+    cc = connected_components(
+        pairs, size_hint=32 * hint if hint else None
+    )
     members = cc.join(
         F.broadcast(docs.select("doc_id", "n_chars")),
         F.col("doc_id") == F.col("node"),
