@@ -180,3 +180,204 @@ def test_widen_for_compute_semantics(spark, sf_dir):
     )
     w = widen_for_compute(stream, min_parts=4)
     assert w.isStreaming  # repartition applied without materializing
+
+
+# ---------------------------------------------------------------------------
+# Auth-session lifecycle (reference mm_login + 8-min refresh, T5)
+# ---------------------------------------------------------------------------
+def _fake_auth_server():
+    """Scripted (status, body) POST endpoint: login issues token t0 +
+    refresh token r0; each refresh issues t1, t2, ... and records the
+    presented headers/bodies for assertions."""
+    import json
+
+    state = {"n": 0, "posts": []}
+
+    def http_post(url, body, headers):
+        state["posts"].append((url, dict(body), dict(headers)))
+        if url.endswith("/login"):
+            if body.get("secret_key") != "good":
+                return 401, b"{}"
+            return 200, json.dumps(
+                {"data": {"access_token": "t0", "refresh_token": "r0"}}
+            ).encode()
+        if url.endswith("/refresh"):
+            state["n"] += 1
+            return 200, json.dumps(
+                {"data": {"access_token": f"t{state['n']}"}}
+            ).encode()
+        return 404, b"{}"
+
+    return http_post, state
+
+
+def _mk_session(http_post, clock, secret="good"):
+    from sports_betting_data_pipeline_spark.sources.http import AuthSession
+
+    return AuthSession(
+        "http://example.test/login",
+        "http://example.test/refresh",
+        access_key="ak",
+        secret_key=secret,
+        http_post=http_post,
+        refresh_interval_s=480.0,
+        clock=clock,
+    )
+
+
+def test_auth_session_login_refresh_rotation_and_hooks():
+    """The full lifecycle against a scripted fake: login stores the
+    session; maybe_refresh is a no-op inside the rotation period and
+    rotates the token (firing the resubscribe hooks) once 8 minutes
+    elapse; the refresh POST carries the refresh token under the OLD
+    bearer header (reference __auto_extend_session shape)."""
+    http_post, state = _fake_auth_server()
+    now = {"t": 1000.0}
+    s = _mk_session(http_post, clock=lambda: now["t"])
+
+    sess = s.login()
+    assert sess == {"access_token": "t0", "refresh_token": "r0"}
+    assert s.auth_headers() == {"Authorization": "Bearer t0"}
+
+    rotations = []
+    s.on_rotate(lambda: rotations.append(s.session["access_token"]))
+
+    now["t"] += 100.0
+    assert s.maybe_refresh() is False  # inside the period: no-op
+    assert state["n"] == 0
+
+    now["t"] += 400.0  # past 480 s total
+    assert s.maybe_refresh() is True
+    assert s.auth_headers() == {"Authorization": "Bearer t1"}
+    assert rotations == ["t1"]
+    url, body, headers = state["posts"][-1]
+    assert url.endswith("/refresh")
+    assert body == {"refresh_token": "r0"}
+    assert headers == {"Authorization": "Bearer t0"}  # old token signs it
+
+    # immediately after a rotation the period restarts
+    assert s.maybe_refresh() is False
+
+
+def test_auth_session_failed_login_raises_failed_refresh_keeps_token():
+    import pytest as _pytest
+
+    from sports_betting_data_pipeline_spark.sources.http import AuthError
+
+    http_post, _ = _fake_auth_server()
+    bad = _mk_session(http_post, clock=lambda: 0.0, secret="wrong")
+    with _pytest.raises(AuthError):
+        bad.login()
+    with _pytest.raises(AuthError):
+        bad.auth_headers()  # never logged in
+
+    # refresh failure: keep the current (possibly still valid) token
+    flaky_calls = {"n": 0}
+
+    def flaky_post(url, body, headers):
+        if url.endswith("/login"):
+            import json
+
+            return 200, json.dumps(
+                {"data": {"access_token": "t0", "refresh_token": "r0"}}
+            ).encode()
+        flaky_calls["n"] += 1
+        return 503, b"down"
+
+    s = _mk_session(flaky_post, clock=lambda: 0.0)
+    s.login()
+    fired = []
+    s.on_rotate(lambda: fired.append(1))
+    assert s.refresh() is False
+    assert s.auth_headers() == {"Authorization": "Bearer t0"}
+    assert fired == []  # no resubscribe on a failed rotation
+
+
+def test_auth_session_rotation_resubscribes_pusher():
+    """The reference disconnects the websocket and resubscribes after
+    every token rotation (mm_calls.py:370-375): wire the on_rotate
+    hook to a fresh PusherSession handshake and assert the resubscribe
+    actually happened with the protocol frames."""
+    import json
+
+    from sports_betting_data_pipeline_spark.sources.pusher import PusherSession
+
+    http_post, _ = _fake_auth_server()
+    now = {"t": 0.0}
+    s = _mk_session(http_post, clock=lambda: now["t"])
+    s.login()
+
+    subscribed_frames = []
+
+    def resubscribe():
+        incoming = [
+            json.dumps(
+                {
+                    "event": "pusher:connection_established",
+                    "data": json.dumps({"socket_id": "99.1"}),
+                }
+            )
+        ]
+        sent = []
+        sess = PusherSession(
+            incoming,
+            sent.append,
+            auth=lambda sid: [
+                {"channel_name": "broadcast_all", "events": []}
+            ],
+        )
+        list(sess.messages())  # drain: handshake + subscribe happen here
+        subscribed_frames.extend(json.loads(f) for f in sent)
+
+    s.on_rotate(resubscribe)
+    now["t"] += 500.0
+    assert s.maybe_refresh() is True
+    assert any(
+        f.get("event") == "pusher:subscribe"
+        and f["data"]["channel"] == "broadcast_all"
+        for f in subscribed_frames
+    )
+
+
+def test_http_transport_authenticated_get_carries_rotating_bearer():
+    """HttpTransport + AuthSession: the GET presents the CURRENT
+    bearer token, and a due rotation happens before the request — a
+    long-idle transport never sends an expired token. A single-arg
+    getter with an auth session is rejected at construction."""
+    import json
+
+    import pytest as _pytest
+
+    from sports_betting_data_pipeline_spark.sources.http import HttpTransport
+
+    http_post, _ = _fake_auth_server()
+    now = {"t": 0.0}
+    s = _mk_session(http_post, clock=lambda: now["t"])
+    s.login()
+
+    seen_headers = []
+
+    def get2(url, headers):
+        seen_headers.append(dict(headers))
+        return 200, json.dumps({"ok": True}).encode()
+
+    t = HttpTransport(
+        "http://example.test/balance",
+        http_get=get2,
+        retries=0,
+        sleep=lambda _s: None,
+        auth=s,
+    )
+    assert t() == {"ok": True}
+    assert seen_headers[-1] == {"Authorization": "Bearer t0"}
+
+    now["t"] += 500.0  # past the rotation period: refresh precedes GET
+    assert t() == {"ok": True}
+    assert seen_headers[-1] == {"Authorization": "Bearer t1"}
+
+    with _pytest.raises(TypeError):
+        HttpTransport(
+            "http://example.test/balance",
+            http_get=lambda url: (200, b"{}"),
+            auth=s,
+        )
