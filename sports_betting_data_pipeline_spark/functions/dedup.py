@@ -243,7 +243,12 @@ def minhash_estimated_sim(sig_a: Column, sig_b: Column) -> Column:
 
 
 def _minhash_base(
-    df: DataFrame, id_col: str, text_col: str, k: int, num_hashes: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    num_hashes: int,
+    materialize: bool = True,
 ) -> DataFrame:
     """(_id, _sh, _sig) per doc with non-empty shingle set. The
     trailing ``repartition`` is the anti-projection-collapse barrier:
@@ -260,10 +265,20 @@ def _minhash_base(
     signature fold consumes the same values pre_hashed (bit-identical
     signatures — the first-level hash is merely hoisted). Verified
     Jaccard stays exact up to the documented within-pair 64-bit
-    collision bound."""
+    collision bound.
+
+    ``materialize=False`` returns the bare fold plan WITHOUT the
+    repartition+cache: for a caller whose FIRST downstream op is
+    itself a shuffle-then-cache of the same rows (the collapse_exact
+    set-key window in :func:`minhash_lsh_candidates`), this base has
+    exactly ONE consumer, so its own materialization is a wasted
+    exchange + an extra full-width InMemoryRelation fill — the fold
+    still runs once because it is computed below the consumer's first
+    exchange and its RESULT rides that shuffle (projection collapse
+    cannot duplicate it past an exchange)."""
     from sports_betting_data_pipeline_spark.io import widen_for_compute
 
-    return (
+    plan = (
         widen_for_compute(df.select(F.col(id_col), F.col(text_col)))
         .select(
             F.col(id_col).alias("_id"),
@@ -279,7 +294,11 @@ def _minhash_base(
                 "_sh", num_hashes, pre_hashed=True
             ),
         )
-        .repartition(F.col("_id"))
+    )
+    if not materialize:
+        return plan
+    return (
+        plan.repartition(F.col("_id"))
         # cache, not just an exchange barrier: consumers prune
         # DIFFERENT columns (buckets read _sig, verifies read _sh), so
         # their exchange subtrees differ post-optimization and
@@ -358,7 +377,17 @@ def minhash_lsh_candidates(
     connected-components results identical (a star spans the same
     component as the clique).
     """
-    base = _minhash_base(df, id_col, text_col, k, num_hashes)
+    # With collapse_exact the base has exactly ONE consumer (the
+    # set-key window pipeline below, which shuffles and caches these
+    # same rows itself), so the base's own repartition+cache would be
+    # a pure extra materialization — skip it. Within the single
+    # consumer plan the shingle fold is referenced three times (_sh,
+    # _sig, _setkey) but CollapseProject refuses to duplicate non-cheap
+    # expressions, so the fold still evaluates once per row (pinned by
+    # test_minhash_uncached_base_no_fold_duplication).
+    base = _minhash_base(
+        df, id_col, text_col, k, num_hashes, materialize=not collapse_exact
+    )
 
     star = None
     if collapse_exact:
@@ -937,19 +966,14 @@ def connected_components(
     # no extra job, AND the small-regime conf is active while the
     # first fused job materializes the (possibly expensive) upstream
     # edge-generation pipeline, whose tiny stages pay the same AQE
-    # floor. In the small regime AQE goes off for the loop — there is
-    # nothing left for it to adapt; at real edge scale the partition
-    # budget saturates at the session setting and AQE stays ON,
-    # keeping skew-join handling for hub nodes.
+    # floor. The conf scoping lives in session.latency_regime (shared
+    # with every iterative driver loop in the engine); every return
+    # below is checkpoint-materialized inside the scope, so no lazy
+    # plan escapes the regime.
+    from sports_betting_data_pipeline_spark.session import latency_regime
+
     spark = edges.sparkSession
     n_sym = 2 * size_hint if size_hint is not None else sym.count()
-    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    loop_parts = max(1, min(session_parts, 1 + n_sym // 2_000_000))
-    small_regime = loop_parts < session_parts
-    prev_adaptive = spark.conf.get("spark.sql.adaptive.enabled")
-    if small_regime:
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     def _level(lbl: DataFrame) -> DataFrame:
         """One min-propagation level as a lazy PLAN (no action).
@@ -982,52 +1006,48 @@ def connected_components(
         )
 
     try:
-        # Level 1 from identity labels is degenerate — the message join
-        # against labels(node -> node) is the identity, so label_1(node)
-        # is just least(node, min(nbr)): ONE aggregation, no join.
-        labels = (
-            sym.groupBy("node")
-            .agg(F.min("nbr").alias("_mn"))
-            .select(
-                "node", F.least(F.col("node"), F.col("_mn")).alias("component")
+        with latency_regime(spark, n_sym):
+            # Level 1 from identity labels is degenerate — the message join
+            # against labels(node -> node) is the identity, so label_1(node)
+            # is just least(node, min(nbr)): ONE aggregation, no join.
+            labels = (
+                sym.groupBy("node")
+                .agg(F.min("nbr").alias("_mn"))
+                .select(
+                    "node", F.least(F.col("node"), F.col("_mn")).alias("component")
+                )
             )
-        )
-        levels_done = 1
-        last = None
-        for _ in range(min(max(fuse, 1), max_iter) - 1):
-            last = _level(labels)
-            labels = last.select("node", "component")
-            levels_done += 1
-        if last is None:
-            # First job was the bare level-1 aggregation (fuse == 1 or
-            # max_iter == 1): it carries no _old column, so there is no
-            # convergence info yet.
-            labels = labels.localCheckpoint(eager=True)
-            if max_iter == 1:
-                return labels
-            changed = 1  # unknown; the loop's first job decides
-        else:
-            checkpointed = last.localCheckpoint(eager=False)
-            changed = checkpointed.filter(
-                F.col("component") != F.col("_old")
-            ).count()
-            labels = checkpointed.select("node", "component")
-        while changed != 0 and levels_done < max_iter:
+            levels_done = 1
             last = None
-            for _ in range(min(max(fuse, 1), max_iter - levels_done)):
+            for _ in range(min(max(fuse, 1), max_iter) - 1):
                 last = _level(labels)
                 labels = last.select("node", "component")
                 levels_done += 1
-            checkpointed = last.localCheckpoint(eager=False)
-            changed = checkpointed.filter(
-                F.col("component") != F.col("_old")
-            ).count()
-            labels = checkpointed.select("node", "component")
-        return labels
+            if last is None:
+                # First job was the bare level-1 aggregation (fuse == 1 or
+                # max_iter == 1): it carries no _old column, so there is no
+                # convergence info yet.
+                labels = labels.localCheckpoint(eager=True)
+                if max_iter == 1:
+                    return labels
+                changed = 1  # unknown; the loop's first job decides
+            else:
+                checkpointed = last.localCheckpoint(eager=False)
+                changed = checkpointed.filter(
+                    F.col("component") != F.col("_old")
+                ).count()
+                labels = checkpointed.select("node", "component")
+            while changed != 0 and levels_done < max_iter:
+                last = None
+                for _ in range(min(max(fuse, 1), max_iter - levels_done)):
+                    last = _level(labels)
+                    labels = last.select("node", "component")
+                    levels_done += 1
+                checkpointed = last.localCheckpoint(eager=False)
+                changed = checkpointed.filter(
+                    F.col("component") != F.col("_old")
+                ).count()
+                labels = checkpointed.select("node", "component")
+            return labels
     finally:
-        if small_regime:
-            spark.conf.set(
-                "spark.sql.shuffle.partitions", str(session_parts)
-            )
-            spark.conf.set("spark.sql.adaptive.enabled", prev_adaptive)
         sym.unpersist()

@@ -25,14 +25,39 @@ from sports_betting_data_pipeline_spark.plans.catalog import register
 _D = 0.85  # damping
 _ITERS = 5
 
+# One power-iteration level, shared VERBATIM between the engine and
+# the oracle (only the edge/nation relation names differ): the engine
+# executes the same unrolled fixpoint SQL Catalyst-side over its
+# cached edge view, so parity is textual, not re-derived.
 _PR_STEP = """
     SELECT n.n_nationkey,
            0.15 / 25 + 0.85 * coalesce(sum(p.pr * e.w), 0.0) AS pr
     FROM nodes n
-    LEFT JOIN edges e ON e.dst = n.n_nationkey
+    LEFT JOIN {edges} e ON e.dst = n.n_nationkey
     LEFT JOIN {prev} p ON p.n_nationkey = e.src
     GROUP BY n.n_nationkey
 """
+
+
+def _pr_unrolled(edges_rel: str, nation_rel: str) -> str:
+    """nodes/p0..pN CTE chain + final name join over the given edge /
+    nation relations (a subquery or view name)."""
+    return (
+        f"""
+    nodes AS (SELECT n_nationkey FROM {nation_rel}),
+    p0 AS (SELECT n_nationkey, 1.0 / 25 AS pr FROM nodes),
+    """
+        + ",\n".join(
+            f"p{i} AS ({_PR_STEP.format(edges=edges_rel, prev=f'p{i - 1}')})"
+            for i in range(1, _ITERS + 1)
+        )
+        + f"""
+    SELECT p.n_nationkey, n.n_name,
+           round(p.pr, 6) AS pagerank
+    FROM p{_ITERS} p JOIN {nation_rel} n ON n.n_nationkey = p.n_nationkey
+    """
+    )
+
 
 _ORACLE = (
     """
@@ -50,17 +75,8 @@ _ORACLE = (
                rev / sum(rev) OVER (PARTITION BY src) AS w
         FROM flows
     ),
-    nodes AS (SELECT n_nationkey FROM nation),
-    p0 AS (SELECT n_nationkey, 1.0 / 25 AS pr FROM nodes),
     """
-    + ",\n".join(
-        f"p{i} AS ({_PR_STEP.format(prev=f'p{i - 1}')})" for i in range(1, _ITERS + 1)
-    )
-    + f"""
-    SELECT p.n_nationkey, n.n_name,
-           round(p.pr, 6) AS pagerank
-    FROM p{_ITERS} p JOIN nation n ON n.n_nationkey = p.n_nationkey
-    """
+    + _pr_unrolled("edges", "nation")
 )
 
 
@@ -117,7 +133,10 @@ def g01_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a partitioned join + checkpoint every few iterations (the
     l21/l22 Pregel loop already demonstrates that shape).
     """
+    from sports_betting_data_pipeline_spark.session import latency_regime
+
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.createOrReplaceTempView("g01_nation")
     flows = _trade_flows(spark, sf_dir)
     from pyspark.sql.window import Window
 
@@ -126,27 +145,22 @@ def g01_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dst",
         (F.col("rev") / F.sum("rev").over(Window.partitionBy("src"))).alias("w"),
     ).cache()
+    # Fill the edge cache BEFORE entering the latency regime: the
+    # lineitem join-aggregate wants full session parallelism + AQE.
+    # The count doubles as the loop's size bound (≤ |V|² = 625 here).
+    n_edges = edges.count()
+    edges.createOrReplaceTempView("g01_edges")
 
-    n = 25
-    ranks = nation.select("n_nationkey", F.lit(1.0 / n).alias("pr"))
-    for _ in range(_ITERS):
-        contrib = (
-            edges.join(F.broadcast(ranks), F.col("src") == F.col("n_nationkey"))
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") * F.col("w")).alias("contrib"))
-        )
-        ranks = nation.select("n_nationkey").join(
-            F.broadcast(contrib), F.col("dst") == F.col("n_nationkey"), "left"
-        ).select(
-            "n_nationkey",
-            (
-                F.lit((1 - _D) / n)
-                + F.lit(_D) * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("pr"),
-        )
-    return ranks.join(F.broadcast(nation), ["n_nationkey"]).select(
-        "n_nationkey", "n_name", F.round("pr", 6).alias("pagerank")
-    )
+    # The 5 unrolled iteration levels execute as ONE server-parsed SQL
+    # statement — the SAME text the oracle runs (shared _pr_unrolled
+    # template) over the cached edge view. vs the Column-API loop this
+    # kills ~0.4 s of per-iteration Py4J plan construction AND lets
+    # Catalyst plan the whole chain at once (measured action 0.98 →
+    # 0.43 s at sf0.1); the ~11 broadcast-size stages then run, and
+    # eagerly materialize (25 rows), inside the latency regime.
+    with latency_regime(spark, n_edges):
+        out = spark.sql("WITH " + _pr_unrolled("g01_edges", "g01_nation"))
+        return out.localCheckpoint(eager=True)
 
 
 _FLOWS_SQL = """
@@ -214,6 +228,8 @@ def g02_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
+    from sports_betting_data_pipeline_spark.session import latency_regime
+
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     flows = _trade_flows(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     w = Window.partitionBy("src").orderBy(F.desc("rev"), F.asc("dst"))
@@ -223,22 +239,28 @@ def g02_khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .cache()
     )
-    hops = nation.filter(F.col("n_nationkey") == 0).select(
-        F.col("n_nationkey").alias("node"), F.lit(0).alias("hop")
-    )
-    for k in range(1, 4):
-        frontier = hops.filter(F.col("hop") == k - 1)
-        nxt = frontier.join(
-            edges, F.col("src") == F.col("node")
-        ).select(F.col("dst").alias("node"), F.lit(k).alias("hop"))
-        hops = (
-            hops.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("hop").alias("hop"))
+    # Cache fill at full parallelism (the lineitem pass), THEN the BFS
+    # chain — ~7 tiny stages over ≤75 cached edges — inside the
+    # latency regime, eagerly materialized (≤25 rows).
+    n_edges = edges.count()
+    with latency_regime(spark, n_edges):
+        hops = nation.filter(F.col("n_nationkey") == 0).select(
+            F.col("n_nationkey").alias("node"), F.lit(0).alias("hop")
         )
-    return hops.join(
-        F.broadcast(nation), F.col("n_nationkey") == F.col("node")
-    ).select("node", "n_name", F.col("hop").cast("long").alias("hop"))
+        for k in range(1, 4):
+            frontier = hops.filter(F.col("hop") == k - 1)
+            nxt = frontier.join(
+                edges, F.col("src") == F.col("node")
+            ).select(F.col("dst").alias("node"), F.lit(k).alias("hop"))
+            hops = (
+                hops.unionByName(nxt)
+                .groupBy("node")
+                .agg(F.min("hop").alias("hop"))
+            )
+        out = hops.join(
+            F.broadcast(nation), F.col("n_nationkey") == F.col("node")
+        ).select("node", "n_name", F.col("hop").cast("long").alias("hop"))
+        return out.localCheckpoint(eager=True)
 
 
 _RECURSIVE_REACH_SQL = f"""
@@ -289,6 +311,8 @@ def sql04_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form because DuckDB evaluates CTEs once.
     from pyspark.sql.window import Window
 
+    from sports_betting_data_pipeline_spark.session import latency_regime
+
     flows = _trade_flows(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     w = Window.partitionBy("src").orderBy(F.desc("rev"), F.asc("dst"))
     edges = (
@@ -297,8 +321,9 @@ def sql04_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .cache()
     )
+    n_edges = edges.count()  # fill at full parallelism; loop size bound
     edges.createOrReplaceTempView("trade_edges_sql04")
-    return spark.sql(
+    reach = spark.sql(
         """
         WITH RECURSIVE reach(node, hop) AS (
             SELECT 0 AS node, 0 AS hop
@@ -312,3 +337,8 @@ def sql04_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY node
         """
     )
+    # The recursion's ~6 internal union steps execute at ACTION time,
+    # so materialize (≤25 rows) inside the latency regime — each step
+    # is a broadcast-size join over the 75-row cached edge view.
+    with latency_regime(spark, n_edges):
+        return reach.localCheckpoint(eager=True)

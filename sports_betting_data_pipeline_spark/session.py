@@ -22,10 +22,62 @@ posture is configured once for every caller:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 DEFAULT_APP_NAME = "sports-betting-data-pipeline-spark"
+
+# One shuffle partition comfortably holds this many narrow rows; the
+# latency-regime partition budget is sized from it (same constant the
+# connected-components loop used before the helper was extracted).
+_ROWS_PER_PARTITION = 2_000_000
+
+
+@contextmanager
+def latency_regime(spark: SparkSession, n_rows: int | None):
+    """Scope session confs for a LATENCY-bound chain of tiny stages.
+
+    Iterative driver loops (connected components, PageRank, BFS,
+    recursive CTEs) execute as many sequential stages over row counts
+    that are minuscule next to the session's shuffle-partition budget.
+    Two confs dominate their wall-clock at fixture scale (measured,
+    SCALE.md §Round-7): AQE's per-stage re-plan round-trips (2.9 s →
+    0.9 s on a 249-edge CC loop) and the shuffle-partition count (task
+    scheduling for 32 empty partitions per stage). This context
+    manager sizes both ONCE from a row-count upper bound — parquet
+    footer statistics (:func:`io.table_row_count`) or one count job —
+    the engine's stand-in for metastore table statistics feeding a
+    cost-based planner.
+
+    In the small regime (budget < session setting) AQE goes off and
+    shuffle partitions shrink for the scope; at warehouse scale the
+    budget saturates at the session setting, the context manager is a
+    no-op, and AQE keeps its skew-join handling. Yields True when the
+    small regime is active.
+
+    IMPORTANT: confs apply at ACTION time, so the scope must enclose
+    the actions (count / localCheckpoint(eager=True) / fit), not just
+    plan construction — and any EXPENSIVE upstream materialization
+    (e.g. an edge table built from a fact-table join) must happen
+    BEFORE entering, at full parallelism.
+    """
+    if n_rows is None:
+        yield False
+        return
+    session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(session_parts, 1 + n_rows // _ROWS_PER_PARTITION))
+    if parts >= session_parts:
+        yield False
+        return
+    prev_adaptive = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield True
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(session_parts))
+        spark.conf.set("spark.sql.adaptive.enabled", prev_adaptive)
 
 
 def get_spark(

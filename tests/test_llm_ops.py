@@ -632,6 +632,81 @@ def test_minhash_collapse_exact_tames_duplicate_block(spark):
     assert comp_plain == comp_coll
 
 
+def test_minhash_uncached_base_no_fold_duplication(spark):
+    """collapse_exact consumes the MinHash base UNCACHED (one-consumer
+    path — minhash_lsh_candidates passes materialize=False, saving an
+    exchange + a full-width InMemoryRelation fill). Sound only if
+    CollapseProject refuses to inline the non-cheap shingle fold into
+    the additional _sh consumers (_setkey, _sig): pin that adding a
+    sha2-over-_sh projection on the bare plan adds ZERO fold
+    instances (the optimized plan carries the same count as the bare
+    base — one projection copy plus the pushed size()>0 filter copy).
+    """
+    from sports_betting_data_pipeline_spark.functions.dedup import _minhash_base
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")],
+        ["doc_id", "text"],
+    )
+    marker = "split("  # appears exactly once per shingle-fold instance
+
+    def fold_count(frame):
+        return (
+            frame._jdf.queryExecution().optimizedPlan().toString().count(marker)
+        )
+
+    base = _minhash_base(df, "doc_id", "text", 3, 32, materialize=False)
+    consumer = base.select(
+        "_id",
+        "_sh",
+        "_sig",
+        F.sha2(
+            F.concat_ws(
+                "\x01",
+                F.transform(F.array_sort("_sh"), lambda h: h.cast("string")),
+            ),
+            256,
+        ).alias("_setkey"),
+    )
+    assert fold_count(consumer) == fold_count(base)
+
+
+def test_latency_regime_restores_confs(spark):
+    """latency_regime scopes (shuffle.partitions, AQE) for tiny
+    iterative loops and must restore BOTH on every exit path —
+    including an exception — and be a no-op at warehouse-scale row
+    counts or when no bound is known."""
+    from sports_betting_data_pipeline_spark.session import latency_regime
+
+    parts = spark.conf.get("spark.sql.shuffle.partitions")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+
+    with latency_regime(spark, 10) as small:
+        assert small is True
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "1"
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe
+
+    # exception path restores too
+    try:
+        with latency_regime(spark, 10):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == parts
+    assert spark.conf.get("spark.sql.adaptive.enabled") == aqe
+
+    # no-op regimes: unknown bound, and a bound at/above session scale
+    with latency_regime(spark, None) as small:
+        assert small is False
+        assert spark.conf.get("spark.sql.shuffle.partitions") == parts
+    with latency_regime(spark, 10**9) as small:
+        assert small is False
+        assert spark.conf.get("spark.sql.shuffle.partitions") == parts
+        assert spark.conf.get("spark.sql.adaptive.enabled") == aqe
+
+
 def test_simhash_multiprobe_improves_recall(spark):
     """Rotation multi-probe: near-dups whose differing bits fall in
     the prefix window are lost by single-prefix blocking (recall 0.535
