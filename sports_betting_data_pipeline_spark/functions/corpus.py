@@ -84,8 +84,15 @@ def decontaminate_hits(
         F.col(id_col).alias(id_col),
         F.explode(sh).alias("_shingle"),
     )
+    # Broadcast the benchmark side EXPLICITLY: an eval suite is
+    # bounded by construction (thousands of docs — it never scales
+    # with the corpus), so the corpus's exploded (id, shingle) rows
+    # must never shuffle for this join. AQE would reach the same join
+    # strategy only AFTER writing the corpus side's shuffle map
+    # outputs; the static broadcast skips that write entirely (the
+    # only shuffle left is the tiny hits aggregation).
     return (
-        corp_sh.join(bench_sh, on="_shingle")
+        corp_sh.join(F.broadcast(bench_sh), on="_shingle")
         .groupBy(id_col)
         .agg(F.count_distinct("_bid").alias("n_bench_hits"))
     )
@@ -189,11 +196,21 @@ def chunk_dedup_stats(
                 ),
             )
         ).alias("chunk_idx", "_h"),
-    )
+        # ONE explicit _h exchange feeds both consumers below via
+        # ReuseExchange (the firsts aggregate and the join-back probe
+        # consume identical partitioning), so the tokenize+md5 explode
+        # runs once instead of once per branch — the join side was
+        # shuffling every instance row on _h anyway, this just stops
+        # the aggregate branch from re-deriving the same rows
+        # (interleaved A/B at sf0.1: 0.82 → 0.55 s). Skew exposure is
+        # unchanged: a boilerplate chunk's instances landed on one _h
+        # reducer in both shapes, and the per-row work there is a
+        # comparison, so the straggler bound is the hottest chunk's
+        # instance count either way.
+    ).repartition("_h")
     # first occurrence per hash WITHOUT ranking every instance: the
-    # per-hash min (doc, idx) is a partial-aggregable MIN — hot
-    # boilerplate hashes combine map-side instead of piling into one
-    # window partition.
+    # per-hash min (doc, idx) is a partial-aggregable MIN over the
+    # already-_h-partitioned rows — no second exchange.
     firsts = inst.groupBy("_h").agg(
         F.min(F.struct("_id", "chunk_idx")).alias("_first")
     )
