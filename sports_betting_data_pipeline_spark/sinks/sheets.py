@@ -142,6 +142,114 @@ class SheetsApiTransport:
         )
 
 
+class ServiceAccountCredentials:
+    """Service-account token lifecycle for the Sheets append call —
+    the credential flow the reference builds at import time
+    (src/main.py:10-19: ``service_account.Credentials.
+    from_service_account_file(..., scopes=SCOPES)`` feeding
+    ``build("sheets", "v4")``), re-expressed over injected seams so
+    the engine owns the FLOW (assertion claims, token caching, expiry
+    refresh) and never the crypto or the network:
+
+    - ``signer(payload: dict) -> str`` turns the JWT claim set into a
+      signed assertion (production: RS256 over the service account's
+      private key; tests: any deterministic encoder).
+    - ``exchange(assertion: str) -> dict`` posts it to the token URI
+      and returns ``{"access_token": ..., "expires_in": ...}``.
+
+    ``token()`` returns a cached access token until it is within
+    ``refresh_skew_s`` of expiry, then re-asserts — the same
+    refresh-before-expiry behavior google-auth applies under the
+    reference, and the Sheets analog of the exchange-login
+    ``AuthSession`` rotation (sources/http.py).
+
+    Driver-side by design: the reference appends from its one
+    process; here only the final transport callable ships to
+    executors, carrying a bearer STRING, never the credential object.
+    """
+
+    _TOKEN_LIFETIME_S = 3600
+
+    def __init__(
+        self,
+        client_email: str,
+        token_uri: str,
+        scopes: Sequence[str],
+        signer: Callable[[dict], str],
+        exchange: Callable[[str], dict],
+        clock: Callable[[], float] | None = None,
+        refresh_skew_s: int = 300,
+    ) -> None:
+        import time as _time
+
+        self.client_email = client_email
+        self.token_uri = token_uri
+        self.scopes = list(scopes)
+        self._signer = signer
+        self._exchange = exchange
+        self._clock = clock or _time.time
+        self._skew = refresh_skew_s
+        self._access_token: str | None = None
+        self._expires_at: float = 0.0
+
+    def _assert_claims(self, now: float) -> dict:
+        # The standard service-account JWT grant claim set (RFC 7523 /
+        # Google token endpoint): issuer = the account email, scope =
+        # space-joined, audience = the token URI itself.
+        return {
+            "iss": self.client_email,
+            "scope": " ".join(self.scopes),
+            "aud": self.token_uri,
+            "iat": int(now),
+            "exp": int(now) + self._TOKEN_LIFETIME_S,
+        }
+
+    def token(self) -> str:
+        now = self._clock()
+        if self._access_token is None or now >= self._expires_at - self._skew:
+            granted = self._exchange(self._signer(self._assert_claims(now)))
+            self._access_token = str(granted["access_token"])
+            self._expires_at = now + float(
+                granted.get("expires_in", self._TOKEN_LIFETIME_S)
+            )
+        return self._access_token
+
+
+def authorized_append_send(
+    credentials: ServiceAccountCredentials,
+    spreadsheet_id: str,
+    post: Callable[[str, dict, dict], None],
+    on_error: Callable[[Exception], None] | None = None,
+) -> Callable[[dict], None]:
+    """Compose a :class:`SheetsApiTransport` ``send`` from the
+    credential flow and a raw HTTP seam: each append body is POSTed to
+    the versioned append endpoint with a fresh Bearer header
+    (refreshing through :meth:`ServiceAccountCredentials.token` when
+    due) and ``valueInputOption=RAW`` — the exact call shape of the
+    reference's ``write_to_sheet`` (src/main.py:23-37).
+
+    Errors follow the reference's contract: ``write_to_sheet`` catches
+    ``HttpError``, logs, and keeps going — pass ``on_error`` to get
+    that log-and-continue behavior; omit it to re-raise (fail the
+    Spark task and let task retry provide at-least-once delivery).
+    """
+
+    def send(body: dict) -> None:
+        path = (
+            f"/v4/spreadsheets/{spreadsheet_id}/values/"
+            f"{body['range']}:append?valueInputOption=RAW"
+        )
+        headers = {"Authorization": f"Bearer {credentials.token()}"}
+        try:
+            post(path, headers, body)
+        except Exception as exc:  # noqa: BLE001 — mirror of HttpError catch
+            if on_error is None:
+                raise
+            on_error(exc)
+
+    return send
+
+
 class SpoolTransport:
     """A file-backed transport for tests and local runs: each batch
     becomes one JSON-lines file (stand-in for one POST)."""

@@ -141,6 +141,99 @@ def test_sheets_api_transport_body_shape():
     assert rows == [["1", "", "a,b"], ["2", "3.5", ""], ["3", "4.0", "z"]]
 
 
+def test_service_account_token_lifecycle():
+    """The Sheets credential flow (reference src/main.py:10-19): a
+    signed JWT-grant assertion is exchanged for an access token, the
+    token is cached until refresh_skew before expiry, and the
+    re-assertion carries a fresh iat/exp."""
+    from sports_betting_data_pipeline_spark.sinks.sheets import (
+        ServiceAccountCredentials,
+    )
+
+    clock = [1_000.0]
+    asserted, exchanged = [], []
+
+    def signer(claims):
+        asserted.append(claims)
+        return f"jwt-{len(asserted)}"
+
+    def exchange(assertion):
+        exchanged.append(assertion)
+        return {"access_token": f"tok-{len(exchanged)}", "expires_in": 3600}
+
+    creds = ServiceAccountCredentials(
+        client_email="bot@project.iam.gserviceaccount.com",
+        token_uri="https://oauth2.googleapis.com/token",
+        scopes=["https://www.googleapis.com/auth/spreadsheets"],
+        signer=signer,
+        exchange=exchange,
+        clock=lambda: clock[0],
+    )
+    assert creds.token() == "tok-1"
+    # claim set: RFC 7523 JWT grant against the token endpoint
+    claims = asserted[0]
+    assert claims["iss"] == "bot@project.iam.gserviceaccount.com"
+    assert claims["scope"] == "https://www.googleapis.com/auth/spreadsheets"
+    assert claims["aud"] == "https://oauth2.googleapis.com/token"
+    assert claims["exp"] == claims["iat"] + 3600
+    # cached: no new exchange while comfortably inside the lifetime
+    clock[0] += 1800
+    assert creds.token() == "tok-1"
+    assert len(exchanged) == 1
+    # inside the refresh skew (300 s before expiry): re-asserted
+    clock[0] += 1600
+    assert creds.token() == "tok-2"
+    assert len(exchanged) == 2
+    assert asserted[1]["iat"] == int(clock[0])
+
+
+def test_authorized_append_send_call_shape_and_errors():
+    """authorized_append_send reproduces write_to_sheet's call shape
+    (src/main.py:23-37): versioned append endpoint + RAW value input +
+    Bearer header; errors log-and-continue when a handler is given
+    (the reference's HttpError catch) and re-raise when not."""
+    from sports_betting_data_pipeline_spark.sinks.sheets import (
+        ServiceAccountCredentials,
+        SheetsApiTransport,
+        authorized_append_send,
+    )
+
+    creds = ServiceAccountCredentials(
+        client_email="bot@project.iam.gserviceaccount.com",
+        token_uri="https://oauth2.googleapis.com/token",
+        scopes=["https://www.googleapis.com/auth/spreadsheets"],
+        signer=lambda claims: "jwt",
+        exchange=lambda assertion: {"access_token": "tok", "expires_in": 3600},
+        clock=lambda: 1_000.0,
+    )
+    posts = []
+    send = authorized_append_send(
+        creds, "SHEET_ID_123", post=lambda p, h, b: posts.append((p, h, b))
+    )
+    transport = SheetsApiTransport("wagers", send=send, columns=["k", "v"])
+    transport([{"k": 1, "v": "x"}])
+    (path, headers, body), = posts
+    assert path == (
+        "/v4/spreadsheets/SHEET_ID_123/values/wagers!A1:append"
+        "?valueInputOption=RAW"
+    )
+    assert headers == {"Authorization": "Bearer tok"}
+    assert body["values"] == [["1", "x"]]
+
+    def failing_post(p, h, b):
+        raise RuntimeError("quota")
+
+    logged = []
+    lenient = authorized_append_send(
+        creds, "SHEET_ID_123", post=failing_post, on_error=logged.append
+    )
+    lenient({"range": "wagers!A1", "values": []})  # swallowed + recorded
+    assert len(logged) == 1 and "quota" in str(logged[0])
+    strict = authorized_append_send(creds, "SHEET_ID_123", post=failing_post)
+    with pytest.raises(RuntimeError):
+        strict({"range": "wagers!A1", "values": []})
+
+
 def test_events_stream_source_switch(spark):
     from sports_betting_data_pipeline_spark.streaming.jobs import (
         kafka_source_options,
