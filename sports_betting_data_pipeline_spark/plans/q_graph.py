@@ -22,19 +22,20 @@ from pyspark.sql import functions as F
 from sports_betting_data_pipeline_spark.io import load_table
 from sports_betting_data_pipeline_spark.plans.catalog import register
 
-_D = 0.85  # damping
-_ITERS = 5
+_D = 0.85  # damping; the template interpolates it so tuning it retunes
+_ITERS = 5  # both engine and oracle (they execute the same text)
 
 # One power-iteration level, shared VERBATIM between the engine and
 # the oracle (only the edge/nation relation names differ): the engine
 # executes the same unrolled fixpoint SQL Catalyst-side over its
-# cached edge view, so parity is textual, not re-derived.
-_PR_STEP = """
+# cached edge view, so parity is textual, not re-derived. %g renders
+# 1 - _D as the exact short literal ("0.15") on both sides.
+_PR_STEP = f"""
     SELECT n.n_nationkey,
-           0.15 / 25 + 0.85 * coalesce(sum(p.pr * e.w), 0.0) AS pr
+           {1 - _D:g} / 25 + {_D:g} * coalesce(sum(p.pr * e.w), 0.0) AS pr
     FROM nodes n
-    LEFT JOIN {edges} e ON e.dst = n.n_nationkey
-    LEFT JOIN {prev} p ON p.n_nationkey = e.src
+    LEFT JOIN {{edges}} e ON e.dst = n.n_nationkey
+    LEFT JOIN {{prev}} p ON p.n_nationkey = e.src
     GROUP BY n.n_nationkey
 """
 

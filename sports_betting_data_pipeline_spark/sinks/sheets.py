@@ -163,9 +163,12 @@ class ServiceAccountCredentials:
     reference, and the Sheets analog of the exchange-login
     ``AuthSession`` rotation (sources/http.py).
 
-    Driver-side by design: the reference appends from its one
-    process; here only the final transport callable ships to
-    executors, carrying a bearer STRING, never the credential object.
+    DRIVER-SIDE ONLY: the reference appends from its one process, and
+    the composed send (:func:`authorized_append_send`) captures this
+    object — production signers hold private-key material that must
+    not (and often cannot) be pickled to executors. For executor-side
+    delivery, snapshot ``token()`` into a plain bearer string on the
+    driver and build the executor send from that string.
     """
 
     _TOKEN_LIFETIME_S = 3600
@@ -230,17 +233,24 @@ def authorized_append_send(
 
     Errors follow the reference's contract: ``write_to_sheet`` catches
     ``HttpError``, logs, and keeps going — pass ``on_error`` to get
-    that log-and-continue behavior; omit it to re-raise (fail the
-    Spark task and let task retry provide at-least-once delivery).
+    that log-and-continue behavior (covering BOTH the token exchange
+    and the append POST); omit it to re-raise. Driver-side like the
+    reference's append loop — see the credential class docstring for
+    the executor-side pattern.
     """
+    from urllib.parse import quote
 
     def send(body: dict) -> None:
+        # Percent-encode the range path segment: Sheets range syntax
+        # ("'My Wagers'!A1") carries spaces/quotes that would produce
+        # a malformed request line if interpolated raw (the googleapis
+        # client encodes this segment too).
         path = (
             f"/v4/spreadsheets/{spreadsheet_id}/values/"
-            f"{body['range']}:append?valueInputOption=RAW"
+            f"{quote(str(body['range']), safe='')}:append?valueInputOption=RAW"
         )
-        headers = {"Authorization": f"Bearer {credentials.token()}"}
         try:
+            headers = {"Authorization": f"Bearer {credentials.token()}"}
             post(path, headers, body)
         except Exception as exc:  # noqa: BLE001 — mirror of HttpError catch
             if on_error is None:

@@ -213,12 +213,22 @@ def test_authorized_append_send_call_shape_and_errors():
     transport = SheetsApiTransport("wagers", send=send, columns=["k", "v"])
     transport([{"k": 1, "v": "x"}])
     (path, headers, body), = posts
+    # range segment percent-encoded (Sheets range syntax carries ! '
+    # and spaces); the rest of the call shape is write_to_sheet's
     assert path == (
-        "/v4/spreadsheets/SHEET_ID_123/values/wagers!A1:append"
+        "/v4/spreadsheets/SHEET_ID_123/values/wagers%21A1:append"
         "?valueInputOption=RAW"
     )
     assert headers == {"Authorization": "Bearer tok"}
     assert body["values"] == [["1", "x"]]
+    quoted = []
+    authorized_append_send(creds, "ID", post=lambda p, h, b: quoted.append(p))(
+        {"range": "'My Wagers'!A1", "values": []}
+    )
+    assert quoted == [
+        "/v4/spreadsheets/ID/values/%27My%20Wagers%27%21A1:append"
+        "?valueInputOption=RAW"
+    ]
 
     def failing_post(p, h, b):
         raise RuntimeError("quota")
@@ -229,6 +239,25 @@ def test_authorized_append_send_call_shape_and_errors():
     )
     lenient({"range": "wagers!A1", "values": []})  # swallowed + recorded
     assert len(logged) == 1 and "quota" in str(logged[0])
+
+    # token-exchange failures are covered by the same contract: the
+    # lenient path routes them to on_error instead of failing the task
+    def failing_exchange(assertion):
+        raise RuntimeError("token endpoint 500")
+
+    bad_creds = ServiceAccountCredentials(
+        client_email="bot@project.iam.gserviceaccount.com",
+        token_uri="https://oauth2.googleapis.com/token",
+        scopes=["https://www.googleapis.com/auth/spreadsheets"],
+        signer=lambda claims: "jwt",
+        exchange=failing_exchange,
+        clock=lambda: 1_000.0,
+    )
+    auth_logged = []
+    authorized_append_send(
+        bad_creds, "ID", post=lambda p, h, b: None, on_error=auth_logged.append
+    )({"range": "wagers!A1", "values": []})
+    assert len(auth_logged) == 1 and "token endpoint" in str(auth_logged[0])
     strict = authorized_append_send(creds, "SHEET_ID_123", post=failing_post)
     with pytest.raises(RuntimeError):
         strict({"range": "wagers!A1", "values": []})
