@@ -64,12 +64,45 @@ def build_sf1_documents(spark) -> str:
     return SCRATCH
 
 
+def build_sf1_embeddings(spark) -> str:
+    """10× embeddings (20k vectors) for the ANN-family posture runs:
+    replicas get disjoint vec_id ranges and a tiny deterministic
+    per-replica perturbation on coordinate 0 (r × 1e-3), so no two
+    replicas are bit-identical vectors but the cell geometry barely
+    moves — the IVF quantizer faces 10× the corpus in every cell, the
+    realistic density scale-up rather than 10× empty space."""
+    out = os.path.join(SCRATCH, "embeddings.parquet")
+    if os.path.isdir(out):
+        return SCRATCH
+    emb = load_table(spark, SF01, "embeddings")
+    base_cols = emb.columns
+    reps = emb.select(
+        F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("_r"),
+        *base_cols,
+    )
+    scaled = reps.select(
+        (F.col("vec_id") + F.col("_r") * F.lit(10_000_000)).alias("vec_id"),
+        *[c for c in base_cols if c not in ("vec_id", "embedding")],
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(
+                i == 0, x + F.col("_r").cast("float") * F.lit(0.001)
+            ).otherwise(x),
+        ).cast("array<float>").alias("embedding"),
+    )
+    scaled.repartition(16).write.mode("overwrite").parquet(out)
+    return SCRATCH
+
+
 def main() -> None:
     spark = get_spark(app_name="scale_posture_sf1")
     sf1_dir = build_sf1_documents(spark)
+    build_sf1_embeddings(spark)
 
     from sports_betting_data_pipeline_spark.plans.q_llm import (
         l22_lsh_dedup_clusters,
+        l36_ann_ivfpq,
+        l43_bitext_mining_ann,
         pl02_corpus_assembly,
     )
 
@@ -85,10 +118,18 @@ def main() -> None:
     spark.catalog.clearCache()
     l22_lsh_dedup_clusters(spark, SF01).count()
     pl02_corpus_assembly(spark, SF01).count()
+    l36_ann_ivfpq(spark, SF01).count()
+    l43_bitext_mining_ann(spark, SF01).count()
 
     for name, fn in (
         ("l22_lsh_dedup_clusters", l22_lsh_dedup_clusters),
         ("pl02_corpus_assembly", pl02_corpus_assembly),
+        # ANN family: the BNLJ counts reported are the whitelisted
+        # C-row centroid-assignment broadcasts (the IVF shape) and
+        # must stay CONSTANT across scale — candidate scoring itself
+        # is cell-pruned equi-join work that grows with the corpus.
+        ("l36_ann_ivfpq", l36_ann_ivfpq),
+        ("l43_bitext_mining_ann", l43_bitext_mining_ann),
     ):
         shapes = {}
         for tag, d in (("sf0.1", SF01), ("sf1", sf1_dir)):
