@@ -61,6 +61,13 @@ def latency_regime(spark: SparkSession, n_rows: int | None):
     plan construction — and any EXPENSIVE upstream materialization
     (e.g. an edge table built from a fact-table join) must happen
     BEFORE entering, at full parallelism.
+
+    The mutation is SESSION-scoped, like run_stream_to_table's
+    state-partition pin: catalog queries execute one at a time per
+    session (the driver, bench, and test harnesses all run
+    sequentially), so a concurrent-query deployment should give each
+    thread its own session (``spark.newSession()`` shares the
+    SparkContext but isolates the conf).
     """
     if n_rows is None:
         yield False
