@@ -281,12 +281,39 @@ def deterministic_shuffle(
 ) -> DataFrame:
     """Reproducible global shuffle: order by md5 of the stringified id
     (identical in Spark and DuckDB), tiebreak on the id itself. Adds
-    ``shuffle_rank`` (1-based). The one unavoidable global sort of
+    ``shuffle_rank`` (1-based). The one unavoidable global ORDERING of
     training-data prep — everything upstream stays partition-local.
-    """
-    key = F.md5(F.col(id_col).cast("string").cast("binary"))
-    w = Window.orderBy(key, F.col(id_col))
-    return df.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+
+    Scale shape: an unpartitioned row_number window would move the
+    ENTIRE corpus into one window partition (one task — the straggler
+    token_budget_selection's docstring warns about). This is the
+    two-phase distributed prefix rank instead: bucket every row by the
+    first 3 hex chars of its md5 key (4096 buckets; the bucket is a
+    PREFIX of the sort key, so bucket order == global key order),
+    cumsum the per-bucket counts in one bounded window, then rank
+    within buckets in parallel and add the bucket's offset —
+    row-for-row identical to the naive global window (pinned by
+    test_deterministic_shuffle_matches_global_window). md5 is uniform,
+    so buckets are balanced by construction (~N/4096 rows each)."""
+    base = df.withColumn(
+        "_sk", F.md5(F.col(id_col).cast("string").cast("binary"))
+    ).withColumn("_bk", F.substring("_sk", 1, 3))
+    counts = base.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bn"))
+    wb = Window.orderBy("_bk").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefix = counts.select(
+        "_bk", (F.sum("_bn").over(wb) - F.col("_bn")).alias("_before")
+    )
+    ww = Window.partitionBy("_bk").orderBy(F.col("_sk"), F.col(id_col))
+    return (
+        base.join(F.broadcast(prefix), on="_bk")
+        .withColumn(
+            "shuffle_rank",
+            (F.col("_before") + F.row_number().over(ww)).cast("long"),
+        )
+        .drop("_sk", "_bk", "_before")
+    )
 
 
 def temperature_mixture(
@@ -318,7 +345,11 @@ def temperature_mixture(
     total_w = weights.agg(F.sum("_w").alias("_tw"))
     quotas = weights.crossJoin(F.broadcast(total_w)).select(
         group_col,
-        ((F.lit(n_target) * F.col("_w")) / F.col("_tw")).cast("long").alias("_quota"),
+        # integer `div`, not double `/` + cast: the double quotient can
+        # land on the wrong side of an integer once n_target × _w
+        # exceeds 2^53, and the DuckDB oracle computes `//` (exact
+        # floor) — pack_sequences' own integer-div rule applied here.
+        F.expr(f"({int(n_target)}L * _w) div _tw").alias("_quota"),
     )
     key = F.md5(F.col(id_col).cast("string").cast("binary"))
     w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))

@@ -250,8 +250,21 @@ def _minhash_base(
     num_hashes: int,
     materialize: bool = True,
 ) -> DataFrame:
-    """(_id, _sh, _sig) per doc with non-empty shingle set. The
-    trailing ``repartition`` is the anti-projection-collapse barrier:
+    """(_id, _sh, _sig) per doc. Token-less docs (empty, whitespace,
+    or NULL text) shingle to the singleton [''] set — shingles()'s
+    greatest(n-k+1, 1) lower bound, replicated verbatim by every
+    DuckDB oracle fragment (_dshk) — so they are EXACT duplicates of
+    one another: true Jaccard 1.0, one dedup block. That is the
+    wanted dedup semantic (token-less docs ARE mutual duplicates),
+    and the block is skew-safe on the production path because
+    collapse_exact folds any identical-shingle-set block to one
+    banded representative + star edges
+    (test_minhash_empty_docs_one_exact_block pins both properties).
+    The size() filter below only drops rows whose shingle ARRAY is
+    NULL (never produced by shingles(); defensive for callers feeding
+    pre-tokenized columns).
+
+    The trailing ``repartition`` is the anti-projection-collapse barrier:
     every downstream consumer (band hashes, exact-Jaccard verify)
     reads the signature/shingles from the exchange instead of
     re-inlining the fold (see SCALE.md "Expression-level lessons").
@@ -320,6 +333,14 @@ def minhash_band_buckets(
     every ingest batch joins its own (tiny) bucket table against the
     store without re-scanning history
     (:func:`incremental_neardup_novel`)."""
+    if num_hashes % bands:
+        # Silent truncation would band only the first bands×(n//b)
+        # signature positions: the caller pays for the full fold but
+        # gets a different b/r s-curve than the one they tuned for.
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(b bands of r rows consume exactly b*r signature positions)"
+        )
     rows_per_band = num_hashes // bands
     # One server-parsed explode expression (the simhash probe_structs
     # pattern): the Column-loop form was bands × rows_per_band Py4J

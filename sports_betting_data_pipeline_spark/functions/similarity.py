@@ -224,7 +224,15 @@ def embedding_neardup_pairs(
     shuffles only narrow (table_id, bucket, id) rows — the per-bucket
     join stays local and the pair dedup collapses multi-table hits.
 
-    Output: (id_a, id_b, cosine_sim), id_a < id_b, cosine >= threshold.
+    Output: (id_a, id_b, cosine_sim), id_a < id_b, with the
+    6dp-ROUNDED cosine >= threshold. The threshold applies to the
+    rounded value DELIBERATELY: the DuckDB oracle twin (l12) evaluates
+    the same round-then-filter, so a last-ulp float difference between
+    engines cannot flip a boundary pair in one engine only. A pair
+    whose true cosine is within 5e-7 below the threshold is therefore
+    admitted — callers needing the strict unrounded predicate should
+    filter the (unrounded) cosine themselves, as :func:`semdedup`
+    does for its own operating point.
     """
     from sports_betting_data_pipeline_spark.io import widen_for_compute
 
@@ -362,6 +370,72 @@ def kmeans_centroids(
     )
 
 
+def _nearest_cells(
+    df: DataFrame,
+    df_id: str,
+    df_vec: str,
+    cents: DataFrame,
+    n: int,
+    keep_vec: bool = True,
+    widen_input: bool = False,
+) -> DataFrame:
+    """Top-``n`` coarse cells per row by cosine against a broadcast
+    ``(cent_id, cv)`` centroid table — the shared assignment/probe
+    stage of ivf_topk / ivfpq_topk / semdedup (one implementation, so
+    NULL handling and tie-breaking cannot drift between the ANN
+    variants).
+
+    ``n == 1`` (every corpus assignment) avoids the ranking window
+    entirely: a window would shuffle all C cosine copies of every row
+    — vector payload included when ``keep_vec`` — into the per-id
+    partition, C× the corpus volume through one exchange at 10^9-
+    vector scale. ``max(struct(sim, -cent_id, vec))`` computes the
+    same argmax as a PARTIAL-AGGREGABLE aggregate: the C copies
+    collapse map-side (they are produced in the same task by the
+    broadcast cross join), so one narrow partial per row reaches the
+    exchange. Ordering parity with the window is exact: Spark sorts
+    NaN above every double in both struct comparison and window
+    ORDER BY DESC, and -cent_id under max() reproduces the ascending
+    cent_id tiebreak (pinned by test_nearest_cells_agg_matches_window).
+
+    ``widen_input`` splits a single-row-group scan before the C
+    interpreted assignment cosines (ivf_topk's fixture-scan concern;
+    no-op at production scale).
+    """
+    from sports_betting_data_pipeline_spark.io import widen_for_compute
+
+    src = widen_for_compute(df) if widen_input else df
+    sims = src.crossJoin(F.broadcast(cents)).select(
+        F.col(df_id),
+        *([F.col(df_vec)] if keep_vec else []),
+        F.col("cent_id"),
+        cosine(df_vec, "cv").alias("_csim"),
+    )
+    if n == 1:
+        payload = [F.col(df_vec).alias("_v")] if keep_vec else []
+        top = sims.groupBy(df_id).agg(
+            F.max(
+                F.struct(
+                    F.col("_csim").alias("_s"),
+                    (-F.col("cent_id")).alias("_negc"),
+                    *payload,
+                )
+            ).alias("_top")
+        )
+        cols = [F.col(df_id)]
+        if keep_vec:
+            cols.append(F.col("_top._v").alias(df_vec))
+        cols.append((-F.col("_top._negc")).alias("cent_id"))
+        return top.select(*cols)
+    w = Window.partitionBy(df_id).orderBy(F.col("_csim").desc(), F.col("cent_id"))
+    out = [df_id] + ([df_vec] if keep_vec else []) + ["cent_id"]
+    return (
+        sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n)
+        .select(*out)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -399,26 +473,14 @@ def ivf_topk(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
         )
 
-    from sports_betting_data_pipeline_spark.io import widen_for_compute
-
+    # The C assignment cosines per row are interpreted HOF work; a
+    # single-row-group fixture scan serializes them on one core
+    # without the widen (no-op at production scale, where the scan
+    # already has core-count splits). n=1 corpus assignment runs as
+    # the map-side-combinable argmax (see _nearest_cells).
     def nearest_cells(df: DataFrame, df_id: str, df_vec: str, n: int) -> DataFrame:
-        # The C assignment cosines per row are interpreted HOF work; a
-        # single-row-group fixture scan serializes them on one core
-        # without the widen (no-op at production scale, where the scan
-        # already has core-count splits).
-        sims = widen_for_compute(df).crossJoin(F.broadcast(cents)).select(
-            F.col(df_id),
-            F.col(df_vec),
-            F.col("cent_id"),
-            cosine(df_vec, "cv").alias("_csim"),
-        )
-        w = Window.partitionBy(df_id).orderBy(
-            F.col("_csim").desc(), F.col("cent_id")
-        )
-        return (
-            sims.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .drop("_csim", "_rn")
+        return _nearest_cells(
+            df, df_id, df_vec, cents, n, keep_vec=True, widen_input=True
         )
 
     # Norms are per-ROW quantities: compute them once per corpus/query
@@ -447,16 +509,17 @@ def ivf_topk(
     # repartitioning the joined candidates instead would shuffle two
     # vectors per pair. The broadcast join computes every dot in the
     # corpus-side stage with zero wide shuffles. `assigned` is re-fanned
-    # out first because its top-1 window just collapsed it to AQE's
-    # byte-minimal partition count: the exchange moves only |corpus|
-    # (id, cell, vector, norm) rows, and the deterministic id-hash
-    # keying means hot cells spread over every core instead of pinning
-    # one reducer per cent_id — the skew remedy a coarse quantizer
-    # needs at scale.
-    # Round-robin, NOT hash-on-id: the top-1 window upstream already
-    # hash-partitioned on id, so a keyed repartition would be elided
-    # as redundant and the scoring stage would inherit the window
-    # exchange's AQE-coalesced (byte-minimal → 1 task) partition count.
+    # out first because its top-1 aggregation just collapsed it to
+    # AQE's byte-minimal partition count: the exchange moves only
+    # |corpus| (id, cell, vector, norm) rows, and the deterministic
+    # id-hash keying means hot cells spread over every core instead of
+    # pinning one reducer per cent_id — the skew remedy a coarse
+    # quantizer needs at scale.
+    # Round-robin, NOT hash-on-id: the top-1 aggregation upstream
+    # already hash-partitioned on id, so a keyed repartition would be
+    # elided as redundant and the scoring stage would inherit the
+    # aggregate exchange's AQE-coalesced (byte-minimal → 1 task)
+    # partition count.
     spark = corpus.sparkSession
     assigned = assigned.repartition(spark.sparkContext.defaultParallelism)
     cands = assigned.join(F.broadcast(probes), on="cent_id").select(
@@ -735,6 +798,64 @@ def pq_encode(
     )
 
 
+def _adc_subspace_sums(joined: DataFrame, query_id_col: str, id_col: str, m: int):
+    """The shared ADC reduction of pq_topk / ivfpq_topk: per-(query,
+    vec) the ``m`` subspace distances land as one conditional SUM
+    each, then fold left-to-right in FIXED s order — float addition
+    does not commute, and an orderless SUM would hash-diverge from the
+    oracle. Returns (per_sub frame, total Column). One implementation
+    so NULL handling / ordering cannot drift between the PQ variants."""
+    per_sub = joined.groupBy(query_id_col, id_col).agg(
+        *[
+            F.expr(f"sum(IF(s = {s}, d2, NULL))").alias(f"_d{s}")
+            for s in range(m)
+        ]
+    )
+    total = None
+    for s in range(m):
+        term = F.col(f"_d{s}")
+        total = term if total is None else total + term
+    return per_sub, total
+
+
+def _exact_l2_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """Shared exact-distance tail of pq_topk_reranked / ivfpq_topk:
+    fetch the true vectors of ONLY the (query, candidate) pairs,
+    exact squared-L2, top-``k`` per query (vec_id tiebreak). The
+    candidate table is narrow ids; vectors join in by key — the
+    compressed scan upstream never touched them."""
+    vec_tbl = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    qv_tbl = queries.select(
+        query_id_col, F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    exact = (
+        cand.join(vec_tbl, on=id_col)
+        .join(F.broadcast(qv_tbl), on=query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            F.round(_sq_l2(F.col("_cv"), F.col("_qv")), 6).alias("l2_d2"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.col("l2_d2").asc(), F.col(id_col))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "l2_d2", "rank")
+    )
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -774,20 +895,9 @@ def pq_topk(
         _sq_l2(F.col("subvec"), F.col("cvec")).alias("d2"),
     )
     enc = pq_encode(corpus, codebook, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col)
-    per_sub = (
-        enc.join(F.broadcast(dtab), on=["s", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(
-            *[
-                F.expr(f"sum(IF(s = {s}, d2, NULL))").alias(f"_d{s}")
-                for s in range(m)
-            ]
-        )
+    per_sub, total = _adc_subspace_sums(
+        enc.join(F.broadcast(dtab), on=["s", "code"]), query_id_col, id_col, m
     )
-    total = None
-    for s in range(m):
-        term = F.col(f"_d{s}")
-        total = term if total is None else total + term
     scored = per_sub.select(query_id_col, id_col, F.round(total, 6).alias("adc_d2"))
     w = Window.partitionBy(query_id_col).orderBy(F.col("adc_d2").asc(), F.col(id_col))
     return (
@@ -833,26 +943,8 @@ def pq_topk_reranked(
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
     ).select(query_id_col, id_col)
-    vec_tbl = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
-    )
-    qv_tbl = queries.select(
-        query_id_col, F.col(query_vec_col).cast("array<double>").alias("_qv")
-    )
-    exact = (
-        cand.join(vec_tbl, on=id_col)
-        .join(F.broadcast(qv_tbl), on=query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            F.round(_sq_l2(F.col("_cv"), F.col("_qv")), 6).alias("l2_d2"),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("l2_d2").asc(), F.col(id_col))
-    return (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "l2_d2", "rank")
+    return _exact_l2_rerank(
+        cand, corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 def ivfpq_topk(
@@ -891,21 +983,15 @@ def ivfpq_topk(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
     )
 
-    def nearest_cells(df: DataFrame, df_id: str, df_vec: str, n: int) -> DataFrame:
-        sims = df.crossJoin(F.broadcast(cents)).select(
-            F.col(df_id),
-            F.col("cent_id"),
-            cosine(df_vec, "cv").alias("_csim"),
-        )
-        w = Window.partitionBy(df_id).orderBy(F.col("_csim").desc(), F.col("cent_id"))
-        return (
-            sims.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= n)
-            .select(df_id, "cent_id")
-        )
-
-    assigned = nearest_cells(corpus, id_col, vec_col, 1)
-    probes = nearest_cells(queries, query_id_col, query_vec_col, nprobe)
+    # shared stage with ivf_topk/semdedup (keep_vec=False: the ADC
+    # path scores codes, never vectors); n=1 assignment runs as the
+    # map-side-combinable argmax.
+    assigned = _nearest_cells(
+        corpus, id_col, vec_col, cents, 1, keep_vec=False
+    )
+    probes = _nearest_cells(
+        queries, query_id_col, query_vec_col, cents, nprobe, keep_vec=False
+    )
 
     enc_cells = pq_encode(
         corpus, codebook, m=m, dsub=dsub, id_col=id_col, vec_col=vec_col
@@ -915,21 +1001,14 @@ def ivfpq_topk(
     dtab = qsubs.join(F.broadcast(codebook), on="s").select(
         query_id_col, "s", "code", _sq_l2(F.col("subvec"), F.col("cvec")).alias("d2")
     )
-    per_sub = (
-        probes.join(enc_cells, on="cent_id")
-        .join(F.broadcast(dtab), on=[query_id_col, "s", "code"])
-        .groupBy(query_id_col, id_col)
-        .agg(
-            *[
-                F.expr(f"sum(IF(s = {s}, d2, NULL))").alias(f"_d{s}")
-                for s in range(m)
-            ]
-        )
+    per_sub, total = _adc_subspace_sums(
+        probes.join(enc_cells, on="cent_id").join(
+            F.broadcast(dtab), on=[query_id_col, "s", "code"]
+        ),
+        query_id_col,
+        id_col,
+        m,
     )
-    total = None
-    for s in range(m):
-        term = F.col(f"_d{s}")
-        total = term if total is None else total + term
     wc = Window.partitionBy(query_id_col).orderBy(
         F.round(total, 6).asc(), F.col(id_col)
     )
@@ -938,26 +1017,8 @@ def ivfpq_topk(
         .filter(F.col("_rn") <= candidates)
         .select(query_id_col, id_col)
     )
-    vec_tbl = corpus.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
-    )
-    qv_tbl = queries.select(
-        query_id_col, F.col(query_vec_col).cast("array<double>").alias("_qv")
-    )
-    exact = (
-        cand.join(vec_tbl, on=id_col)
-        .join(F.broadcast(qv_tbl), on=query_id_col)
-        .select(
-            query_id_col,
-            id_col,
-            F.round(_sq_l2(F.col("_cv"), F.col("_qv")), 6).alias("l2_d2"),
-        )
-    )
-    w = Window.partitionBy(query_id_col).orderBy(F.col("l2_d2").asc(), F.col(id_col))
-    return (
-        exact.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "l2_d2", "rank")
+    return _exact_l2_rerank(
+        cand, corpus, queries, k, id_col, vec_col, query_id_col, query_vec_col
     )
 
 
@@ -989,25 +1050,17 @@ def semdedup(
     as the LSH path guards hot buckets via collapse_exact.
     """
     assigned = (
-        corpus.crossJoin(F.broadcast(centroids))
-        .withColumn("_sim", cosine(vec_col, "cv"))
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("_sim"), F.asc("cent_id")
-                )
-            ),
-        )
-        .filter(F.col("_rn") == 1)
+        # shared assignment stage (map-side-combinable argmax — the
+        # n=1 _nearest_cells path; same tiebreak as the old window)
+        _nearest_cells(corpus, "vec_id", vec_col, centroids, 1, keep_vec=True)
         # per-vector norm computed ONCE here: the pair stage below
         # evaluates O(sum |cluster|^2) comparisons, and recomputing
         # both norms per pair (cosine()) tripled its array work
         .select("vec_id", "cent_id", vec_col, l2_norm(vec_col).alias("_n"))
         # both self-join sides read this — cached, the C-way
-        # assignment crossJoin+window runs once, not twice (catalog
-        # runner clearCache()s per query; production persists the
-        # assignment as its staging table)
+        # assignment runs once, not twice (catalog runner clearCache()s
+        # per query; production persists the assignment as its staging
+        # table)
         .cache()
     )
     # The pair join's key space is only |centroids| wide — without a
@@ -1019,7 +1072,12 @@ def semdedup(
     _PAIR_SALTS = 8
     a = assigned.select(
         F.col("cent_id"),
-        F.pmod(F.col("vec_id"), F.lit(_PAIR_SALTS)).alias("_salt"),
+        # salt on a HASH of the id, not the id itself: pmod(id, S)
+        # fails analysis for string ids and clusters sequential ids;
+        # xxhash64 works for every id type and spreads uniformly
+        # (ngram_jaccard_pairs' ADVICE-r5 rule). Pair set unchanged —
+        # the salt only routes, b replicates across every salt.
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_PAIR_SALTS)).alias("_salt"),
         F.col("vec_id").alias("a_id"),
         F.col(vec_col).alias("_va"),
         F.col("_n").alias("_na"),

@@ -671,6 +671,102 @@ def test_minhash_uncached_base_no_fold_duplication(spark):
     assert fold_count(consumer) == fold_count(base)
 
 
+def test_minhash_empty_docs_one_exact_block(spark):
+    """Token-less docs (empty/whitespace/NULL text) shingle to the
+    singleton [''] set — exact duplicates of one another by the
+    documented semantic — and collapse_exact folds the block to one
+    banded representative + star edges, so a large empty-doc block
+    costs O(d), not O(d^2), on the production path."""
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    rows = [(1, ""), (2, "   "), (3, None), (4, "real text two"), (5, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_lsh_candidates(
+        df, "doc_id", "text", k=3, verify_threshold=0.99, collapse_exact=True
+    )
+    pairs = {(r.id_a, r.id_b): r.jaccard_sim for r in out.collect()}
+    # empty docs 1,2,3,5 form one exact block: star edges from rep=1
+    assert set(pairs) == {(1, 2), (1, 3), (1, 5)}
+    assert all(sim == 1.0 for sim in pairs.values())
+
+
+def test_minhash_bands_must_divide_num_hashes(spark):
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        minhash_lsh_candidates,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_lsh_candidates(df, "doc_id", "text", num_hashes=32, bands=5)
+
+
+def test_nearest_cells_agg_matches_window(spark):
+    """The n=1 map-side-combinable argmax must reproduce the ranking
+    window's assignment exactly — including the NaN ordering (Spark
+    sorts NaN above every double in BOTH paths) and the ascending
+    cent_id tiebreak."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        _nearest_cells,
+        cosine,
+    )
+    from pyspark.sql.window import Window as W
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.6, 0.8]),
+        (3, [-1.0, 0.0]),
+        (4, [0.0, 0.0]),   # zero vector: cosine NaN against every cell
+        (5, [1.0, 1.0]),   # exact tie between cells 0 and 1
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["cent_id", "cv"]
+    )
+    agg = {
+        (r.vec_id, r.cent_id)
+        for r in _nearest_cells(
+            df, "vec_id", "embedding", cents, 1, keep_vec=False
+        ).collect()
+    }
+    sims = df.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", cosine("embedding", "cv").alias("_s")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("_s").desc(), F.col("cent_id"))
+    win = {
+        (r.vec_id, r.cent_id)
+        for r in sims.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert agg == win and len(agg) == len(rows)
+
+
+def test_deterministic_shuffle_matches_global_window(spark):
+    """The two-phase bucketed prefix rank must be row-for-row
+    identical to the naive single-partition global window."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        deterministic_shuffle,
+    )
+    from pyspark.sql.window import Window as W
+
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    two_phase = {
+        (r.doc_id, r.shuffle_rank) for r in deterministic_shuffle(df).collect()
+    }
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    naive = {
+        (r.doc_id, r.shuffle_rank)
+        for r in df.withColumn(
+            "shuffle_rank",
+            F.row_number().over(W.orderBy(key, F.col("doc_id"))).cast("long"),
+        ).collect()
+    }
+    assert two_phase == naive
+
+
 def test_latency_regime_restores_confs(spark):
     """latency_regime scopes (shuffle.partitions, AQE) for tiny
     iterative loops and must restore BOTH on every exit path —
