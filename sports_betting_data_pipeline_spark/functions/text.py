@@ -85,10 +85,14 @@ def uniq_token_ratio(text: Column) -> Column:
 
 
 def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    # None means "use the default list"; an explicitly EMPTY list means
+    # "no stopwords defined" and must yield ratio 0.0, not silently
+    # fall back to the defaults (`or` is falsy on []).
+    words = STOPWORDS if stopwords is None else list(stopwords)
+    if not words:
+        return F.lit(0.0)
     toks = ws_tokens(text)
-    hits = F.size(
-        F.filter(toks, lambda t: F.lower(t).isin(*(stopwords or STOPWORDS)))
-    )
+    hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
@@ -126,18 +130,42 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_id(text: Column) -> Column:
-    """Marker-overlap language classifier with fixed tie precedence."""
-    toks = ws_tokens(F.lower(text))
-    scores = {
-        lang: F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
-        for lang, words in LANG_MARKERS.items()
-    }
-    best = F.greatest(*scores.values())
-    expr = F.lit("unknown")
-    # Build the precedence chain in reverse so earlier languages win ties.
-    for lang in reversed(list(LANG_MARKERS)):
-        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    return expr
+    """Marker-overlap language classifier with fixed tie precedence.
+
+    Double let-binding via single-element transforms (the shingles
+    technique — HOFs are excluded from subexpression elimination, so
+    naming is the only way to evaluate once): the distinct-token array
+    binds first, then the 5 marker-overlap scores bind as ONE array, so
+    tokenization runs once per row and each intersect once — the naive
+    form re-ran the full tokenize pipeline inside every score
+    reference (~10× per row: greatest + each when-condition)."""
+    langs = list(LANG_MARKERS)
+    dtoks = F.array_distinct(ws_tokens(F.lower(text)))
+
+    def decide(sc: Column) -> Column:
+        best = F.greatest(*[sc[i] for i in range(len(langs))])
+        expr = F.lit("unknown")
+        # precedence chain in reverse so earlier languages win ties
+        for i in reversed(range(len(langs))):
+            expr = F.when((sc[i] == best) & (best > 0), F.lit(langs[i])).otherwise(
+                expr
+            )
+        return expr
+
+    def score_and_decide(d: Column) -> Column:
+        scores = F.array(
+            *[
+                F.size(
+                    F.array_intersect(
+                        d, F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+                    )
+                )
+                for lang in langs
+            ]
+        )
+        return F.transform(F.array(scores), decide)[0]
+
+    return F.transform(F.array(dtoks), score_and_decide)[0]
 
 
 def fingerprint64(text: Column) -> Column:
@@ -236,7 +264,11 @@ def unigram_surprisal(
         F.col(id_col), F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("_w")
     )
     counts = toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
-    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    # N = sum of the per-word counts: one scalar off the (tiny)
+    # frequency table, NOT a second tokenize+explode pass over the
+    # corpus (same value, one corpus scan saved — at 100 TB a whole
+    # redundant pass per invocation).
+    total = counts.agg(F.sum("_c").alias("_n"))
     probs = counts.crossJoin(F.broadcast(total)).select(
         "_w", (F.col("_c") / F.col("_n")).alias("_p")
     )

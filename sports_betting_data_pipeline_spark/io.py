@@ -108,7 +108,11 @@ def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df if n >= target else df.repartition(target)
 
 
-_TABLE_CACHE: dict[tuple, DataFrame] = {}
+# key -> (fingerprint, df): staleness lives in the VALUE, not the key,
+# so a regenerated fixture OVERWRITES its entry instead of stranding the
+# old DataFrame (plan object + session reference) forever — the cache is
+# bounded at one entry per (app, dir, table).
+_TABLE_CACHE: dict[tuple, tuple[tuple[int, int], DataFrame]] = {}
 
 
 def _dir_fingerprint(path: str) -> tuple[int, int]:
@@ -165,18 +169,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.sparkContext.applicationId,
         os.path.abspath(sf_dir),
         name,
-        _dir_fingerprint(path),
     )
-    df = _TABLE_CACHE.get(key)
-    if df is None:
-        df = spark.read.parquet(path)
-        if name == "events":
-            df = normalize_events_ts(df)
-        _TABLE_CACHE[key] = df
+    stamp = _dir_fingerprint(path)
+    hit = _TABLE_CACHE.get(key)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    df = spark.read.parquet(path)
+    if name == "events":
+        df = normalize_events_ts(df)
+    _TABLE_CACHE[key] = (stamp, df)
     return df
 
 
-_ROW_COUNT_CACHE: dict[tuple, int] = {}
+_ROW_COUNT_CACHE: dict[str, tuple[tuple[int, int], int]] = {}
 
 
 def table_row_count(sf_dir: str, name: str) -> int | None:
@@ -194,8 +199,10 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
     Returns None when the footprint can't be read (caller falls back
     to measuring with a job)."""
     path = table_path(sf_dir, name)
-    key = (os.path.abspath(path), _dir_fingerprint(path))
-    n = _ROW_COUNT_CACHE.get(key)
+    key = os.path.abspath(path)
+    stamp = _dir_fingerprint(path)
+    hit = _ROW_COUNT_CACHE.get(key)
+    n = hit[1] if hit is not None and hit[0] == stamp else None
     if n is None:
         try:
             import pyarrow.parquet as pq
@@ -212,7 +219,7 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
                 n = pq.ParquetFile(path).metadata.num_rows
         except Exception:
             return None
-        _ROW_COUNT_CACHE[key] = n
+        _ROW_COUNT_CACHE[key] = (stamp, n)
     return n
 
 

@@ -111,14 +111,26 @@ def read_events_stream(
         # (st01-st10) otherwise re-lists the directory and re-reads the
         # footer (ADVICE r3).
         file_schema = _events_file_schema(spark, sf_dir)
-        # The file source needs a DIRECTORY; pathGlobFilter narrows the
-        # fixture dir to the events table only.
-        raw = (
-            spark.readStream.schema(file_schema)
-            .format("parquet")
-            .option("pathGlobFilter", "events.parquet")
-            .load(sf_dir)
-        )
+        # The file source needs a DIRECTORY. A dir-shaped table
+        # (events.parquet/ holding part files — the layout load_table
+        # and table_row_count already support) streams from the table
+        # path itself: a pathGlobFilter of 'events.parquet' would
+        # match LEAF file names and silently drain zero rows. A
+        # single-file table keeps the glob over the fixture dir.
+        tbl = table_path(sf_dir, "events")
+        if os.path.isdir(tbl):
+            raw = (
+                spark.readStream.schema(file_schema)
+                .format("parquet")
+                .load(tbl)
+            )
+        else:
+            raw = (
+                spark.readStream.schema(file_schema)
+                .format("parquet")
+                .option("pathGlobFilter", "events.parquet")
+                .load(sf_dir)
+            )
     elif source == "kafka":
         if not bootstrap_servers or not topic:
             raise ValueError("kafka source requires bootstrap_servers and topic")
@@ -154,17 +166,27 @@ def read_events_stream(
     return normalize_events_ts(raw)
 
 
-_EVENTS_SCHEMA_CACHE: dict[str, object] = {}
+_EVENTS_SCHEMA_CACHE: dict[str, tuple[tuple[int, int], object]] = {}
 
 
 def _events_file_schema(spark: SparkSession, sf_dir: str):
-    """Footer-read the events schema once per fixture dir (the fixture
-    regenerates only between driver rounds, so a process-lifetime memo
-    is safe; keyed on the dir so multiple sf dirs coexist)."""
-    schema = _EVENTS_SCHEMA_CACHE.get(sf_dir)
-    if schema is None:
-        schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-        _EVENTS_SCHEMA_CACHE[sf_dir] = schema
+    """Footer-read the events schema once per fixture dir. The memo
+    stores the directory fingerprint (max mtime_ns + entry count — the
+    io.load_table stamp, ADVICE r6) alongside the schema: a fixture
+    regenerated mid-process that switches generations (ns-as-long
+    bigint ts ↔ timestamp[us]) re-resolves instead of serving a stale
+    reader schema. Keyed on the ABSOLUTE dir so relative spellings of
+    the same fixture share one entry; superseded fingerprints are
+    overwritten in place, so the cache stays one entry per dir."""
+    from sports_betting_data_pipeline_spark.io import _dir_fingerprint
+
+    path = table_path(os.path.abspath(sf_dir), "events")
+    stamp = _dir_fingerprint(path)
+    hit = _EVENTS_SCHEMA_CACHE.get(path)
+    if hit is not None and hit[0] == stamp:
+        return hit[1]
+    schema = spark.read.parquet(path).schema
+    _EVENTS_SCHEMA_CACHE[path] = (stamp, schema)
     return schema
 
 
@@ -324,6 +346,15 @@ def latest_per_key_upsert(
     (mm_calls.py:105, 261, 325) — durable, exactly-once per batch, and
     expressible as a batch MERGE so the oracle can check the final
     state.
+
+    A caller-supplied ``state_dir`` is the DURABLE contract: the
+    checkpoint inside it records processed source files, so a repeat
+    call with the same dir RESUMES — already-committed files are not
+    reprocessed and the existing state table carries forward (that is
+    the exactly-once point; it is why the default is a fresh temp dir
+    per call, the run_stream_to_table rule). Rewriting a source file
+    in place under a reused state_dir therefore does NOT re-ingest it;
+    land new data as NEW files, or use a fresh state_dir.
     """
     spark = events.sparkSession
     state_dir = state_dir or tempfile.mkdtemp(prefix="upsert_state_")
@@ -353,6 +384,12 @@ def latest_per_key_upsert(
         .start()
     )
     query.awaitTermination()
+    if not os.path.exists(state_path):
+        # zero microbatches (empty source, or a resumed checkpoint
+        # with nothing new and no prior state): the upsert of nothing
+        # is an EMPTY state table, not a read error. Columns match the
+        # merge output (_latest_per_user preserves the event schema).
+        return spark.createDataFrame([], events.schema)
     return spark.read.parquet(state_path)
 
 
@@ -554,8 +591,14 @@ DOCUMENTS_RAW = T.StructType(
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source readStream over the documents fixture (same
-    source-agnostic posture as read_events_stream)."""
+    source-agnostic posture — and the same dir-shaped-table handling —
+    as read_events_stream)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    tbl = table_path(sf_dir, "documents")
+    if os.path.isdir(tbl):
+        return (
+            spark.readStream.schema(DOCUMENTS_RAW).format("parquet").load(tbl)
+        )
     return (
         spark.readStream.schema(DOCUMENTS_RAW)
         .format("parquet")

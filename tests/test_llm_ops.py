@@ -981,6 +981,40 @@ def test_token_budget_selection_order_and_cut(spark):
     assert [r["doc_id"] for r in rows] == [3]
 
 
+def test_stopword_ratio_empty_list_means_no_stopwords(spark):
+    """stopwords=[] means 'no stopwords defined' (ratio 0.0), not a
+    silent fallback to the English defaults; None keeps the defaults."""
+    from sports_betting_data_pipeline_spark.functions.text import stopword_ratio
+
+    df = spark.createDataFrame([("the and of cat",)], ["text"])
+    row = df.select(
+        F.round(stopword_ratio(F.col("text")), 6).alias("dflt"),
+        stopword_ratio(F.col("text"), []).alias("empty"),
+        F.round(stopword_ratio(F.col("text"), ["cat"]), 6).alias("custom"),
+    ).collect()[0]
+    assert row.dflt == 0.75     # the/and/of out of 4 tokens
+    assert row.empty == 0.0
+    assert row.custom == 0.25
+
+
+def test_lang_id_single_tokenize_in_plan(spark):
+    """lang_id must let-bind its tokenize pipeline: the analyzed
+    expression carries exactly ONE split() instance (HOFs are excluded
+    from subexpression elimination, so a per-score re-tokenize would
+    run ~10x per row)."""
+    from sports_betting_data_pipeline_spark.functions.text import lang_id
+
+    df = spark.createDataFrame(
+        [(1, "the of and to quick brown"), (2, "el la de que en perro")],
+        ["doc_id", "text"],
+    )
+    out = df.select("doc_id", lang_id(F.col("text")).alias("lang"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1
+    got = {r.doc_id: r.lang for r in out.collect()}
+    assert got == {1: "en", 2: "es"}
+
+
 def test_ivfpq_recall_and_pruning(spark, sf_dir):
     """IVF-PQ must (a) beat the random baseline decisively after cell
     pruning + compression + re-rank, and (b) never return a vector

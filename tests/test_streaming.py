@@ -317,6 +317,53 @@ def test_upsert_rerun_with_same_checkpoint_is_idempotent(spark, sf_dir, tmp_path
     assert snap2 == snap1
 
 
+def test_upsert_empty_source_returns_empty_state(spark, tmp_path):
+    """Zero microbatches (empty source dir) must yield an EMPTY state
+    table with the event schema, not a read error on the never-written
+    state path."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        latest_per_key_upsert,
+    )
+
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    schema = "user_id BIGINT, event_id BIGINT, ts TIMESTAMP"
+    stream = spark.readStream.schema(schema).format("parquet").load(str(src))
+    out = latest_per_key_upsert(stream, state_dir=str(tmp_path / "state"))
+    assert out.count() == 0
+    assert out.columns == ["user_id", "event_id", "ts"]
+
+
+def test_events_stream_reads_dir_shaped_table(spark, sf_dir, tmp_path):
+    """A dir-shaped events.parquet (directory of part files — the
+    layout load_table already supports) must stream its rows; the
+    single-file glob path would match leaf names and silently drain
+    zero rows."""
+    import shutil
+
+    from sports_betting_data_pipeline_spark.io import load_table
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    fixture_dir = tmp_path / "fixture"
+    tbl = fixture_dir / "events.parquet"
+    tbl.mkdir(parents=True)
+    # re-land the batch events table as two part files under the dir
+    load_table(spark, sf_dir, "events").limit(100).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "_stage"))
+    for p in (tmp_path / "_stage").iterdir():
+        if p.name.endswith(".parquet"):
+            shutil.copy(p, tbl / p.name)
+    stream = read_events_stream(spark, str(fixture_dir))
+    out = run_stream_to_table(
+        stream.groupBy().count(), f"dirshape_{tmp_path.name}", "complete"
+    )
+    assert out.collect()[0][0] == 100
+
+
 def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     """Late-data policy across MICROBATCHES (single-file drains never
     move the watermark mid-stream, so they cannot test this). Spark's
