@@ -60,9 +60,16 @@ def asof_join(
     payload_t = F.struct(F.col(ts), *[F.col(c) for c in payload_cols])
     # At equal ts the right row must sort BEFORE the left row for <=
     # semantics (the left row sees it) and AFTER for strict <.
-    r = right.select(
-        F.col(key), F.col(ts), payload_t.alias("_asof_p")
-    ).withColumn("_ord", F.lit(1 if strict else 0))
+    # NULL-ts right rows are dropped up front: `right.ts <= left.ts`
+    # can never hold for an unknown timestamp, but the ascending sort
+    # is NULLS FIRST, so such a row would otherwise sort to the head
+    # of its key partition and its payload would attach to every left
+    # row that has no real preceding right row.
+    r = (
+        right.filter(F.col(ts).isNotNull())
+        .select(F.col(key), F.col(ts), payload_t.alias("_asof_p"))
+        .withColumn("_ord", F.lit(1 if strict else 0))
+    )
     l = left.withColumn("_ord", F.lit(0 if strict else 1))
     merged = l.unionByName(r, allowMissingColumns=True)
 

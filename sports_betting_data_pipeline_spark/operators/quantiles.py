@@ -86,6 +86,11 @@ def exact_quantile_cuts(
     candidates remain).
     """
     spark = df.sparkSession
+    if not list(probs):
+        # no requested quantiles: empty result, no column scan at all
+        return spark.range(1).select(
+            F.expr("CAST(array() AS array<double>)").alias("qs")
+        )
     vals = df.select(F.col(col).alias("v")).filter(F.col("v").isNotNull())
     head = vals.agg(
         F.count("v").alias("n"), F.min("v").alias("mn"), F.max("v").alias("mx")
@@ -96,6 +101,19 @@ def exact_quantile_cuts(
             F.expr("CAST(array() AS array<double>)").alias("qs")
         )
     mn, mx = float(head["mn"]), float(head["mx"])
+    if mn == mx:
+        # Constant column: every quantile IS mn — resolve from the head
+        # aggregate alone. Without this the refinement loop never
+        # activates (no interval to narrow) and the final pass would
+        # window the ENTIRE column per rank on one reducer — the exact
+        # single-node funnel this operator exists to avoid.
+        cut = f"CAST({mn!r}D AS DOUBLE)"
+        if round_to is not None:
+            # Spark's round (HALF_UP), not Python's round (banker's) —
+            # the same expression the in-plan path applies.
+            cut = f"round({cut}, {int(round_to)})"
+        arr = ", ".join(cut for _ in probs)
+        return spark.range(1).select(F.expr(f"array({arr})").alias("qs"))
 
     # Target ranks (0-based) per prob: pos = p·(n−1), lo/hi bracket it.
     parts = []  # (pi, lo_rank, hi_rank, frac)

@@ -244,6 +244,18 @@ def bloom_prefilter(
     bloom-positive rows, a >90% payload cut when the build side is
     selective.
     """
+    # xxhash64 is TYPE-sensitive (int 5 and bigint 5 hash differently),
+    # so a probe/build key type mismatch that the exact equi-join would
+    # implicitly cast into a match would produce silent FALSE NEGATIVES
+    # here. Refuse it loudly — the caller casts one side explicitly.
+    probe_t = dict(probe.dtypes)[probe_key]
+    build_t = dict(build_keys.dtypes)[build_key]
+    if probe_t != build_t:
+        raise ValueError(
+            f"bloom_prefilter key types must match exactly (xxhash64 is "
+            f"type-sensitive): probe {probe_key}:{probe_t} vs build "
+            f"{build_key}:{build_t} — cast one side first"
+        )
     # shiftleft/shiftright take a literal int in the DataFrame API;
     # the SQL forms accept column shift amounts, so the bit math uses
     # F.expr over named columns.

@@ -27,16 +27,23 @@ def scd2_apply(
     """Return the post-merge SCD2 history table.
 
     ``dim``: current snapshot — one OPEN row per ``key`` with columns
-    ``[key, *attrs]`` (``valid_from`` defaults to ``initial``).
-    ``updates``: the new batch, same columns. ``effective``: the batch
-    timestamp (ISO date string).
+    ``[key, *attrs]``. When ``dim`` also carries a ``valid_from``
+    column it is PRESERVED on the old versions (this is what makes the
+    operator chainable: feed batch N's current rows back in and a row
+    opened at batch N−1's effective date keeps that date); without
+    one, ``initial`` stamps the pre-history snapshot. ``updates``: the
+    new batch, ``[key, *attrs]``. ``effective``: the batch timestamp
+    (ISO date string).
 
     Output columns: ``[key, *attrs, valid_from, valid_to,
     is_current]``; changed keys contribute a closed old row and an
     open new row, new keys an open row, unchanged/untouched keys pass
     through open.
     """
-    d = dim.select(key, *attrs).alias("d")
+    has_vf = "valid_from" in dim.columns
+    d = dim.select(
+        key, *attrs, *(["valid_from"] if has_vf else [])
+    ).alias("d")
     u = updates.select(key, *attrs).alias("u")
 
     def col(side: str, name: str) -> Column:
@@ -46,23 +53,25 @@ def scd2_apply(
     for a in attrs:
         changed = changed | ~col("d", a).eqNullSafe(col("u", a))
 
+    eff = F.lit(effective).cast("date")
+    init = F.lit(initial).cast("date")
+    d_vf = F.col("d.valid_from").cast("date") if has_vf else init
+
     j = d.join(u, F.col(f"d.{key}") == F.col(f"u.{key}"), "full_outer").select(
         F.coalesce(col("d", key), col("u", key)).alias(key),
         *[col("d", a).alias(f"_d_{a}") for a in attrs],
         *[col("u", a).alias(f"_u_{a}") for a in attrs],
+        d_vf.alias("_d_vf"),
         col("d", key).isNotNull().alias("_in_dim"),
         col("u", key).isNotNull().alias("_in_upd"),
         changed.alias("_changed"),
     )
 
-    eff = F.lit(effective).cast("date")
-    init = F.lit(initial).cast("date")
-
     # Old versions: every dim row; closed iff superseded by a change.
     old_rows = j.filter(F.col("_in_dim")).select(
         key,
         *[F.col(f"_d_{a}").alias(a) for a in attrs],
-        init.alias("valid_from"),
+        F.col("_d_vf").alias("valid_from"),
         F.when(F.col("_in_upd") & F.col("_changed"), eff).alias("valid_to"),
         (~(F.col("_in_upd") & F.col("_changed"))).alias("is_current"),
     )

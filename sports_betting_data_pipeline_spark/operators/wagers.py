@@ -43,8 +43,12 @@ def place_wagers(
     uuid1 external id (mm_calls.py:245) is md5 of the event key; the
     ladder draw (mm_calls.py:410-418) is keyed on event_id.
     """
+    from sports_betting_data_pipeline_spark.operators.relational import (
+        deterministic_sample,
+    )
+
     return (
-        events.filter(F.pmod(F.col("event_id"), F.lit(out_of)) < F.lit(keep))
+        deterministic_sample(events, "event_id", keep, out_of)
         .select(
             F.md5(F.concat(F.lit("wager-"), F.col("event_id").cast("string"))).alias(
                 "external_id"

@@ -98,6 +98,14 @@ class HttpTransport:
                     )
                 else:
                     status, body = self.http_get(self.url)
+            except AuthError:
+                # Auth misconfiguration is NOT a transient client
+                # error: the reference hard-stops on a failed login
+                # (mm_calls.py:42-44), and retrying/converting to
+                # TransportError would let snapshot_source silently
+                # degrade into the constants fallback — the exact
+                # outcome AuthError exists to prevent.
+                raise
             except Exception as e:  # noqa: BLE001 - client error = failed attempt
                 last = f"client error: {e}"
                 continue

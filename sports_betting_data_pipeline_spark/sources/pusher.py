@@ -126,7 +126,12 @@ class PusherSession:
             if event == PING:
                 self._send(json.dumps({"event": PONG, "data": {}}))
                 continue
-            if event.startswith("pusher:"):  # control frames: not data
+            # control frames: not data. A real Pusher server also sends
+            # pusher_internal:* frames (subscription_succeeded after
+            # every subscribe) whose payload is NOT a base64 envelope —
+            # yielding them would inject all-null decoded rows into the
+            # stream once per subscription/reconnect.
+            if event.startswith(("pusher:", "pusher_internal:")):
                 continue
             yield {
                 "channel": frame.get("channel", ""),

@@ -71,6 +71,37 @@ def test_pusher_handshake_subscribes_all_channels():
     ]
 
 
+def test_pusher_internal_frames_are_control_not_data():
+    """Real servers send pusher_internal:subscription_succeeded after
+    every subscribe; those are control frames — yielding them would
+    inject undecodable envelopes into the stream."""
+    frames = [
+        _established("9.1"),
+        json.dumps(
+            {
+                "event": "pusher_internal:subscription_succeeded",
+                "channel": "broadcast_markets",
+                "data": "{}",
+            }
+        ),
+        json.dumps(
+            {"channel": "broadcast_markets", "event": "t_1", "data": "QUJD"}
+        ),
+    ]
+    sent: list[str] = []
+    sess = PusherSession(
+        frames,
+        sent.append,
+        lambda sid: [
+            {"channel_name": "broadcast_markets", "events": [{"name": "t_1"}]}
+        ],
+    )
+    msgs = list(sess.messages())
+    assert msgs == [
+        {"channel": "broadcast_markets", "event": "t_1", "payload": "QUJD"}
+    ]
+
+
 def test_private_channel_subscribe_carries_auth_signature():
     """Private-channel subscribes include the per-channel auth
     signature from the auth seam (Pusher's private-channel contract);

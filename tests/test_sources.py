@@ -381,6 +381,39 @@ def test_auth_session_login_refresh_rotation_and_hooks():
     assert s.maybe_refresh() is False
 
 
+def test_http_transport_propagates_auth_error_no_fallback():
+    """An auth misconfiguration must hard-stop (the reference exits on
+    a failed login), never be retried as a transient client error and
+    converted to TransportError — which snapshot_source would swallow
+    into the constants fallback."""
+    import pytest as _pytest
+
+    from sports_betting_data_pipeline_spark.sources.http import (
+        AuthError,
+        HttpTransport,
+    )
+
+    class _NeverLoggedIn:
+        def maybe_refresh(self):
+            raise AuthError("not logged in")
+
+        def auth_headers(self):  # pragma: no cover - unreachable
+            return {}
+
+    calls = {"n": 0}
+
+    def getter(url, headers=None):
+        calls["n"] += 1
+        return 200, b"{}"
+
+    t = HttpTransport(
+        "https://example.test/x", getter, retries=3, auth=_NeverLoggedIn()
+    )
+    with _pytest.raises(AuthError):
+        t()
+    assert calls["n"] == 0  # failed before any network attempt, no retries
+
+
 def test_auth_session_failed_login_raises_failed_refresh_keeps_token():
     import pytest as _pytest
 

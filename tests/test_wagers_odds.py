@@ -121,6 +121,73 @@ def test_asof_join_unmatched_left_null_vs_inner(spark):
     )
 
 
+def test_asof_join_ignores_null_ts_right_rows(spark):
+    """A right row with NULL ts can never satisfy right.ts <= left.ts;
+    NULLS FIRST ordering must not attach its payload to left rows that
+    have no real preceding right row."""
+    left = spark.createDataFrame([(1, _t(1), "L")], ["k", "ts", "lv"])
+    right = spark.createDataFrame(
+        [(1, None, "garbage"), (1, _t(5), "later")], ["k", "ts", "rv"]
+    )
+    [row] = asof_join(left, right, key="k", ts="ts", payload_cols=["rv"]).collect()
+    assert row.asof is None
+    assert (
+        asof_join(left, right, key="k", ts="ts", payload_cols=["rv"], how="inner")
+        .count()
+        == 0
+    )
+
+
+def test_bloom_prefilter_rejects_key_type_mismatch(spark):
+    """xxhash64 is type-sensitive; a silent int/bigint mismatch would
+    produce false negatives, so the operator must refuse it."""
+    import pytest as _pytest
+
+    from sports_betting_data_pipeline_spark.operators.relational import (
+        bloom_prefilter,
+    )
+
+    probe = spark.createDataFrame([(5,)], ["k"]).select(
+        F.col("k").cast("int").alias("k")
+    )
+    build = spark.createDataFrame([(5,)], ["k"]).select(
+        F.col("k").cast("bigint").alias("k")
+    )
+    with _pytest.raises(ValueError, match="type"):
+        bloom_prefilter(probe, "k", build, "k")
+
+
+def test_scd2_apply_chains_preserving_valid_from(spark):
+    """Feeding batch N's current rows back in must keep the valid_from
+    a row was opened at — not rewrite it to the initial constant."""
+    from sports_betting_data_pipeline_spark.operators.scd import scd2_apply
+
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "attr"])
+    h1 = scd2_apply(dim, spark.createDataFrame([(1, "a2")], ["k", "attr"]),
+                    "k", ["attr"], effective="2024-02-01")
+    cur1 = h1.filter(F.col("is_current")).select("k", "attr", "valid_from")
+    h2 = scd2_apply(cur1, spark.createDataFrame([(1, "a3")], ["k", "attr"]),
+                    "k", ["attr"], effective="2024-03-01")
+    rows = {(r.k, r.attr): r for r in h2.collect()}
+    closed = rows[(1, "a2")]
+    assert str(closed.valid_from) == "2024-02-01"  # NOT 1970-01-01
+    assert str(closed.valid_to) == "2024-03-01" and not closed.is_current
+    assert str(rows[(1, "a3")].valid_from) == "2024-03-01"
+    assert str(rows[(2, "b")].valid_from) == "1970-01-01"  # pre-history
+
+
+def test_exact_quantile_cuts_constant_and_empty_probs(spark):
+    from sports_betting_data_pipeline_spark.operators.quantiles import (
+        exact_quantile_cuts,
+    )
+
+    const = spark.range(100000).select(F.lit(7.0).alias("v"))
+    [row] = exact_quantile_cuts(const, "v", [0.0, 0.5, 1.0]).collect()
+    assert row.qs == [7.0, 7.0, 7.0]
+    [row] = exact_quantile_cuts(const, "v", []).collect()
+    assert row.qs == []
+
+
 def test_range_join_count_boundaries(spark):
     # interval [12:10, 12:20): 12:10 in, 12:20 out, other key out.
     intervals = spark.createDataFrame(
