@@ -312,8 +312,6 @@ def sql04_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # form because DuckDB evaluates CTEs once.
     from pyspark.sql.window import Window
 
-    from sports_betting_data_pipeline_spark.session import latency_regime
-
     flows = _trade_flows(spark, sf_dir).filter(F.col("src") != F.col("dst"))
     w = Window.partitionBy("src").orderBy(F.desc("rev"), F.asc("dst"))
     edges = (
@@ -322,9 +320,15 @@ def sql04_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .cache()
     )
-    n_edges = edges.count()  # fill at full parallelism; loop size bound
     edges.createOrReplaceTempView("trade_edges_sql04")
-    reach = spark.sql(
+    # NOT wrapped in latency_regime: the g01/g02 two-phase treatment
+    # (cache-fill count, then materialize the fixpoint in the small
+    # regime) was built and measured SLOWER here — interleaved A/B
+    # gave 2.6-3.1 s vs 2.0 s for this one-action form. The recursive
+    # CTE's internal loop does its own planning per step regardless of
+    # AQE, so the regime saved nothing and the separate cache-fill
+    # count became a pure extra job.
+    return spark.sql(
         """
         WITH RECURSIVE reach(node, hop) AS (
             SELECT 0 AS node, 0 AS hop
@@ -338,8 +342,3 @@ def sql04_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY node
         """
     )
-    # The recursion's ~6 internal union steps execute at ACTION time,
-    # so materialize (≤25 rows) inside the latency regime — each step
-    # is a broadcast-size join over the 75-row cached edge view.
-    with latency_regime(spark, n_edges):
-        return reach.localCheckpoint(eager=True)
