@@ -92,8 +92,15 @@ def snap_to_ladder(value: Column) -> Column:
     neg = -_snap_magnitude(-v, 101, tie_up=True)  # nearest rung <= -101
     d_pos = F.abs(pos - v)
     d_neg = F.abs(neg - v)
-    # tie -> neg (always the smaller rung)
-    return F.when(d_neg <= d_pos, neg).otherwise(pos)
+    # NULL/NaN propagate as NULL (like implied_probability/
+    # decimal_odds): without the guard, least/greatest skip nulls so
+    # NULL clamped to the +10000 rung and NaN fell through the tie
+    # comparison to the -10000 arm — phantom extreme-rung counts from
+    # missing odds.
+    snapped = F.when(d_neg <= d_pos, neg).otherwise(pos)
+    return F.when(
+        v.isNull() | F.isnan(v), F.lit(None).cast("double")
+    ).otherwise(snapped)
 
 
 def drawn_odds(row_id: Column) -> Column:

@@ -32,6 +32,10 @@ Documented semantic deltas from the reference (all crash-vs-default):
   raises ValueError);
 - empty inner selection list in branch A → ``""`` selection columns
   (reference raises IndexError);
+- a NULL ``selections`` ARRAY drops that market line (branch A) /
+  market (branch B) from the sheet — matching DuckDB ``unnest(NULL)``
+  so the oracle agrees; the reference dies iterating None
+  (DELTAS.md #12);
 - ``updated_at`` ns→µs uses exact integer division (reference's
   ``/1e9`` double math can round the last µs digit, main.py:126-128).
 
@@ -135,6 +139,11 @@ def flatten_sheet(events: DataFrame, fidelity: bool = False) -> DataFrame:
     ``events`` must carry columns event_id, scheduled, display_name,
     status, competitors, markets per schemas.SPORT_EVENT.
     """
+    # The C1/C3/C4 renderings below require a UTC session zone
+    # (operators/temporal.py's session-timezone contract); pin it here
+    # like read_events_stream does, so a caller-provided session with
+    # a host-local zone cannot double-shift the rendered strings.
+    events.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     event_cols = ["event_id", "scheduled", "display_name", "status", "competitors"]
     # Flatten market struct fields to top-level columns right after the
     # explode: keeps every later reference a plain attribute (avoids

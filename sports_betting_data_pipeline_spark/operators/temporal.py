@@ -20,6 +20,22 @@ DuckDB's ns→µs behavior.
 
 All functions return Column expressions (whole-stage-codegen friendly;
 no Python UDFs).
+
+SESSION-TIMEZONE CONTRACT: every rendering assumes
+``spark.sql.session.timeZone = UTC`` (``date_format`` renders in the
+session zone, so a non-UTC session double-shifts C3/C4 strings). The
+engine pins it everywhere a session passes through its hands —
+``session.get_spark``, ``io._ensure_engine_confs`` (i.e. every
+``load_table``), ``streaming.read_events_stream``, and
+``flatten.flatten_sheet`` — so catalog queries cannot see a non-UTC
+session; callers composing these Columns over NON-engine DataFrames
+must pin the conf themselves.
+
+Known bound: ``utc_offset_string`` renders ``±HH:MM`` — pre-1883 LMT
+offsets with a seconds component (e.g. America/New_York −04:56:02)
+truncate to minutes where Python ``str()`` would include seconds. No
+reachable input (betting events, modern epochs) has a sub-minute
+offset; noted for the bit-exactness claim's completeness.
 """
 
 from __future__ import annotations

@@ -121,6 +121,22 @@ def test_asof_join_unmatched_left_null_vs_inner(spark):
     )
 
 
+def test_snap_to_ladder_propagates_null_and_nan(spark):
+    """Missing odds must stay missing: NULL used to clamp to the
+    +10000 rung (least/greatest skip nulls) and NaN fell through the
+    tie comparison to -10000 — phantom extreme-rung counts."""
+    from sports_betting_data_pipeline_spark.functions.odds import snap_to_ladder
+
+    df = spark.createDataFrame(
+        [(1, None), (2, float("nan")), (3, 150.0)], ["i", "v"]
+    )
+    got = {
+        r.i: r.s
+        for r in df.select("i", snap_to_ladder(F.col("v")).alias("s")).collect()
+    }
+    assert got[1] is None and got[2] is None and got[3] == 150.0
+
+
 def test_asof_join_ignores_null_ts_right_rows(spark):
     """A right row with NULL ts can never satisfy right.ts <= left.ts;
     NULLS FIRST ordering must not attach its payload to left rows that
