@@ -98,9 +98,9 @@ def snap_to_ladder(value: Column) -> Column:
     # comparison to the -10000 arm — phantom extreme-rung counts from
     # missing odds.
     snapped = F.when(d_neg <= d_pos, neg).otherwise(pos)
-    return F.when(
-        v.isNull() | F.isnan(v), F.lit(None).cast("double")
-    ).otherwise(snapped)
+    # untyped NULL literal: coerces to snapped's own (long) type —
+    # an explicit cast here would promote the whole expression
+    return F.when(v.isNull() | F.isnan(v), F.lit(None)).otherwise(snapped)
 
 
 def drawn_odds(row_id: Column) -> Column:
