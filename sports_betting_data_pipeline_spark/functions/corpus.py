@@ -294,10 +294,16 @@ def deterministic_shuffle(
     within buckets in parallel and add the bucket's offset —
     row-for-row identical to the naive global window (pinned by
     test_deterministic_shuffle_matches_global_window). md5 is uniform,
-    so buckets are balanced by construction (~N/4096 rows each)."""
+    so buckets are balanced by construction (~N/4096 rows each).
+
+    NULL ids: md5(NULL) is NULL, and a NULL bucket key would silently
+    drop the row at the inner bucket-prefix join (NULL never equals
+    NULL in a join). Those rows are bucketed to '' instead — '' sorts
+    before '000', and ASC-NULLS-FIRST within the bucket reproduces the
+    global window's nulls-first rank 1..k exactly."""
     base = df.withColumn(
         "_sk", F.md5(F.col(id_col).cast("string").cast("binary"))
-    ).withColumn("_bk", F.substring("_sk", 1, 3))
+    ).withColumn("_bk", F.coalesce(F.substring("_sk", 1, 3), F.lit("")))
     counts = base.groupBy("_bk").agg(F.count(F.lit(1)).alias("_bn"))
     wb = Window.orderBy("_bk").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -349,7 +355,15 @@ def temperature_mixture(
         # land on the wrong side of an integer once n_target × _w
         # exceeds 2^53, and the DuckDB oracle computes `//` (exact
         # floor) — pack_sequences' own integer-div rule applied here.
-        F.expr(f"({int(n_target)}L * _w) div _tw").alias("_quota"),
+        # The multiply runs in DECIMAL(38,0): a bigint product would
+        # silently wrap past 2^63 in non-ANSI mode — exactly the
+        # large-corpus regime this quota targets. The quotient itself
+        # is ≤ n_target, so the final LONG cast is always exact.
+        F.expr(
+            f"CAST((CAST({int(n_target)} AS DECIMAL(19,0))"
+            f" * CAST(_w AS DECIMAL(19,0)))"
+            f" div CAST(_tw AS DECIMAL(38,0)) AS LONG)"
+        ).alias("_quota"),
     )
     key = F.md5(F.col(id_col).cast("string").cast("binary"))
     w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))

@@ -28,6 +28,34 @@ def _qname(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+# sqrt-N cell rule bounds. The floor keeps tiny fixtures on the same
+# code path the oracle queries pin; the cap bounds the broadcast
+# centroid table (~64k × dim doubles) and the per-row assignment work.
+IVF_MIN_CENTROIDS = 8
+IVF_MAX_CENTROIDS = 65536
+
+
+def default_n_centroids(n_rows: int) -> int:
+    """Cell count for an IVF index over ``n_rows`` vectors: ~sqrt(N),
+    clamped to [8, 65536].
+
+    This is the sf1 posture rule promoted to the API default (SCALE.md
+    "sf1 posture"): at a FIXED cell count the per-query candidate list
+    is nprobe·N/C, so scoring grows ~N²/C — the l43 replay measured
+    ×8.3 wall-clock for 10× data at C=16, and linear again at C=160.
+    C ≈ √N keeps candidates-per-query ≈ nprobe·√N (the classic IVF
+    sizing, e.g. FAISS's 4√N–16√N guideline), so doubling the corpus
+    grows per-query work by ~√2, not ~2. Explicit ``n_centroids``
+    always wins — the hash-checked catalog queries pass it.
+    """
+    import math
+
+    return max(
+        IVF_MIN_CENTROIDS,
+        min(IVF_MAX_CENTROIDS, math.isqrt(max(0, int(n_rows)))),
+    )
+
+
 def _dot_sql(a: str, b: str) -> str:
     return (
         f"aggregate(zip_with({a}, {b}, "
@@ -333,7 +361,7 @@ def embedding_neardup_pairs(
 
 def kmeans_centroids(
     corpus: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     seed: int = 42,
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -355,6 +383,10 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_centroids is None:
+        # sqrt-N cell rule (see default_n_centroids) — trained and
+        # deterministic quantizers must size cells the same way.
+        n_centroids = default_n_centroids(corpus.count())
     feats = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
@@ -440,7 +472,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -459,6 +491,8 @@ def ivf_topk(
     quantizer: trained cells are tighter, so the same nprobe recovers
     more true neighbors (recall@k improvement pinned in
     tests/test_llm_ops.py). Every plan shape below is identical.
+    ``n_centroids=None`` sizes the cell count by the √N rule
+    (:func:`default_n_centroids`) from one count of the corpus.
 
     Scale: assignment is a broadcast of C centroid vectors + C
     cosine evaluations per corpus row (map-side, one pass); the
@@ -469,6 +503,12 @@ def ivf_topk(
     if centroids is not None:
         cents = centroids.select("cent_id", F.col("cv").cast("array<double>").alias("cv"))
     else:
+        if n_centroids is None:
+            # sqrt-N cell rule (SCALE.md sf1 posture): a fixed default
+            # C silently degrades to ~N²/C scoring as the corpus
+            # grows. One footer-fast count sizes the index at build
+            # time; explicit n_centroids (every oracle query) skips it.
+            n_centroids = default_n_centroids(corpus.count())
         cents = corpus.filter(F.col(id_col) < n_centroids).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
         )
@@ -951,7 +991,7 @@ def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
     codebook: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     nprobe: int = 3,
     candidates: int = 50,
     k: int = 10,
@@ -979,6 +1019,9 @@ def ivfpq_topk(
     Shuffles: cell assignment window, per-(id,s) argmin, ADC
     aggregate, two top-k windows — all narrow rows.
     """
+    if n_centroids is None:
+        # sqrt-N cell rule (see default_n_centroids).
+        n_centroids = default_n_centroids(corpus.count())
     cents = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cv")
     )

@@ -138,6 +138,15 @@ def flatten_sheet(events: DataFrame, fidelity: bool = False) -> DataFrame:
 
     ``events`` must carry columns event_id, scheduled, display_name,
     status, competitors, markets per schemas.SPORT_EVENT.
+
+    SIDE EFFECT: permanently pins ``spark.sql.session.timeZone=UTC``
+    on the caller's session (the engine-wide contract,
+    operators/temporal.py). It cannot be scoped with a set/restore
+    context manager because the returned DataFrame is lazy — the
+    rendering runs whenever the CALLER consumes the plan, long after
+    any restore would have fired. Callers that need host-local-zone
+    rendering elsewhere should use ``spark.newSession()`` for that
+    work.
     """
     # The C1/C3/C4 renderings below require a UTC session zone
     # (operators/temporal.py's session-timezone contract); pin it here

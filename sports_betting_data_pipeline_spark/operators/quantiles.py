@@ -107,13 +107,17 @@ def exact_quantile_cuts(
         # activates (no interval to narrow) and the final pass would
         # window the ENTIRE column per rank on one reducer — the exact
         # single-node funnel this operator exists to avoid.
-        cut = f"CAST({mn!r}D AS DOUBLE)"
+        # Build the literal with F.lit, not a string-formatted SQL
+        # fragment: repr(inf) is 'inf', which Spark's parser rejects,
+        # while F.lit round-trips any IEEE double (±Infinity included).
+        cut = F.lit(mn).cast("double")
         if round_to is not None:
             # Spark's round (HALF_UP), not Python's round (banker's) —
             # the same expression the in-plan path applies.
-            cut = f"round({cut}, {int(round_to)})"
-        arr = ", ".join(cut for _ in probs)
-        return spark.range(1).select(F.expr(f"array({arr})").alias("qs"))
+            cut = F.round(cut, int(round_to))
+        return spark.range(1).select(
+            F.array(*[cut for _ in probs]).alias("qs")
+        )
 
     # Target ranks (0-based) per prob: pos = p·(n−1), lo/hi bracket it.
     parts = []  # (pi, lo_rank, hi_rank, frac)

@@ -29,6 +29,24 @@ from pyspark.sql import DataFrame, SparkSession
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
+# Every rows-only query (no oracle_sql — the driver records a weaker
+# rows-only check) MUST name hash-checked sibling queries that pin the
+# same machinery end-to-end. tests/test_rotation.py enforces this map:
+# adding a rows-only query without a hash-checked twin fails CI.
+ROWS_ONLY_SIBLINGS: dict[str, tuple[str, ...]] = {
+    # xxhash64 is Spark-internal (no DuckDB twin); l58 runs the same
+    # SimHash pipeline on a portable md5-derived hash, hash-checked,
+    # and l08/l12 hash-check the MinHash/LSH machinery around it.
+    "l09_simhash_neardup": ("l58_simhash_portable", "l08_minhash_lsh",
+                            "l12_embedding_neardup"),
+    # iterative k-means|| has no closed-form SQL; l13/l36 hash-check
+    # the IVF assign/probe machinery with fixed centroids.
+    "l23_ann_ivf_kmeans": ("l13_ann_ivf", "l36_ann_ivfpq"),
+    # stateful streaming near-dup state is not DuckDB-expressible;
+    # l30 hash-checks the same banded-signature filter as a batch plan.
+    "st09_stream_neardup_filter": ("l30_incremental_neardup",),
+}
+
 
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and optional oracle SQL) to the catalog."""

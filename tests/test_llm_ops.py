@@ -580,6 +580,45 @@ def test_ivf_kmeans_quantizer_improves_recall(spark):
     assert r_km >= 0.5
 
 
+def test_ivf_default_cell_count_follows_sqrt_n(spark):
+    """n_centroids=None sizes cells by the sqrt-N rule (SCALE.md sf1
+    posture: fixed C degrades to ~N^2/C scoring). Pin the formula at
+    two synthetic sizes plus its clamps, and that ivf_topk actually
+    builds that many cells from a corpus when left to the default."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        IVF_MAX_CENTROIDS,
+        IVF_MIN_CENTROIDS,
+        default_n_centroids,
+        ivf_topk,
+    )
+
+    assert default_n_centroids(10_000) == 100
+    assert default_n_centroids(1_000_000) == 1000
+    assert default_n_centroids(3) == IVF_MIN_CENTROIDS
+    assert default_n_centroids(10**12) == IVF_MAX_CENTROIDS
+
+    # a 10k-row corpus under the default must build EXACTLY 100 cells:
+    # the first-N quantizer is `filter(vec_id < C)`, so the derived C
+    # is pinned by the optimized plan's filter literal (a fixed C=8
+    # default would show `< 8` here), and the query still runs.
+    emb = spark.range(0, 10_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 97).cast("double"),
+            (F.col("id") % 89).cast("double"),
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") % 2000 == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = ivf_topk(emb, queries, k=3, nprobe=2)
+    plan = str(got._jdf.queryExecution().optimizedPlan())
+    assert "vec_id#" in plan and "< 100)" in plan, plan[:2000]
+    assert "< 8)" not in plan, plan[:2000]
+    assert got.count() > 0
+
+
 def test_minhash_collapse_exact_tames_duplicate_block(spark):
     """Skew guard for the band join: a planted 10% identical-doc block
     at sf0.1 (500 docs) makes every band bucket for that block hold
@@ -765,6 +804,35 @@ def test_deterministic_shuffle_matches_global_window(spark):
         ).collect()
     }
     assert two_phase == naive
+
+
+def test_deterministic_shuffle_keeps_null_ids(spark):
+    """md5(NULL) is NULL; before the '' sentinel bucket, NULL-id rows
+    were silently dropped at the bucket-prefix inner join. They must
+    survive and rank exactly where the global window puts them
+    (nulls-first, ahead of every md5 key)."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        deterministic_shuffle,
+    )
+    from pyspark.sql.window import Window as W
+
+    df = spark.createDataFrame(
+        [("a",), (None,), ("b",), (None,), ("c",)], "doc_id string"
+    )
+    got = deterministic_shuffle(df).collect()
+    assert len(got) == 5
+    two_phase = {(r.doc_id, r.shuffle_rank) for r in got}
+    key = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    naive = {
+        (r.doc_id, r.shuffle_rank)
+        for r in df.withColumn(
+            "shuffle_rank",
+            F.row_number().over(W.orderBy(key, F.col("doc_id"))).cast("long"),
+        ).collect()
+    }
+    assert two_phase == naive
+    # the two NULL-id rows tie on both sort keys, so they take ranks 1-2
+    assert {r.shuffle_rank for r in got if r.doc_id is None} == {1, 2}
 
 
 def test_latency_regime_restores_confs(spark):

@@ -216,6 +216,44 @@ def test_temperature_mixture_quota_invariants(spark):
         assert sorted(rks) == list(range(1, len(rks) + 1))
 
 
+def test_temperature_mixture_quota_survives_bigint_product(spark):
+    """The quota multiply runs in DECIMAL(38,0): with n_target near
+    2^62 and a weight of 3, a bigint product would wrap silently in
+    non-ANSI mode and the quota would go negative (dropping every row
+    of that group). Exact expected value: n_target * w_g // sum(w)."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        temperature_mixture,
+    )
+
+    n_target = 2**62  # 3 * 2^62 > 2^63: overflows int64
+    rows = [(i, "a" if i < 9 else "b") for i in range(13)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    # counts: a=9 (w=3), b=4 (w=2); sum(w)=5
+    kept = temperature_mixture(df, group_col="lang", n_target=n_target)
+    by_group = {}
+    for r in kept.collect():
+        by_group.setdefault(r.lang, []).append(r.rk)
+    # quotas exceed the group sizes, so every row must be kept
+    assert len(by_group["a"]) == 9 and len(by_group["b"]) == 4
+
+
+def test_exact_quantile_cuts_constant_nonfinite(spark):
+    """The constant-column fast path built its literal via repr();
+    repr(inf) = 'inf' is unparseable SQL. F.lit must round-trip
+    ±Infinity (and a plain constant with rounding still works)."""
+    from sports_betting_data_pipeline_spark.operators.quantiles import (
+        exact_quantile_cuts,
+    )
+
+    inf = float("inf")
+    df = spark.createDataFrame([(inf,), (inf,)], "v double")
+    got = exact_quantile_cuts(df, "v", [0.25, 0.75]).collect()[0]["qs"]
+    assert got == [inf, inf]
+    df2 = spark.createDataFrame([(2.5,), (2.5,)], "v double")
+    got2 = exact_quantile_cuts(df2, "v", [0.5], round_to=0).collect()[0]["qs"]
+    assert got2 == [3.0]  # Spark HALF_UP, not banker's
+
+
 # ---------------------------------------------------------------------------
 # Round-3 operators vs naive references
 # ---------------------------------------------------------------------------

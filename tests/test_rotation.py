@@ -93,6 +93,27 @@ def test_oldest_never_sampled_lead_next_round():
         assert name in prefix, (name, prefix[:10])
 
 
+def test_rows_only_queries_have_hash_checked_siblings():
+    """Every catalog query WITHOUT an oracle (driver records only a
+    weaker rows-only check) must name hash-checked sibling queries
+    pinning the same machinery — a rows-only addition without a twin
+    fails here (VERDICT r7 next-#7)."""
+    from sports_betting_data_pipeline_spark.plans.catalog import (
+        ROWS_ONLY_SIBLINGS,
+    )
+
+    rows_only = set(QUERIES) - set(ORACLES)
+    # the map covers exactly the rows-only set — no unmapped rows-only
+    # query, and no stale entry for a query that gained an oracle
+    assert rows_only == set(ROWS_ONLY_SIBLINGS), (
+        sorted(rows_only ^ set(ROWS_ONLY_SIBLINGS))
+    )
+    for name, sibs in ROWS_ONLY_SIBLINGS.items():
+        assert sibs, name
+        for sib in sibs:
+            assert sib in ORACLES, (name, sib)
+
+
 def test_no_registration_order_starvation():
     """Adding 200 brand-new queries must not push an old never-sampled
     query out of the next sample (the r4 failure mode, synthetically)."""
