@@ -1971,6 +1971,15 @@ def pl02_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.pmod("doc_id", F.lit(97)) == 0)
     corpus = docs.filter(F.pmod("doc_id", F.lit(97)) != 0)
     hits = decontaminate_hits(corpus, bench, k=5)
+    # `clean` feeds two consumers (chunk_dedup_stats and the survivor
+    # join below) with NO explicit barrier — the third rejected pl02
+    # sharing lever (SCALE.md r8): caching `hits` degraded the
+    # anti-join plan (r7), a shared token base measured slower (r7),
+    # and an explicit repartition barrier (on `clean` OR on the tiny
+    # hits side) measured +0.03..0.16 s in an interleaved 3-way A/B —
+    # AQE's runtime stage reuse already collapses the expensive
+    # shingle stages across both consumers, so the barrier only adds
+    # a corpus-width shuffle.
     clean = corpus.join(hits.select("doc_id"), on="doc_id", how="left_anti")
     dupok = chunk_dedup_stats(clean, chunk_tokens=20).filter(
         F.col("dup_ratio") <= 0.2
