@@ -94,10 +94,93 @@ def build_sf1_embeddings(spark) -> str:
     return SCRATCH
 
 
+def build_sf1_events(spark) -> str:
+    """10× events (1M rows) for the streaming-family posture runs:
+    replicas get disjoint event_id ranges AND disjoint user_id ranges
+    (10× keys, not 10× density on the same 150 users) — stateful
+    operators face 10× the state rows and 10× the Arrow transfer, the
+    honest scale-up for O(users)-state designs. Timestamps are kept
+    verbatim so watermark/window semantics see the same time range at
+    10× per-window density."""
+    out = os.path.join(SCRATCH, "events.parquet")
+    if os.path.isdir(out):
+        return SCRATCH
+    ev = load_table(spark, SF01, "events")
+    base_cols = ev.columns
+    reps = ev.select(
+        F.explode(F.sequence(F.lit(0), F.lit(REPLICAS - 1))).alias("_r"),
+        *base_cols,
+    )
+    scaled = reps.select(
+        (F.col("event_id") + F.col("_r") * F.lit(100_000_000)).alias("event_id"),
+        (F.col("user_id") + F.col("_r") * F.lit(1_000_000)).alias("user_id"),
+        *[c for c in base_cols if c not in ("event_id", "user_id")],
+    )
+    scaled.repartition(16).write.mode("overwrite").parquet(out)
+    return SCRATCH
+
+
+def streaming_posture(spark, sf1_dir: str) -> None:
+    """VERDICT r7 next-#4: replay the Arrow-stateful trio + one
+    windowed query at 10× rows/keys; confirm Arrow transfer scales
+    ~linearly and state_partitions=16 still wins at 10× keys."""
+    from sports_betting_data_pipeline_spark.plans.q_streaming import (
+        st01_tumbling_window,
+        st06_stateful_user_stats,
+        st13_threshold_alerts,
+        st15_stream_anomalies,
+    )
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_table,
+        threshold_alerts,
+    )
+
+    # warm the streaming engine + Arrow workers before timing
+    st01_tumbling_window(spark, SF01).count()
+    st13_threshold_alerts(spark, SF01).count()
+
+    for name, fn in (
+        ("st01_tumbling_window", st01_tumbling_window),
+        ("st06_stateful_user_stats", st06_stateful_user_stats),
+        ("st13_threshold_alerts", st13_threshold_alerts),
+        ("st15_stream_anomalies", st15_stream_anomalies),
+    ):
+        for tag, d in (("sf0.1", SF01), ("sf1", sf1_dir)):
+            t0 = time.time()
+            rows = fn(spark, d).count()
+            dt = time.time() - t0
+            print(f"{name} @ {tag}: {dt:.2f}s rows={rows}", flush=True)
+
+    # state-partition sweep at 10× keys (st13 shape, the r7-measured
+    # pin): each state partition costs a state-store instance + an
+    # Arrow worker; the winner should hold or move UP with more keys,
+    # never down.
+    for parts in (8, 16, 32):
+        t0 = time.time()
+        rows = run_stream_to_table(
+            threshold_alerts(read_events_stream(spark, sf1_dir)),
+            f"posture_st13_p{parts}",
+            output_mode="update",
+            state_partitions=parts,
+        ).count()
+        dt = time.time() - t0
+        print(
+            f"st13 @ sf1 state_partitions={parts}: {dt:.2f}s rows={rows}",
+            flush=True,
+        )
+
+
 def main() -> None:
+    # optional section filter: `batch`, `streaming`, or `all` (default)
+    section = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(app_name="scale_posture_sf1")
     sf1_dir = build_sf1_documents(spark)
     build_sf1_embeddings(spark)
+    build_sf1_events(spark)
+    if section == "streaming":
+        streaming_posture(spark, sf1_dir)
+        return
 
     from sports_betting_data_pipeline_spark.plans.q_llm import (
         l22_lsh_dedup_clusters,
@@ -160,6 +243,8 @@ def main() -> None:
             f"{'UNCHANGED' if same else 'DIFFER (check!)'} across 10x scale",
             flush=True,
         )
+
+    streaming_posture(spark, sf1_dir)
 
 
 if __name__ == "__main__":

@@ -206,7 +206,12 @@ def run_stream_to_table(
     keeps it for the checkpoint's lifetime — size it to key
     cardinality, NOT to the session's relational shuffle setting;
     every state partition costs a state-store instance + a Python
-    worker for Arrow-stateful ops).
+    worker for Arrow-stateful ops). Sizing rule (measured, SCALE.md
+    r8 sf1 streaming posture): ≈ min(total cores, key parallelism) —
+    at 150 keys 16 partitions beat 8 and 32 on a 32-core box, at
+    1500+ keys 32 (= cores) wins, and 64 oversubscribes workers and
+    loses. Since the count is frozen by the first checkpoint, size it
+    for the key cardinality the stream will REACH, not day-1 volume.
 
     ``checkpoint_dir`` pins the checkpoint location; pass one to read
     operator state back afterwards (:func:`frontier_drop_counts` —
