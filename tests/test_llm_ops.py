@@ -671,6 +671,103 @@ def test_minhash_collapse_exact_tames_duplicate_block(spark):
     assert comp_plain == comp_coll
 
 
+def test_minhash_20pct_block_bounded_buckets_and_wallclock(spark):
+    """Adversarial skew fixture (VERDICT r7 next-#8): ONE duplicate
+    block holding 20% of all rows at sf0.1 (1250 identical docs over
+    5000 originals). The exact-collapse design claims the hot block
+    never reaches the band self-join; pin both halves of that claim:
+
+    1. BUCKET BOUND (the per-task work bound): after the exact-set
+       collapse, the largest (band_id, band_hash) bucket must stay at
+       its natural-corpus size — the 1250-doc block contributes ONE
+       representative entry, so no reducer task can receive O(block)
+       join work. Without collapse the block alone puts 1250 entries
+       in each of its 8 band buckets (~780k pairs from one key).
+    2. WALL-CLOCK: the production path over the 20%-block corpus runs
+       within noise of the no-block corpus (generous 3x bound for CI
+       jitter — the point is it cannot be O(block^2)).
+    """
+    import time as _time
+
+    from pyspark.sql.window import Window as W
+
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        _minhash_base,
+        minhash_band_buckets,
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    blk = spark.range(1250).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit(
+            "identical boilerplate disclaimer repeated across one fifth "
+            "of the corpus to manufacture a single dominant block"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(blk)
+
+    # --- bucket bound: replicate the production collapse, then band
+    def collapsed_buckets(frame):
+        base = _minhash_base(frame, "doc_id", "text", 3, 32, materialize=False)
+        members = base.withColumn(
+            "_setkey",
+            F.sha2(
+                F.concat_ws(
+                    "\x01",
+                    F.transform(F.array_sort("_sh"), lambda h: h.cast("string")),
+                ),
+                256,
+            ),
+        ).withColumn("_rep", F.min("_id").over(W.partitionBy("_setkey")))
+        reps = members.filter(F.col("_id") == F.col("_rep")).select(
+            "_id", "_sh", "_sig"
+        )
+        return minhash_band_buckets(reps, 32, 8)
+
+    def max_bucket(frame):
+        return (
+            collapsed_buckets(frame)
+            .groupBy("band_id", "band_hash")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+
+    mx_block = max_bucket(corpus)
+    mx_plain = max_bucket(docs)
+    # the 20% block adds exactly ONE rep, so the hottest bucket must
+    # not grow beyond the natural corpus's hottest bucket + 1
+    assert mx_block <= mx_plain + 1, (mx_block, mx_plain)
+
+    # --- wall-clock: production path, block vs no block. min-of-2
+    # per shape: the first run of each PLAN SHAPE carries its codegen
+    # (the union plan compiles separately from the bare scan — a
+    # one-off ~3-4 s measured), and min-of-N is the operator cost.
+    def run(frame):
+        best, n = None, 0
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            n = minhash_lsh_candidates(
+                frame, "doc_id", "text", k=3, num_hashes=32, bands=8,
+                verify_threshold=0.35, collapse_exact=True,
+            ).count()
+            dt = _time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return best, n
+
+    run(docs)  # warm shared subsystems so the baseline is not charged
+    dt_plain, _ = run(docs)
+    dt_block, n_block = run(corpus)
+    # star edges: the block surfaces as 1249 (rep, member) pairs
+    assert n_block >= 1249
+    # measured steady-state: block 0.87 s vs plain 1.0 s (sf0.1, 32
+    # cores) — the bound is generous for CI jitter only
+    assert dt_block <= max(3 * dt_plain, dt_plain + 10), (dt_block, dt_plain)
+
+
 def test_minhash_uncached_base_no_fold_duplication(spark):
     """collapse_exact consumes the MinHash base UNCACHED (one-consumer
     path — minhash_lsh_candidates passes materialize=False, saving an
