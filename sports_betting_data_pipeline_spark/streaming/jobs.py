@@ -190,6 +190,27 @@ def _events_file_schema(spark: SparkSession, sf_dir: str):
     return schema
 
 
+def default_state_partitions(n_keys: int, cores: int) -> int:
+    """State-partition count for a stateful query expected to hold
+    ``n_keys`` distinct keys on ``cores`` total executor cores:
+    ``min(cores, max(2, ceil(n_keys / 10)))``.
+
+    The rule is the sf1 streaming posture measurement promoted to an
+    API default (SCALE.md r8, the state-store analog of
+    :func:`functions.similarity.default_n_centroids`): every state
+    partition costs a state-store instance + an Arrow worker, so at
+    150 keys 16 partitions beat both 8 (idle cores) and 32 (batch
+    overhead), while at 1500+ keys 32 (= cores) wins and 64
+    oversubscribes. ~keys/10 fits both measured points; the core
+    count is the hard cap. Streaming queries FREEZE the count at
+    first checkpoint — size ``n_keys`` for the cardinality the stream
+    will reach, not day-1 volume.
+    """
+    import math
+
+    return min(int(cores), max(2, math.ceil(max(0, int(n_keys)) / 10)))
+
+
 def run_stream_to_table(
     stream_df: DataFrame,
     name: str,

@@ -722,3 +722,18 @@ def test_frontier_drop_counter_exposed_in_state(spark, tmp_path):
     }
     assert set(drops2) == {1, 2}
     assert all(v == 0 for v in drops2.values())
+
+
+def test_default_state_partitions_rule():
+    """min(cores, max(2, ceil(keys/10))) — pinned at the two measured
+    posture points (150 keys -> 16 wins, 1500 keys -> 32 = cores wins
+    on a 32-core box; SCALE.md r8) plus the clamps."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        default_state_partitions,
+    )
+
+    assert default_state_partitions(150, 32) == 15   # ~the measured 16
+    assert default_state_partitions(1500, 32) == 32  # capped at cores
+    assert default_state_partitions(0, 32) == 2      # floor
+    assert default_state_partitions(5, 32) == 2
+    assert default_state_partitions(10**9, 2048) == 2048
