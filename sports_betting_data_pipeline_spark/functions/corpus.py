@@ -278,6 +278,7 @@ def incremental_exact_dedupe(
 def deterministic_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Reproducible global shuffle: order by md5 of the stringified id
     (identical in Spark and DuckDB), tiebreak on the id itself. Adds
@@ -300,7 +301,27 @@ def deterministic_shuffle(
     drop the row at the inner bucket-prefix join (NULL never equals
     NULL in a join). Those rows are bucketed to '' instead — '' sorts
     before '000', and ASC-NULLS-FIRST within the bucket reproduces the
-    global window's nulls-first rank 1..k exactly."""
+    global window's nulls-first rank 1..k exactly.
+
+    ``n_rows`` is an optional size hint (parquet footer count /
+    metastore stats — the same CBO stand-in latency_regime consumes):
+    when the input is known to fit one shuffle partition comfortably,
+    the single global window IS the right physical plan (the
+    two-phase rank's 3 small shuffles cost ~2.5× more at fixture
+    scale, measured r8), so small inputs take it and the hint
+    saturates to the distributed form at any real corpus size. Both
+    forms are row-for-row identical, so the switch is physical-only
+    (pinned by test_deterministic_shuffle_matches_global_window)."""
+    from sports_betting_data_pipeline_spark.session import (
+        _ROWS_PER_PARTITION,
+    )
+
+    key = F.md5(F.col(id_col).cast("string").cast("binary"))
+    if n_rows is not None and n_rows <= _ROWS_PER_PARTITION:
+        w = Window.orderBy(key, F.col(id_col))
+        return df.withColumn(
+            "shuffle_rank", F.row_number().over(w).cast("long")
+        )
     base = df.withColumn(
         "_sk", F.md5(F.col(id_col).cast("string").cast("binary"))
     ).withColumn("_bk", F.coalesce(F.substring("_sk", 1, 3), F.lit("")))

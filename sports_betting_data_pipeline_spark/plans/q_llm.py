@@ -1418,13 +1418,19 @@ def l26_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-independent, seedless, stable across runs and partitionings
     (md5 agrees byte-for-byte between Spark and DuckDB). Top-100 here
     so the catalog query stays bounded; production writes the full
-    order out."""
+    order out. The footer row count picks the physical rank strategy
+    (global window below one partition's worth of rows, two-phase
+    bucketed prefix rank above — identical output either way)."""
     from sports_betting_data_pipeline_spark.functions.corpus import (
         deterministic_shuffle,
     )
+    from sports_betting_data_pipeline_spark.io import table_row_count
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    return deterministic_shuffle(docs).filter(F.col("shuffle_rank") <= 100)
+    n = table_row_count(sf_dir, "documents")
+    return deterministic_shuffle(docs, n_rows=n).filter(
+        F.col("shuffle_rank") <= 100
+    )
 
 
 @register(
