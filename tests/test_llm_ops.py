@@ -932,6 +932,25 @@ def test_deterministic_shuffle_keeps_null_ids(spark):
     assert {r.shuffle_rank for r in got if r.doc_id is None} == {1, 2}
 
 
+def test_deterministic_shuffle_size_hint_picks_strategy(spark):
+    """The n_rows hint is a physical-strategy switch only: small
+    inputs take the single global window (no bucket machinery),
+    big hints take the two-phase prefix rank — identical output."""
+    from sports_betting_data_pipeline_spark.functions.corpus import (
+        deterministic_shuffle,
+    )
+
+    df = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    small = deterministic_shuffle(df, n_rows=50)
+    big = deterministic_shuffle(df, n_rows=10**9)
+    p_small = str(small._jdf.queryExecution().optimizedPlan())
+    p_big = str(big._jdf.queryExecution().optimizedPlan())
+    assert "_bk" not in p_small  # naive window: no bucket column
+    assert "_bk" in p_big        # distributed prefix rank
+    rows = lambda d: {(r.doc_id, r.shuffle_rank) for r in d.collect()}
+    assert rows(small) == rows(big) == rows(deterministic_shuffle(df))
+
+
 def test_latency_regime_restores_confs(spark):
     """latency_regime scopes (shuffle.partitions, AQE) for tiny
     iterative loops and must restore BOTH on every exit path —
