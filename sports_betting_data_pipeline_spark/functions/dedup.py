@@ -665,6 +665,7 @@ def simhash_neardup_pairs(
     max_hamming: int = 8,
     prefix_bits: int = 16,
     probes: int = 1,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """SimHash near-dup pairs blocked by signature prefix, with
     optional ROTATION MULTI-PROBE.
@@ -682,7 +683,41 @@ def simhash_neardup_pairs(
     clean window is guaranteed by pigeonhole when windows are
     disjoint). Candidates are deduped before the Hamming verify, and
     the join still shuffles only (probe, bucket, id, sig) longs.
+
+    ``collapse_exact`` is the duplicate-block SKEW GUARD
+    (minhash_lsh_candidates' r8 lesson applied here): d byte-identical
+    docs share one signature, so every probe puts all d in ONE bucket
+    and the self-join goes locally O(d²) on that key — a 20% block at
+    corpus scale is a straggler task. With it, exact-text duplicates
+    (sha2 of the raw text — conservative: identical text ⇒ identical
+    token features ⇒ identical signature, Hamming 0) collapse to a
+    min-id representative before signing, and members re-attach as
+    (rep, member, hamming 0) star edges. Like the MinHash collapse,
+    the output is the star not the clique — connected components are
+    identical, per-pair listings within a block are not — and the
+    catalog queries (l09/l58) keep the default False for oracle
+    parity.
     """
+    star = None
+    if collapse_exact:
+        w_txt = Window.partitionBy("_tkey")
+        members = (
+            df.select(F.col(id_col).alias("_id"), F.col(text_col))
+            .withColumn(
+                "_tkey", F.sha2(F.col(text_col).cast("binary"), 256)
+            )
+            .withColumn("_rep", F.min("_id").over(w_txt))
+            .repartition("_id")
+            .cache()
+        )
+        star = members.filter(F.col("_id") != F.col("_rep")).select(
+            F.col("_rep").alias("id_a"),  # rep = min id, so id_a < id_b
+            F.col("_id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),  # hamming64's type
+        )
+        df = members.filter(F.col("_id") == F.col("_rep")).select(
+            F.col("_id").alias(id_col), text_col
+        )
     sig = simhash_signatures(df, id_col, text_col)
     step = 64 // probes
 
@@ -720,7 +755,7 @@ def simhash_neardup_pairs(
     right = bkt.select(
         "probe", "bucket", F.col("_id").alias("id_b"), F.col("_sig").alias("sig_b")
     )
-    return (
+    pairs = (
         left.join(right, on=["probe", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
@@ -731,6 +766,9 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs
 
 
 # ---------------------------------------------------------------------------

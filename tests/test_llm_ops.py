@@ -768,6 +768,67 @@ def test_minhash_20pct_block_bounded_buckets_and_wallclock(spark):
     assert dt_block <= max(3 * dt_plain, dt_plain + 10), (dt_block, dt_plain)
 
 
+def test_simhash_collapse_exact_tames_duplicate_block(spark):
+    """The r8 MinHash skew lesson applied to the SimHash path: d
+    byte-identical docs share one signature, so every probe puts all
+    d entries in ONE prefix bucket and the self-join is locally O(d²)
+    on that key. collapse_exact must (a) cut the block to 499 star
+    edges instead of 124,750 clique pairs, (b) leave connected
+    components identical, (c) keep every non-block pair identical."""
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        connected_components,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "text"
+    )
+    blk = spark.range(500).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit(
+            "identical legal footer text that appears verbatim on a "
+            "large fraction of crawled pages in this synthetic corpus"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(blk)
+    blk_ids = set(range(1_000_000, 1_000_500))
+
+    kw = dict(max_hamming=8, prefix_bits=16, probes=4)
+    plain = {
+        (r.id_a, r.id_b)
+        for r in simhash_neardup_pairs(corpus, "doc_id", "text", **kw).collect()
+    }
+    coll = {
+        (r.id_a, r.id_b)
+        for r in simhash_neardup_pairs(
+            corpus, "doc_id", "text", collapse_exact=True, **kw
+        ).collect()
+    }
+    in_blk = lambda p: p[0] in blk_ids and p[1] in blk_ids
+    assert sum(1 for p in plain if in_blk(p)) == 500 * 499 // 2
+    assert sum(1 for p in coll if in_blk(p)) == 499  # the star
+    # pairs not touching the block: every collapse pair exists in the
+    # plain run (no forged edges). NOT equality — the natural corpus
+    # has its own exact duplicates, whose members' pairs re-root to
+    # the min-id representative; connectivity (below) is the
+    # semantic guarantee.
+    outside = lambda pairs: {
+        p for p in pairs if p[0] not in blk_ids and p[1] not in blk_ids
+    }
+    assert outside(coll) <= outside(plain)
+    # same components either way
+    mk = lambda pairs: spark.createDataFrame(sorted(pairs), ["id_a", "id_b"])
+    comp_plain = {
+        (r.node, r.component)
+        for r in connected_components(mk(plain)).collect()
+    }
+    comp_coll = {
+        (r.node, r.component)
+        for r in connected_components(mk(coll)).collect()
+    }
+    assert comp_plain == comp_coll
+
+
 def test_minhash_uncached_base_no_fold_duplication(spark):
     """collapse_exact consumes the MinHash base UNCACHED (one-consumer
     path — minhash_lsh_candidates passes materialize=False, saving an
