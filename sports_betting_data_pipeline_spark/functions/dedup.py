@@ -781,6 +781,7 @@ def containment_prefix_pairs(
     block_col: str,
     threshold_num: int = 9,
     threshold_den: int = 10,
+    collapse_exact: bool = False,
 ) -> DataFrame:
     """EXACT containment join C(A,B) = |A∩B|/|A| ≥ t via prefix
     filtering over an inverted token index — the production-scale
@@ -823,6 +824,20 @@ def containment_prefix_pairs(
     prefix makes probe×posting products tiny; on this fixture's
     degenerate 31-token/lang vocab the candidate set degrades to
     ~all within-block pairs — a property of the data, not the plan.
+
+    ``collapse_exact`` is the duplicate-block SKEW GUARD (the r8
+    MinHash/SimHash lesson applied to the asymmetric path): d docs
+    with an identical DISTINCT-TOKEN SET in one block put d entries
+    in every posting list of their prefix tokens — O(d²·p) candidate
+    rows from one group, each paying an array-intersect verify. With
+    it, same-(block, token-set) groups collapse to a min-id
+    representative before indexing, and members re-attach as star
+    edges in BOTH directions ((m, rep) and (rep, m), containment =
+    jaccard = 1.0 exactly, by definition of an identical set). Like
+    the symmetric collapses, output is star + representative-level
+    pairs: connectivity identical, per-pair listings within a group
+    re-rooted to the representative. The catalog queries (l56/l57)
+    keep the default False for oracle parity.
     """
     from sports_betting_data_pipeline_spark.io import widen_for_compute
 
@@ -861,6 +876,40 @@ def containment_prefix_pairs(
         .repartition(F.col("_id"))
         .cache()
     )
+    star = None
+    if collapse_exact:
+        # Set key scoped to the block: identical docs in DIFFERENT
+        # blocks never pair in the plain output, so collapsing across
+        # blocks would forge edges. sha2-256 over the sorted set for
+        # the same birthday-regime reason as the MinHash _setkey.
+        w_set = Window.partitionBy("_blk", "_setkey")
+        members = (
+            base.withColumn(
+                "_setkey",
+                F.sha2(F.concat_ws("\x01", F.array_sort("_sh")), 256),
+            )
+            .withColumn("_rep", F.min("_id").over(w_set))
+            .repartition("_id")
+            .cache()
+        )
+        dup = members.filter(F.col("_id") != F.col("_rep"))
+        one = F.round(F.lit(1.0), 6)
+        star = dup.select(
+            F.col("_id").alias("contained_id"),
+            F.col("_rep").alias("container_id"),
+            one.alias("containment"),
+            one.alias("jaccard"),
+        ).unionByName(
+            dup.select(
+                F.col("_rep").alias("contained_id"),
+                F.col("_id").alias("container_id"),
+                one.alias("containment"),
+                one.alias("jaccard"),
+            )
+        )
+        base = members.filter(F.col("_id") == F.col("_rep")).select(
+            "_id", "_blk", "_sh", "_n"
+        )
     tok = base.select("_id", "_blk", "_n", F.explode("_sh").alias("_tok"))
     dfreq = tok.groupBy("_blk", "_tok").agg(F.count(F.lit(1)).alias("_df"))
     # prefix length p = n − ⌈n·num/den⌉ + 1, in exact integer math
@@ -913,7 +962,7 @@ def containment_prefix_pairs(
             >= threshold_num / threshold_den
         )
     )
-    return verified.select(
+    out = verified.select(
         F.col("_aid").alias("contained_id"),
         F.col("_bid").alias("container_id"),
         F.round(F.col("_inter") / F.col("_na").cast("double"), 6).alias(
@@ -929,6 +978,9 @@ def containment_prefix_pairs(
             6,
         ).alias("jaccard"),
     )
+    if star is not None:
+        out = out.unionByName(star)
+    return out
 
 
 def connected_components(

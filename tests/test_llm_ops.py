@@ -829,6 +829,70 @@ def test_simhash_collapse_exact_tames_duplicate_block(spark):
     assert comp_plain == comp_coll
 
 
+def test_containment_collapse_exact_tames_duplicate_block(spark):
+    """The r8 duplicate-block guard on the asymmetric prefix-filter
+    path: d docs with one distinct-token set in one block put d
+    entries in every prefix posting -> O(d^2 * p) candidates. With
+    collapse_exact the block surfaces as 2*(d-1) directed star edges
+    at containment = jaccard = 1.0, connectivity unchanged, and no
+    forged cross pairs (collapse pairs, re-rooted, exist in plain)."""
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        containment_prefix_pairs,
+        connected_components,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+        .filter(F.pmod("doc_id", F.lit(4)) == 0)
+        .select("doc_id", "lang", "text")
+    )
+    one_lang = docs.select("lang").first().lang
+    blk = spark.range(300).select(
+        (F.col("id") + 1_000_000).alias("doc_id"),
+        F.lit(one_lang).alias("lang"),
+        F.lit(
+            "verbatim cookie banner text repeated across a large "
+            "fraction of pages in one language block"
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(blk)
+    blk_ids = set(range(1_000_000, 1_000_300))
+
+    kw = dict(id_col="doc_id", text_col="text", block_col="lang",
+              threshold_num=9, threshold_den=10)
+    plain = {
+        (r.contained_id, r.container_id)
+        for r in containment_prefix_pairs(corpus, **kw).collect()
+    }
+    coll = {
+        (r.contained_id, r.container_id)
+        for r in containment_prefix_pairs(
+            corpus, collapse_exact=True, **kw
+        ).collect()
+    }
+    in_blk = lambda p: p[0] in blk_ids and p[1] in blk_ids
+    assert sum(1 for p in plain if in_blk(p)) == 300 * 299  # ordered clique
+    assert sum(1 for p in coll if in_blk(p)) == 2 * 299     # directed star
+    # no forged edges outside the planted block (natural exact-set
+    # groups re-root members to the min-id rep, so subset not equality)
+    outside = lambda pairs: {
+        p for p in pairs if p[0] not in blk_ids and p[1] not in blk_ids
+    }
+    assert outside(coll) <= outside(plain)
+    # identical connectivity (undirected view)
+    und = lambda pairs: sorted({(min(p), max(p)) for p in pairs})
+    mk = lambda pairs: spark.createDataFrame(und(pairs), ["id_a", "id_b"])
+    comp_plain = {
+        (r.node, r.component)
+        for r in connected_components(mk(plain)).collect()
+    }
+    comp_coll = {
+        (r.node, r.component)
+        for r in connected_components(mk(coll)).collect()
+    }
+    assert comp_plain == comp_coll
+
+
 def test_minhash_uncached_base_no_fold_duplication(spark):
     """collapse_exact consumes the MinHash base UNCACHED (one-consumer
     path — minhash_lsh_candidates passes materialize=False, saving an
