@@ -1,0 +1,443 @@
+#!/usr/bin/env python3
+"""Adversarial-data oracle fuzz: the differential gate on data the
+fixed fixtures never show the engine.
+
+The driver's correctness gate (and scripts/verify_driver.py) replays
+the catalog on ONE data distribution — the generated sf fixtures.
+That can't catch data-dependent semantics bugs: NULL join keys,
+empty inputs, duplicate primary keys, all-equal sort keys (rank
+nondeterminism), non-finite doubles, unicode/empty text, heavy skew.
+
+This script generates SEEDED adversarial variants of all ten fixture
+tables, writes each variant to its own parquet dir (unique basename —
+plans/q_sources._scratch keys its roundtrip scratch on the basename),
+and replays every catalog query on Spark vs its oracle on DuckDB.
+Both engines read identical bytes, so any divergence is a real
+engine-vs-SQL-semantics finding, not fixture luck.
+
+Usage:
+    python scripts/fuzz_oracle.py                    # all variants, all queries
+    python scripts/fuzz_oracle.py --variants nulls,ties --queries q01,w05
+    python scripts/fuzz_oracle.py --out FUZZ.json
+
+Exit 0 = no findings; nonzero = at least one mismatch / one-sided
+error. Per-query line format mirrors verify_driver.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import shutil
+import sys
+import time
+import traceback
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+_SCRIPTS = os.path.dirname(os.path.abspath(__file__))
+if _SCRIPTS not in sys.path:
+    sys.path.insert(0, _SCRIPTS)
+
+from verify_driver import frames_match, norm  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+FACTS = ["orders", "lineitem", "events", "documents", "embeddings"]
+PK = {
+    "region": "r_regionkey", "nation": "n_nationkey",
+    "customer": "c_custkey", "supplier": "s_suppkey",
+    "part": "p_partkey", "orders": "o_orderkey",
+    "lineitem": "l_orderkey", "events": "event_id",
+    "documents": "doc_id", "embeddings": "vec_id",
+}
+
+
+# ---------------------------------------------------------------- variants
+# Each takes ({table: pd.DataFrame}, rng) and mutates/returns the dict.
+# All randomness flows from the seeded Generator — same seed, same bytes.
+
+def v_nulls(dfs, rng):
+    """~10% NULLs in every non-PK scalar column — FKs, timestamps,
+    text, measures. Exercises null join keys, null group keys, null
+    ordering, COALESCE paths."""
+    for t, df in dfs.items():
+        for c in df.columns:
+            if c == PK[t] or c == "embedding":
+                continue
+            mask = rng.random(len(df)) < 0.10
+            if mask.any():
+                col = df[c].astype(object)
+                col[mask] = None
+                df[c] = col
+    return dfs
+
+
+def v_empty_facts(dfs, rng):
+    """All five fact tables empty; dims intact. Every aggregate,
+    window, join, and dedup path over an empty input."""
+    for t in FACTS:
+        dfs[t] = dfs[t].iloc[0:0].copy()
+    return dfs
+
+
+def v_tiny(dfs, rng):
+    """One row per table, referential integrity NOT preserved —
+    single-partition plans, empty join results, degenerate windows."""
+    for t in dfs:
+        dfs[t] = dfs[t].head(1).copy()
+    return dfs
+
+
+def v_dup(dfs, rng):
+    """Every fact row exactly duplicated (duplicate PKs included):
+    join multiplicity, dedup operators, count-distinct vs count."""
+    for t in FACTS:
+        dfs[t] = pd.concat([dfs[t], dfs[t]], ignore_index=True)
+    return dfs
+
+
+def v_ties(dfs, rng):
+    """Collapse value diversity: all measures and timestamps equal.
+    Every rank/row_number/top-k tie-break, equal-width histogram,
+    and window frame is exercised under total ties."""
+    ts = pd.Timestamp("2024-01-15 12:00:00")
+    l = dfs["lineitem"]
+    l["l_quantity"] = 17.0
+    l["l_discount"] = 0.05
+    l["l_extendedprice"] = 1000.0
+    l["l_tax"] = 0.04
+    l["l_shipdate"] = ts
+    o = dfs["orders"]
+    o["o_totalprice"] = 5000.0
+    o["o_orderdate"] = ts
+    e = dfs["events"]
+    e["value"] = 1.0
+    e["ts"] = ts
+    dfs["documents"]["n_chars"] = 100
+    dfs["customer"]["c_acctbal"] = 500.0
+    dfs["supplier"]["s_acctbal"] = 500.0
+    p = dfs["part"]
+    p["p_retailprice"] = 100.0
+    p["p_size"] = 10
+    return dfs
+
+
+def v_extremes(dfs, rng):
+    """Numeric magnitude extremes (1e15, negatives, zeros) and
+    adversarial text (empty, whitespace-only, unicode incl. emoji,
+    CJK, combining marks). Float-sum associativity, tokenizers,
+    shingles, language-id on hostile strings."""
+    l = dfs["lineitem"]
+    n = len(l)
+    pick = lambda p: rng.random(n) < p  # noqa: E731
+    big = pick(0.05)
+    l.loc[big, "l_extendedprice"] = 1.0e15
+    neg = pick(0.05)
+    l.loc[neg, "l_extendedprice"] = -l.loc[neg, "l_extendedprice"].abs()
+    l.loc[pick(0.05), "l_quantity"] = 0.0
+    o = dfs["orders"]
+    o.loc[rng.random(len(o)) < 0.05, "o_totalprice"] = 0.0
+    d = dfs["documents"]
+    nd = len(d)
+    if nd:
+        texts = d["text"].astype(object)
+        hostile = [
+            "",
+            "   \t\n  ",
+            "héllo wörld — café naïve",
+            "日本語テキスト 中文文本",
+            "\U0001f600\U0001f680 emoji only \U0001f4a9",
+            "ééé combining marks à ô",
+            "MiXeD CaSe WITH    runs     of      spaces",
+            "tab\tsep\tand\nnewlines\r\nin one doc",
+        ]
+        idx = rng.choice(nd, size=min(nd, 8 * max(1, nd // 50)), replace=False)
+        for i, j in enumerate(idx):
+            texts.iloc[j] = hostile[i % len(hostile)]
+        d["text"] = texts
+    e = dfs["events"]
+    ne = len(e)
+    if ne:
+        props = e["props"].astype(object)
+        bad = ["", "not json", "{", "{\"k\": }", "[]", "null"]
+        idx = rng.choice(ne, size=min(ne, 6 * max(1, ne // 100)), replace=False)
+        for i, j in enumerate(idx):
+            props.iloc[j] = bad[i % len(bad)]
+        e["props"] = props
+        e.loc[rng.random(ne) < 0.05, "value"] = -1.0e12
+    return dfs
+
+
+def v_skew(dfs, rng):
+    """80% of fact FKs collapse to one hot key; half the corpus is
+    one text; 30% of embeddings identical. Skewed joins/groupBys and
+    the dedup duplicate-block paths."""
+    l = dfs["lineitem"]
+    if len(l):
+        hot_part = int(l["l_partkey"].iloc[0])
+        hot_supp = int(l["l_suppkey"].iloc[0])
+        m = rng.random(len(l)) < 0.80
+        l.loc[m, "l_partkey"] = hot_part
+        l.loc[m, "l_suppkey"] = hot_supp
+    o = dfs["orders"]
+    if len(o):
+        hot_cust = int(o["o_custkey"].iloc[0])
+        o.loc[rng.random(len(o)) < 0.80, "o_custkey"] = hot_cust
+    e = dfs["events"]
+    if len(e):
+        hot_user = int(e["user_id"].iloc[0])
+        e.loc[rng.random(len(e)) < 0.80, "user_id"] = hot_user
+    d = dfs["documents"]
+    if len(d):
+        one_text = d["text"].iloc[0]
+        idx = rng.random(len(d)) < 0.50
+        col = d["text"].astype(object)
+        col[idx] = one_text
+        d["text"] = col
+    em = dfs["embeddings"]
+    if len(em):
+        one_vec = em["embedding"].iloc[0]
+        idx = np.flatnonzero(rng.random(len(em)) < 0.30)
+        col = em["embedding"].astype(object)
+        for j in idx:
+            col.iloc[j] = one_vec
+        em["embedding"] = col
+    return dfs
+
+
+def v_nonfinite(dfs, rng):
+    """NaN and ±inf in double measures — the engines genuinely
+    disagree on NaN in some contexts (ordering, grouping); this
+    variant maps exactly where."""
+    l = dfs["lineitem"]
+    n = len(l)
+    if n:
+        l.loc[rng.random(n) < 0.03, "l_extendedprice"] = float("nan")
+        l.loc[rng.random(n) < 0.02, "l_discount"] = float("inf")
+    e = dfs["events"]
+    if len(e):
+        e.loc[rng.random(len(e)) < 0.03, "value"] = float("nan")
+        e.loc[rng.random(len(e)) < 0.02, "value"] = float("-inf")
+    c = dfs["customer"]
+    if len(c):
+        c.loc[rng.random(len(c)) < 0.05, "c_acctbal"] = float("nan")
+    return dfs
+
+
+VARIANTS = {
+    "nulls": v_nulls,
+    "empty_facts": v_empty_facts,
+    "tiny": v_tiny,
+    "dup": v_dup,
+    "ties": v_ties,
+    "extremes": v_extremes,
+    "skew": v_skew,
+    "nonfinite": v_nonfinite,
+}
+
+# Documented out-of-contract divergences: (variant, query) pairs where
+# the adversarial data violates a stated INPUT contract of the operator
+# (not an engine bug), with the reason. These count as "skipped", not
+# findings; everything here must name the violated contract. The dq01
+# expectations report (pk-uniqueness checks) is the production guard
+# for the id-keyed entries.
+KNOWN_CONTRACT_SKIPS = {
+    # duplicate primary keys: these operators define identity by id —
+    # dedup survivor re-joins, rank/packing keyed on id, per-id pair
+    # listings. Exact-duplicate id rows multiply join fan-out on one
+    # side or collapse argmin partitions on the other; same-id rows
+    # with DIFFERING attributes would be nondeterministic everywhere.
+    ("dup", "l13_ann_ivf"): "vec_id keys the centroid/corpus identity",
+    ("dup", "l25_sequence_packing"): "doc_id keys the packing rank",
+    ("dup", "l51_dsir_importance"): "doc_id keys the importance rank",
+    ("dup", "l57_containment_prefix_join"):
+        "doc_id keys the pair listing (id_a < id_b)",
+    ("dup", "m05_audio_frame_energy"):
+        "asset_id keys the per-frame feature rows",
+    ("dup", "pl02_corpus_assembly"):
+        "survivor-id re-joins assume unique doc_id (dq gate upstream)",
+    # non-finite doubles: DuckDB's second-moment aggregates RAISE
+    # (OutOfRange: STDDEV_SAMP/VARSAMP) on inf inputs where Spark
+    # yields NaN — an oracle-side limitation, not an engine bug; the
+    # engine result was manually verified NaN-consistent. zorder01's
+    # oracle casts -inf to BIGINT (conversion error) where the engine
+    # buckets via floor+coalesce.
+    ("nonfinite", "a05_statistical_aggregates"):
+        "DuckDB raises on stddev/var over inf; engine yields NaN",
+    ("nonfinite", "a19_welch_t_test"):
+        "DuckDB raises on var_samp over inf; engine yields NaN",
+    ("nonfinite", "l16_grouped_zscore"):
+        "DuckDB raises on stddev over inf; engine yields NaN",
+    ("nonfinite", "zorder01_multidim_clustering"):
+        "DuckDB cannot cast -inf to BIGINT in the zkey oracle",
+    # q14 keeps prices in exact integer CENTS end-to-end (the design
+    # that made its cross-engine rounding bit-stable — see its
+    # docstring); |price| beyond ~9e16 overflows the BIGINT cents
+    # domain on the Spark side while DuckDB silently widens to
+    # HUGEINT. A documented range contract of the representation.
+    ("extremes", "q14_min_cost_supplier"):
+        "integer-cents price representation bounds |price| < ~9e16",
+}
+
+
+# ---------------------------------------------------------------- plumbing
+
+def load_base(base_dir: str) -> dict[str, tuple[pd.DataFrame, pa.Schema]]:
+    out = {}
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(base_dir, f"{t}.parquet"))
+        out[t] = (tbl.to_pandas(), tbl.schema)
+    return out
+
+
+def write_variant(base, variant_fn, seed: int, out_dir: str) -> None:
+    rng = np.random.default_rng(seed)
+    dfs = {t: df.copy() for t, (df, _) in base.items()}
+    dfs = variant_fn(dfs, rng)
+    os.makedirs(out_dir, exist_ok=True)
+    for t, df in dfs.items():
+        schema = base[t][1]
+        # remove_metadata: stale pandas index metadata on a mutated
+        # frame confuses from_pandas
+        tbl = pa.Table.from_pandas(
+            df, schema=schema.remove_metadata(), preserve_index=False
+        )
+        pq.write_table(tbl, os.path.join(out_dir, f"{t}.parquet"))
+
+
+def run_variant(spark, mod, variant: str, sf_dir: str, only: list[str]) -> dict:
+    qs, osql = mod.queries(), mod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{os.path.join(sf_dir, t + '.parquet')}')"
+        )
+    results = {}
+    for name in sorted(qs):
+        if only and not any(s in name for s in only):
+            continue
+        skip_reason = KNOWN_CONTRACT_SKIPS.get((variant, name))
+        if skip_reason:
+            results[name] = {"status": "skipped_contract",
+                             "detail": skip_reason}
+            print(f"  {variant}/{name}: skipped_contract ({skip_reason})")
+            continue
+        t0 = time.time()
+        s_err = o_err = None
+        sdf = odf = None
+        try:
+            sdf = norm(qs[name](spark, sf_dir).toPandas())
+        except Exception as exc:  # noqa: BLE001
+            s_err = f"{type(exc).__name__}: {exc}"
+        finally:
+            spark.catalog.clearCache()
+        if name in osql:
+            try:
+                odf = norm(con.execute(osql[name]).fetch_df())
+            except Exception as exc:  # noqa: BLE001
+                o_err = f"{type(exc).__name__}: {exc}"
+        else:
+            status = "rows_only_ok" if s_err is None else "spark_error"
+            results[name] = {"status": status, "err": s_err,
+                             "sec": round(time.time() - t0, 2)}
+            print(f"  {variant}/{name}: {status}"
+                  + (f" {s_err.splitlines()[0][:160]}" if s_err else ""))
+            continue
+        if s_err and o_err:
+            status, detail = "both_error", f"spark={s_err} oracle={o_err}"
+        elif s_err:
+            status, detail = "spark_error", s_err
+        elif o_err:
+            status, detail = "oracle_error", o_err
+        else:
+            ok, why = frames_match(sdf, odf)
+            status, detail = ("match", "") if ok else ("mismatch", why)
+        results[name] = {"status": status, "detail": detail[:500],
+                         "rows": None if sdf is None else len(sdf),
+                         "sec": round(time.time() - t0, 2)}
+        line = f"  {variant}/{name}: {status}"
+        if detail:
+            line += " " + detail.splitlines()[0][:160]
+        print(line)
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", default=",".join(VARIANTS))
+    ap.add_argument("--queries", default="")
+    ap.add_argument("--base", default="/root/testdata/sf0.001")
+    ap.add_argument("--seed", type=int, default=20260816)
+    ap.add_argument("--out", default="")
+    ap.add_argument("--work", default="/tmp/spark_fuzz")
+    args = ap.parse_args()
+
+    only = [s for s in args.queries.split(",") if s]
+    names = [v for v in args.variants.split(",") if v]
+    unknown = set(names) - set(VARIANTS)
+    if unknown:
+        print(f"unknown variants: {sorted(unknown)}", file=sys.stderr)
+        return 2
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    base = load_base(args.base)
+    report = {"base": args.base, "seed": args.seed, "variants": {}}
+    bad = 0
+    for v in names:
+        vdir = os.path.join(args.work, f"fz_{v}_{args.seed}")
+        shutil.rmtree(vdir, ignore_errors=True)
+        try:
+            write_variant(base, VARIANTS[v], args.seed, vdir)
+        except Exception:  # noqa: BLE001
+            print(f"VARIANT {v}: generator failed")
+            traceback.print_exc()
+            bad += 1
+            continue
+        print(f"VARIANT {v} -> {vdir}")
+        res = run_variant(spark, mod, v, vdir, only)
+        report["variants"][v] = res
+        n_bad = sum(
+            1 for r in res.values()
+            if r["status"] in ("mismatch", "spark_error", "oracle_error")
+        )
+        bad += n_bad
+        print(f"VARIANT {v}: {len(res)} queries, {n_bad} findings")
+
+    print(f"RESULT: {'FAIL' if bad else 'PASS'} ({bad} findings)")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"report -> {args.out}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -262,14 +262,25 @@ def incremental_exact_dedupe(
     far smaller than the corpus), not a corpus scan; each ingest batch
     is small, so the anti-join broadcasts the batch or probes the
     bucketed store shuffle-free, plus one tiny groupBy on the batch.
+
+    NULL fingerprints (NULL text) are ONE dedup class, null-safely:
+    the within-batch canonicalization below already groups them (SQL
+    GROUP BY), so the history anti-join must match them too or the
+    semantics are inconsistent — a plain equi-anti-join would pass
+    every NULL-fp batch doc as "novel" forever (fuzz_oracle nulls
+    variant; the l28 oracle's NOT IN had the dual trap of returning
+    zero rows). EqualNullSafe stays a hash-joinable equi-key.
     """
     def fp(col: Column) -> Column:
         return F.md5(F.trim(F.regexp_replace(F.lower(col), r"\s+", " ")))
 
     hist = history.select(fp(F.col(text_col)).alias("fp")).dropDuplicates()
-    novel = batch.select(
+    batch_fp = batch.select(
         F.col(id_col).alias("_bid"), fp(F.col(text_col)).alias("fp")
-    ).join(hist, on="fp", how="left_anti")
+    )
+    novel = batch_fp.join(
+        hist, on=batch_fp["fp"].eqNullSafe(hist["fp"]), how="left_anti"
+    )
     return novel.groupBy("fp").agg(F.min("_bid").alias(id_col)).select(
         id_col, "fp"
     )

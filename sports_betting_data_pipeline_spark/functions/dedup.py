@@ -250,19 +250,26 @@ def _minhash_base(
     num_hashes: int,
     materialize: bool = True,
 ) -> DataFrame:
-    """(_id, _sh, _sig) per doc. Token-less docs (empty, whitespace,
-    or NULL text) shingle to the singleton [''] set — shingles()'s
-    greatest(n-k+1, 1) lower bound, replicated verbatim by every
-    DuckDB oracle fragment (_dshk) — so they are EXACT duplicates of
-    one another: true Jaccard 1.0, one dedup block. That is the
-    wanted dedup semantic (token-less docs ARE mutual duplicates),
-    and the block is skew-safe on the production path because
-    collapse_exact folds any identical-shingle-set block to one
-    banded representative + star edges
-    (test_minhash_empty_docs_one_exact_block pins both properties).
-    The size() filter below only drops rows whose shingle ARRAY is
-    NULL (never produced by shingles(); defensive for callers feeding
-    pre-tokenized columns).
+    """(_id, _sh, _sig) per doc. TOKEN-LESS docs are EXCLUDED from
+    candidate generation by the size() filter below, in both flavors
+    (scripts/fuzz_oracle.py found each):
+
+    - NULL text: shingles(NULL) is NULL (content unknown ≠ content
+      empty) — the same rows the oracles' SQL null propagation drops
+      from their joins (nulls variant: the pre-fix '' conflation made
+      every NULL-text doc a "duplicate" of every empty one, 1511
+      pairs vs the oracle's 26 at 10% nulls).
+    - EMPTY/whitespace text: shingles('') is [] — the empty set has
+      Jaccard 0 against everything, exactly what the DuckDB fragments
+      (_dshk) compute (extremes variant: the pre-fix [''] singleton
+      paired all empty docs at "Jaccard 1.0", a semantic no oracle
+      ever implemented and a giant-bucket skew hazard at corpus
+      scale — one all-empty block is one O(d²) task).
+
+    Docs with 1..k-1 tokens keep their single full-token join as the
+    shingle (greatest(n-k+1, 1)), replicated verbatim by the oracle
+    fragments. Dedup of content-less docs belongs to the EXACT-dedup
+    family (l05/l06 group-by semantics), not near-dup candidates.
 
     The trailing ``repartition`` is the anti-projection-collapse barrier:
     every downstream consumer (band hashes, exact-Jaccard verify)
@@ -585,6 +592,14 @@ def simhash64(text_col_name: str) -> Column:
     COLUMN shift amount, which only the SQL surface allows (the Python
     ``F.shiftright`` requires a literal int), so the whole signature is
     one SQL higher-order expression.
+
+    Token-less docs — empty, whitespace, AND NULL text — sign to 0,
+    matching :func:`simhash_signatures`' explode_outer form exactly
+    (the family's documented semantic, hash-checked by l58's oracle
+    twin). Without the coalesce, NULL text folded to a NULL signature
+    here but 0 in the batch form — and the NULL reached st09's
+    stateful update as NaN, killing the stream (fuzz_oracle nulls
+    variant).
     """
     toks = f"filter(split(lower({text_col_name}), '\\\\s+'), t -> t != '')"
     hashes = f"transform({toks}, t -> xxhash64(t))"
@@ -597,7 +612,7 @@ def simhash64(text_col_name: str) -> Column:
         f"aggregate(zip_with({counters}, sequence(0,63), "
         "(c,j) -> IF(c > 0, shiftleft(1L, j), 0L)), 0L, (acc,x) -> acc | x)"
     )
-    return F.expr(packed)
+    return F.expr(f"coalesce({packed}, 0L)")
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -215,11 +215,33 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     image/audio feature extractor)."""
     rng = np.random.default_rng(7)
     proj = rng.standard_normal((256, FEATURE_DIM)).astype(np.float64)
+    cols = [
+        "asset_id", "media_type", "n_bytes",
+        "byte_mean", "byte_entropy", "feature",
+    ]
     for pdf in batches:
         out = []
         for asset_id, media_type, payload in zip(
             pdf["asset_id"], pdf["media_type"], pdf["payload"]
         ):
+            if payload is None:
+                # NULL payload (e.g. synthesized from NULL source
+                # text): keep the asset row, NULL the stats — the SQL
+                # the oracles pin (strlen(NULL) IS NULL) and the only
+                # crash-free contract for a 100 TB corpus where some
+                # assets are simply absent (fuzz_oracle nulls variant:
+                # np.frombuffer(None) killed the whole stage).
+                out.append(
+                    {
+                        "asset_id": asset_id,
+                        "media_type": media_type,
+                        "n_bytes": None,
+                        "byte_mean": None,
+                        "byte_entropy": None,
+                        "feature": None,
+                    }
+                )
+                continue
             buf = np.frombuffer(payload, dtype=np.uint8)
             counts = np.bincount(buf, minlength=256).astype(np.float64)
             probs = counts / max(buf.size, 1)
@@ -236,7 +258,9 @@ def _feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     "feature": feature,
                 }
             )
-        yield pd.DataFrame(out)
+        # explicit columns: an empty Arrow batch must still carry the
+        # output schema's column set
+        yield pd.DataFrame(out, columns=cols)
 
 
 def extract_features(assets: DataFrame) -> DataFrame:
@@ -297,9 +321,24 @@ def audio_roundtrip_features(documents: DataFrame) -> DataFrame:
         import io as _io
         import wave
 
+        cols = ["asset_id", "n_channels", "sample_rate", "n_frames", "rms"]
         for pdf in it:
             out = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                if pd.isna(n_chars):
+                    # unknown length: nothing to synthesize, so every
+                    # decoded field is unknown (int(NaN) used to kill
+                    # the stage — fuzz_oracle nulls variant)
+                    out.append(
+                        {
+                            "asset_id": int(doc_id),
+                            "n_channels": None,
+                            "sample_rate": None,
+                            "n_frames": None,
+                            "rms": None,
+                        }
+                    )
+                    continue
                 amp = int(doc_id) % 100 + 1
                 n_frames = int(n_chars) % 50 + 10
                 buf = _io.BytesIO()
@@ -320,7 +359,7 @@ def audio_roundtrip_features(documents: DataFrame) -> DataFrame:
                         "rms": meta["rms"],
                     }
                 )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out, columns=cols)
 
     return documents.select("doc_id", "n_chars").mapInPandas(
         batches, schema=AUDIO_META_SCHEMA
@@ -357,9 +396,22 @@ def image_roundtrip_features(documents: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["asset_id", "width", "height", "px_mean"]
         for pdf in it:
             out = []
             for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                if pd.isna(n_chars):
+                    # unknown size: nothing to synthesize → unknown out
+                    # (int(NaN) used to kill the stage; fuzz_oracle)
+                    out.append(
+                        {
+                            "asset_id": int(doc_id),
+                            "width": None,
+                            "height": None,
+                            "px_mean": None,
+                        }
+                    )
+                    continue
                 doc_id, n_chars = int(doc_id), int(n_chars)
                 w = doc_id % 6 + 2
                 h = n_chars % 5 + 2
@@ -376,7 +428,7 @@ def image_roundtrip_features(documents: DataFrame) -> DataFrame:
                         "px_mean": meta["px_mean"],
                     }
                 )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out, columns=cols)
 
     return documents.select("doc_id", "n_chars").mapInPandas(
         batches, schema=IMAGE_META_SCHEMA

@@ -383,17 +383,34 @@ def kmeans_centroids(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    spark = corpus.sparkSession
+    n_rows = corpus.count()
+    if n_rows == 0:
+        # no data -> no centroids; downstream IVF probes find nothing.
+        # MLlib's .fit would throw on an empty input (fuzz_oracle
+        # empty_facts variant).
+        return spark.createDataFrame(
+            [], "cent_id bigint, cv array<double>"
+        )
+    if n_rows == 1:
+        # one point IS the quantizer (MLlib requires k >= 2)
+        return corpus.select(
+            F.lit(0).cast("bigint").alias("cent_id"),
+            F.col(vec_col).cast("array<double>").alias("cv"),
+        )
     if n_centroids is None:
         # sqrt-N cell rule (see default_n_centroids) — trained and
         # deterministic quantizers must size cells the same way.
-        n_centroids = default_n_centroids(corpus.count())
+        n_centroids = default_n_centroids(n_rows)
+    # k can never exceed the number of training points, and MLlib
+    # requires k >= 2 (the 0/1-row cases returned above)
+    n_centroids = max(2, min(n_centroids, n_rows))
     feats = corpus.select(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
     model = KMeans(
         k=n_centroids, seed=seed, featuresCol="features", maxIter=10
     ).fit(feats)
-    spark = corpus.sparkSession
     cent_rows = [
         (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
     ]

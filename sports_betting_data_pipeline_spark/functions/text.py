@@ -170,9 +170,12 @@ def lang_id(text: Column) -> Column:
 
 def fingerprint64(text: Column) -> Column:
     """Exact 64-bit document fingerprint of case/whitespace-normalized
-    text (xxhash64 — stable across runs and partitionings)."""
+    text (xxhash64 — stable across runs and partitionings). NULL text
+    fingerprints to NULL (content unknown ≠ content empty — the SQL
+    null-propagation contract; ``concat_ws`` alone would silently
+    collapse NULL to the empty-text fingerprint)."""
     normalized = F.concat_ws(" ", ws_tokens(F.lower(text)))
-    return F.xxhash64(normalized)
+    return F.when(text.isNotNull(), F.xxhash64(normalized))
 
 
 def shingles_sql(t: str, k: int = 3) -> str:
@@ -180,9 +183,11 @@ def shingles_sql(t: str, k: int = 3) -> str:
     ``t`` (same let-binding structure, same tree — one parse call)."""
     return (
         f"transform(array({ws_tokens_sql(f'lower({t})')}), "
-        f"toks -> array_distinct(transform("
+        f"toks -> IF(toks IS NULL, NULL, "
+        f"IF(size(toks) = 0, CAST(array() AS ARRAY<STRING>), "
+        f"array_distinct(transform("
         f"sequence(1, greatest(size(toks) - {k - 1}, 1)), "
-        f"i -> concat_ws(' ', slice(toks, i, {k})))))[0]"
+        f"i -> concat_ws(' ', slice(toks, i, {k})))))))[0]"
     )
 
 
@@ -198,24 +203,44 @@ def shingles_from_tokens(
     let-binding-through-transform trick as :func:`shingles` — the
     per-index lambda must not re-evaluate the token pipeline."""
     base = F.transform(toks, lambda t: F.lower(t)) if lowercase else toks
+    return F.transform(F.array(base), lambda t: _build_shingles(t, k))[0]
 
-    def build(t: Column) -> Column:
-        n = F.size(t)
-        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-        return F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i, k)))
-        )
 
-    return F.transform(F.array(base), build)[0]
+def _build_shingles(toks: Column, k: int) -> Column:
+    """Sliding k-window over a LET-BOUND token array, with the two
+    token-less edges spelled out (both found by scripts/fuzz_oracle.py):
+
+    - NULL tokens → NULL shingles. ``greatest(NULL - k + 1, 1)`` would
+      otherwise resolve to 1 (greatest skips NULLs) and ``concat_ws``
+      over the NULL slice to '' — silently conflating NULL text with
+      empty text (nulls variant: l08 paired every NULL-text doc with
+      every empty one).
+    - EMPTY tokens (empty/whitespace-only text) → [] — an empty
+      shingle SET, which the size()>0 candidate filters exclude. The
+      greatest(n-k+1, 1) lower bound exists for 1..k-1-token docs
+      (their single full-token join IS their shingle); at n=0 it
+      minted a [''] singleton that paired all empty docs at Jaccard
+      1.0, which no DuckDB oracle fragment ever replicated (extremes
+      variant — the fragment's list ops give [] there).
+    """
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    built = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )
+    return F.when(n >= 1, built).otherwise(
+        F.when(toks.isNotNull(), F.array().cast("array<string>"))
+    )
 
 
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Distinct k-word shingles (the MinHash/Jaccard input unit).
 
     Sliding window over whitespace tokens via transform+slice; text
-    shorter than k tokens yields its single full-token join. Pass a
-    column NAME for the server-parsed fast path (5 construction
-    lambdas -> one parse call).
+    shorter than k tokens yields its single full-token join; NULL
+    text yields NULL (see :func:`_build_shingles`). Pass a column
+    NAME for the server-parsed fast path (5 construction lambdas ->
+    one parse call).
 
     The token array is LET-BOUND through a single-element ``transform``
     before the sliding window: a lambda body re-evaluates every
@@ -226,15 +251,9 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     """
     if isinstance(text, str):
         return F.expr(shingles_sql(_qname(text), k))
-
-    def build(toks: Column) -> Column:
-        n = F.size(toks)
-        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-        return F.array_distinct(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
-        )
-
-    return F.transform(F.array(ws_tokens(F.lower(text))), build)[0]
+    return F.transform(
+        F.array(ws_tokens(F.lower(text))), lambda t: _build_shingles(t, k)
+    )[0]
 
 
 def unigram_surprisal(

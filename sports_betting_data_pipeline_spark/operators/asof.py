@@ -64,9 +64,13 @@ def asof_join(
     # can never hold for an unknown timestamp, but the ascending sort
     # is NULLS FIRST, so such a row would otherwise sort to the head
     # of its key partition and its payload would attach to every left
-    # row that has no real preceding right row.
+    # row that has no real preceding right row. NULL-KEY right rows
+    # likewise: a JOIN key never matches on NULL, but the window's
+    # partitionBy groups NULL keys together and would happily "match"
+    # a NULL-key left row to a NULL-key right row (fuzz_oracle nulls
+    # variant vs DuckDB ASOF JOIN semantics).
     r = (
-        right.filter(F.col(ts).isNotNull())
+        right.filter(F.col(ts).isNotNull() & F.col(key).isNotNull())
         .select(F.col(key), F.col(ts), payload_t.alias("_asof_p"))
         .withColumn("_ord", F.lit(1 if strict else 0))
     )
@@ -134,7 +138,14 @@ def range_join_count(
         .agg(F.count(F.lit(1)).alias(count_alias))
     )
     return (
+        # one row per interval ID: the id is the interval's identity,
+        # so a source that re-delivers an interval row must not emit
+        # it twice (fuzz_oracle dup variant; the counts side already
+        # collapses by id). The dedup's exchange is the same
+        # interval_id partitioning the restore join needs — AQE reuses
+        # it, so this costs no extra shuffle.
         intervals.select(interval_id, key)
+        .dropDuplicates([interval_id])
         .join(counts, on=interval_id, how="left")
         .withColumn(count_alias, F.coalesce(F.col(count_alias), F.lit(0)))
     )

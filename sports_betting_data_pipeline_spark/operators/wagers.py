@@ -53,11 +53,17 @@ def place_wagers(
             F.md5(F.concat(F.lit("wager-"), F.col("event_id").cast("string"))).alias(
                 "external_id"
             ),
-            F.concat_ws(
-                "-",
-                F.lit("line"),
-                F.col("user_id").cast("string"),
-                F.pmod(F.col("event_id"), F.lit(5)).cast("string"),
+            # NULL user -> NULL line id (SQL || semantics, matching the
+            # oracle): concat_ws would silently SKIP the null part and
+            # mint a malformed "line-<mod>" id instead (fuzz_oracle)
+            F.when(
+                F.col("user_id").isNotNull(),
+                F.concat_ws(
+                    "-",
+                    F.lit("line"),
+                    F.col("user_id").cast("string"),
+                    F.pmod(F.col("event_id"), F.lit(5)).cast("string"),
+                ),
             ).alias("line_id"),
             F.col("user_id"),
             drawn_odds(F.col("event_id")).alias("odds"),

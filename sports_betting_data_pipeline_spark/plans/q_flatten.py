@@ -209,7 +209,13 @@ def p03_two_branch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("l_orderkey"), F.lit(50)) == 0
     )
     base = li.select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "l_linestatus")
-    branch_a = base.filter(F.col("l_returnflag") != "R").select(
+    # branch A is the COMPLEMENT of branch B's predicate — including
+    # NULL flags, exactly like the oracle's CASE ELSE; a bare != 'R'
+    # drops NULL-flag rows from BOTH branches (fuzz_oracle nulls
+    # variant; the mv01/src05 incomplete-partition lesson)
+    branch_a = base.filter(
+        F.col("l_returnflag").isNull() | (F.col("l_returnflag") != "R")
+    ).select(
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").cast("string").alias("qty_str"),

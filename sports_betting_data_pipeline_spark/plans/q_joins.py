@@ -24,14 +24,26 @@ from sports_betting_data_pipeline_spark.plans.catalog import register
     oracle="""
     WITH v AS (
         SELECT user_id, ts, max(event_id) AS view_id
-        FROM events WHERE event_type = 'view' GROUP BY 1, 2
+        FROM events
+        -- a NULL-ts view can never satisfy ts <= probe
+        WHERE event_type = 'view' AND ts IS NOT NULL
+        GROUP BY 1, 2
     ), p AS (
         SELECT event_id AS purchase_id, user_id, ts
         FROM events WHERE event_type = 'purchase'
     )
+    -- NULL-ts probes are matched explicitly to NOTHING: an unknown
+    -- purchase time has no "latest view before it". (DuckDB's ASOF
+    -- operator surprisingly MATCHES a NULL probe — fuzz_oracle nulls
+    -- variant — so those rows are unioned in unmatched instead of
+    -- relying on the operator's null behavior.)
     SELECT p.purchase_id, p.user_id, epoch_us(p.ts) AS purchase_ts_us,
            v.view_id, epoch_us(v.ts) AS view_ts_us
-    FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    FROM (SELECT * FROM p WHERE ts IS NOT NULL) p
+    ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    UNION ALL
+    SELECT purchase_id, user_id, NULL, NULL, NULL
+    FROM p WHERE ts IS NULL
     """,
 )
 def aj01_asof_last_view_before_purchase(

@@ -89,7 +89,11 @@ _DSH3 = (
            CAST(length(text) AS BIGINT) AS len_chars,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpe,
-           round(list_sum(list_transform(toks, x -> length(x))) / greatest(len(toks), 1), 6) AS mean_tok_len,
+           -- coalesce: a token-less doc has mean length 0.0 (the
+           -- engine's total-function choice, like the ratios below);
+           -- bare list_sum([]) is NULL (fuzz_oracle extremes)
+           round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                 / greatest(len(toks), 1), 6) AS mean_tok_len,
            round(len(list_distinct(toks)) / greatest(len(toks), 1), 6) AS uniq_ratio,
            round(len(list_filter(toks, x -> list_contains({STOPWORDS!r}, lower(x)))) / greatest(len(toks), 1), 6) AS sw_ratio
     FROM t
@@ -232,9 +236,18 @@ def l04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l05_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a prefix key: canonical min-id per group + group
-    size (the hash-groupBy exact-dedup shape, one narrow shuffle)."""
+    size (the hash-groupBy exact-dedup shape, one narrow shuffle).
+
+    TOKEN-LESS text (NULL, empty, whitespace-only) keeps a NULL
+    prefix — one no-content group, like any SQL GROUP BY null key.
+    concat_ws alone would mint a '' prefix, which the oracle's
+    array_to_string over a NULL/empty slice never does (fuzz_oracle
+    nulls + extremes variants)."""
     docs = load_table(spark, sf_dir, "documents")
-    prefix = F.concat_ws(" ", F.slice(ws_tokens(F.col("text")), 1, 2))
+    toks = ws_tokens(F.col("text"))
+    prefix = F.when(
+        F.size(toks) >= 1, F.concat_ws(" ", F.slice(toks, 1, 2))
+    )
     return docs.groupBy(prefix.alias("prefix")).agg(
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -279,17 +292,22 @@ def l06_canonical_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 def l07_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact unigram-Jaccard near-dup pairs, blocked by lang.
 
-    (k=1 shingles here because the fixture word-soup has no repeated
-    word SEQUENCES; the k=3 path is pinned by planted-duplicate unit
-    tests.) Jaccard is a ratio of two ints — bit-exact across engines,
-    so the threshold filter is stable."""
+    (Unigram TOKEN SETS here because the fixture word-soup has no
+    repeated word SEQUENCES; the k=3 shingle path is pinned by
+    planted-duplicate unit tests.) The set is the raw distinct-token
+    list — [] for empty text, NULL for NULL text — exactly the
+    oracle's list_distinct over its token fragment; shingles(k=1)
+    would map empty text to [''] and silently pair empty docs at
+    Jaccard 1.0 where the oracle scores them 0 (fuzz_oracle nulls
+    variant). Jaccard is a ratio of two ints — bit-exact across
+    engines, so the threshold filter is stable."""
     docs = load_table(spark, sf_dir, "documents").filter(
         F.pmod(F.col("doc_id"), F.lit(17)) == 0
     )
     sh = docs.select(
         F.col("doc_id").alias("_id"),
         F.col("lang").alias("_blk"),
-        shingles(F.col("text"), k=1).alias("_sh"),
+        F.array_distinct(ws_tokens(F.lower(F.col("text")))).alias("_sh"),
     )
     left = sh.select(
         F.col("_blk"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")
@@ -1482,8 +1500,14 @@ def l27_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), b AS (
         SELECT doc_id, fp FROM n WHERE doc_id % 10 = 9
     )
+    -- NOT EXISTS + IS NOT DISTINCT FROM, not NOT IN: NULL
+    -- fingerprints (NULL text) are one dedup class that must match
+    -- history null-safely, and NOT IN over a set containing NULL
+    -- returns zero rows for EVERY probe (fuzz_oracle nulls variant)
     SELECT min(doc_id) AS doc_id, fp
-    FROM b WHERE fp NOT IN (SELECT fp FROM hist)
+    FROM b WHERE NOT EXISTS (
+        SELECT 1 FROM hist WHERE hist.fp IS NOT DISTINCT FROM b.fp
+    )
     GROUP BY fp
     """,
 )
@@ -1745,11 +1769,17 @@ def l32_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m03_audio_roundtrip",
     oracle="""
+    -- NULL n_chars: nothing to synthesize, so EVERY decoded field is
+    -- unknown — including the otherwise-constant channel count and
+    -- sample rate (fuzz_oracle nulls variant)
     SELECT doc_id AS asset_id,
-           CAST(1 AS BIGINT) AS n_channels,
-           CAST(8000 AS BIGINT) AS sample_rate,
+           CASE WHEN n_chars IS NULL THEN NULL
+                ELSE CAST(1 AS BIGINT) END AS n_channels,
+           CASE WHEN n_chars IS NULL THEN NULL
+                ELSE CAST(8000 AS BIGINT) END AS sample_rate,
            CAST(n_chars % 50 + 10 AS BIGINT) AS n_frames,
-           round(CAST(doc_id % 100 + 1 AS DOUBLE), 6) AS rms
+           CASE WHEN n_chars IS NULL THEN NULL
+                ELSE round(CAST(doc_id % 100 + 1 AS DOUBLE), 6) END AS rms
     FROM documents
     """,
 )
@@ -1773,8 +1803,11 @@ def m03_audio_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m04_image_roundtrip",
     oracle="""
+    -- NULL n_chars: no height → no BMP → every decoded field unknown,
+    -- including the doc_id-derived width (fuzz_oracle nulls variant)
     SELECT doc_id AS asset_id,
-           CAST(doc_id % 6 + 2 AS BIGINT) AS width,
+           CASE WHEN n_chars IS NULL THEN NULL
+                ELSE CAST(doc_id % 6 + 2 AS BIGINT) END AS width,
            CAST(n_chars % 5 + 2 AS BIGINT) AS height,
            round(((doc_id % 256) + ((doc_id * 7) % 256)
                   + ((n_chars * 13) % 256)) / 3.0, 6) AS px_mean
@@ -2542,7 +2575,11 @@ def l40_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), g AS (
         SELECT doc_id, source, len(toks) AS n,
-               list_sum(list_transform(toks, x -> length(x)))
+               -- coalesce: a token-less doc has mwl 0.0 (fails the
+               -- 3..10 gate, as the engine counts it); bare
+               -- list_sum([]) is NULL and NULL 3VL would silently
+               -- exclude the doc from the fail count (fuzz_oracle)
+               coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
                    / greatest(len(toks), 1) AS mwl,
                len(list_distinct(list_filter(toks, x -> list_contains(
                    ['the','a','an','is','are','of','and','or','to','in'], x))))
@@ -2816,8 +2853,14 @@ _PL03_QUERY_IDS = (0, 101, 202)
     "pl03_hybrid_retrieval",
     oracle=f"""
     WITH corpus AS (
+        -- NULL text -> NULL shingles -> NULL lex score (no lexical
+        -- evidence; the vector leg still ranks). The raw fragment
+        -- would yield [] here (lex 0), silently reordering the
+        -- zero-lex tie region (fuzz_oracle nulls variant).
         SELECT d.doc_id AS id,
-               {_DSH3.format(toks=_DTOKS.format(src='lower(d.text)'))} AS sh,
+               CASE WHEN d.text IS NULL THEN NULL
+                    ELSE {_DSH3.format(toks=_DTOKS.format(src='lower(d.text)'))}
+               END AS sh,
                e.embedding::DOUBLE[] AS v
         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
     ),
@@ -2908,9 +2951,14 @@ def pl03_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = widen_for_compute(cand).crossJoin(F.broadcast(q)).select(
         "query_id",
         "cand_id",
-        (
+        # NULL shingles (NULL text) -> NULL lex, ranked by the desc-
+        # nulls-last + id tiebreak like the oracle; without the guard,
+        # legacy size(NULL) = -1 manufactures a spurious -1/|sh|
+        # ordering for a content-less query (fuzz_oracle nulls)
+        F.when(
+            F.col("sh").isNotNull() & F.col("qsh").isNotNull(),
             n_inter.cast("double")
-            / (F.size("sh") + F.size("qsh") - n_inter)
+            / (F.size("sh") + F.size("qsh") - n_inter),
         ).alias("lex"),
         (
             dot("v", "qv")
@@ -3116,8 +3164,10 @@ def m05_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
            v.label AS predicted_label,
            CAST(v.n AS BIGINT) AS votes
     FROM (
+        -- NULLS FIRST on the label tiebreak: a NULL-label vote group
+        -- must rank the same in both engines (Spark ASC default)
         SELECT *, row_number() OVER (
-            PARTITION BY query_id ORDER BY n DESC, label
+            PARTITION BY query_id ORDER BY n DESC, label NULLS FIRST
         ) AS pick
         FROM votes
     ) v
@@ -3914,9 +3964,15 @@ def l54_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ks = F.explode(F.array(F.lit(10), F.lit(30), F.lit(100))).alias("k")
     budgets = total.select(ks, "t", "v")
-    at_k = ranked.join(
-        F.broadcast(budgets),
+    # LEFT join from the 3-row budget grid: an EMPTY corpus still
+    # reports every requested budget point (NULL coverage, vocab 0) —
+    # the inner form returned zero rows because least(k, 0) matches no
+    # rank (fuzz_oracle empty_facts variant). Still an equi-join: the
+    # key is computable on the budget side.
+    at_k = budgets.join(
+        ranked,
         F.col("rnk") == F.least(F.col("k"), F.col("v")),
+        "left",
     )
     return at_k.select(
         F.col("k").cast("long").alias("vocab_size"),
@@ -4182,7 +4238,17 @@ def l57_containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                ascii(substr(d.text, 2 * gs.i + 1, 1))
                + 256 * ascii(substr(d.text, 2 * gs.i + 2, 1)) AS s
         FROM (SELECT doc_id, text FROM documents
-              WHERE doc_id < 50 AND n_chars >= 32) d,
+              -- the qualifying predicate is the ACTUAL payload size:
+              -- the decoder consumes 32 bytes, and the n_chars column
+              -- is metadata that can disagree with the text (NULL
+              -- text, or a shorter/multibyte payload — fuzz_oracle
+              -- nulls + extremes variants)
+              WHERE doc_id < 50
+                AND octet_length(encode(text)) >= 32
+                -- ASCII payloads only (bytes == chars): the oracle's
+                -- character arithmetic mirrors the engine's BYTE
+                -- decode only when they coincide (fuzz extremes)
+                AND octet_length(encode(text)) = length(text)) d,
              generate_series(0, 15) AS gs(i)
     )
     SELECT doc_id,
@@ -4223,7 +4289,14 @@ def pl08_multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
     docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 50) & (F.col("n_chars") >= 32)
+        # qualify on the ACTUAL payload size the decoder consumes
+        # (32 bytes) — the n_chars metadata column can disagree with
+        # the text, and a short/NULL payload killed the decode stage
+        # (fuzz_oracle nulls + extremes variants; oracle matches)
+        (F.col("doc_id") < 50)
+        & (F.octet_length(F.encode("text", "UTF-8")) >= 32)
+        # ASCII payloads only (bytes == chars) — see the oracle note
+        & (F.octet_length(F.encode("text", "UTF-8")) == F.length("text"))
     )
 
     def write_part(rows):

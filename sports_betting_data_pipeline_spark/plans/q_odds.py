@@ -27,11 +27,14 @@ _RAW_ODDS = "(event_id * 7919) % 20001 - 10000"
     "o01_ladder_snap",
     oracle=f"""
     WITH raw AS (
-        SELECT event_id, {_RAW_ODDS} AS r FROM events
+        -- rid: a synthetic per-ROW identity — every source row snaps,
+        -- so a duplicated event_id must yield two counted snaps, not
+        -- one argmin partition (fuzz_oracle dup variant)
+        SELECT row_number() OVER () AS rid, {_RAW_ODDS} AS r FROM events
     ), best AS (
-        SELECT raw.event_id, l.rung,
+        SELECT raw.rid, l.rung,
                row_number() OVER (
-                   PARTITION BY raw.event_id ORDER BY abs(l.rung - raw.r), l.rung
+                   PARTITION BY raw.rid ORDER BY abs(l.rung - raw.r), l.rung
                ) AS rn
         FROM raw CROSS JOIN (SELECT unnest({ladder_sql_list()}) AS rung) l
     )

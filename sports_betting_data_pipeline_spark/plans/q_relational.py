@@ -188,10 +188,10 @@ def f02_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            count(*) AS n_events,
-           round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS avg_k
+           round(avg(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)), 6) AS avg_k
     FROM events
-    WHERE json_extract_string(props, '$.k') IS NOT NULL
-      AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    WHERE json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') IS NOT NULL
+      AND CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) > 50
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -415,7 +415,7 @@ def w01_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice) OVER (
                PARTITION BY o_custkey
-               ORDER BY o_orderdate, o_orderkey
+               ORDER BY o_orderdate NULLS FIRST, o_orderkey
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 2) AS running_total
     FROM orders
@@ -537,6 +537,13 @@ def d01_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(l_quantity), 2) AS sum_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    -- HAVING count(*) > 0: pins Spark's empty-input behavior — the
+    -- Expand-based rollup/cube/grouping-sets emit NO grand-total row
+    -- over an empty table (the SQL standard's () set would emit one
+    -- with count 0); a no-op on any non-empty input since every
+    -- grouping-set row aggregates >= 1 source row (fuzz_oracle
+    -- empty_facts variant)
+    HAVING count(*) > 0
     """,
 )
 def r01_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -556,6 +563,13 @@ def r01_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(o_totalprice), 2) AS revenue
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    -- HAVING count(*) > 0: pins Spark's empty-input behavior — the
+    -- Expand-based rollup/cube/grouping-sets emit NO grand-total row
+    -- over an empty table (the SQL standard's () set would emit one
+    -- with count 0); a no-op on any non-empty input since every
+    -- grouping-set row aggregates >= 1 source row (fuzz_oracle
+    -- empty_facts variant)
+    HAVING count(*) > 0
     """,
 )
 def r02_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -659,6 +673,13 @@ def c05_null_defaulting(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    -- HAVING count(*) > 0: pins Spark's empty-input behavior — the
+    -- Expand-based rollup/cube/grouping-sets emit NO grand-total row
+    -- over an empty table (the SQL standard's () set would emit one
+    -- with count 0); a no-op on any non-empty input since every
+    -- grouping-set row aggregates >= 1 source row (fuzz_oracle
+    -- empty_facts variant)
+    HAVING count(*) > 0
     """,
 )
 def r04_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -709,9 +730,13 @@ def a03_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a04_argmax_countif",
     oracle="""
+    -- struct-wrapped arg_max/arg_min: the payload of the extreme row
+    -- even when that payload is NULL (Spark max_by/min_by semantics);
+    -- bare DuckDB arg_max skips NULL payloads and silently answers
+    -- from a DIFFERENT row (fuzz_oracle nulls variant)
     SELECT user_id,
-           arg_max(value, event_id) AS latest_value,
-           arg_min(event_type, event_id) AS first_type,
+           (arg_max({'v': value}, event_id)).v AS latest_value,
+           (arg_min({'v': event_type}, event_id)).v AS first_type,
            CAST(count(*) FILTER (WHERE value > 50) AS BIGINT) AS n_big,
            CAST(count(*) AS BIGINT) AS n
     FROM events GROUP BY 1
@@ -735,10 +760,10 @@ def a04_argmax_countif(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id, event_id,
            epoch_us(ts) - lag(epoch_us(ts)) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
            ) AS delta_us,
            lead(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
            ) AS next_type
     FROM events WHERE user_id % 7 = 0
     """,
@@ -869,9 +894,9 @@ def q03_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c07_json_typed_extract",
     oracle="""
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(sum(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT)
                AS sum_k,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(max(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT)
                AS max_k,
            CAST(count(*) AS BIGINT) AS n
     FROM events
@@ -976,10 +1001,20 @@ def a05_statistical_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").isNotNull()
     )
     u = F.col("user_id").cast("double")
+    # corr as try_divide(covar, sd*sd) — algebraically identical, but
+    # a zero-variance group (one distinct value, or one row) yields
+    # NULL like DuckDB/Postgres instead of ANSI Spark's built-in corr
+    # throwing DIVIDE_BY_ZERO (fuzz_oracle ties/tiny variants)
     return events.groupBy("event_type").agg(
         F.round(F.stddev_samp("value"), 6).alias("sd_value"),
         F.round(F.var_samp("value"), 6).alias("var_value"),
-        F.round(F.corr(F.col("value"), u), 6).alias("corr_vu"),
+        F.round(
+            F.try_divide(
+                F.covar_samp(F.col("value"), u),
+                F.stddev_samp("value") * F.stddev_samp(u),
+            ),
+            6,
+        ).alias("corr_vu"),
         F.round(F.covar_samp(F.col("value"), u), 6).alias("cov_vu"),
     )
 
@@ -1113,6 +1148,10 @@ def a06_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE (event_type = 'view' AND event_id % 10 < 1)
        OR (event_type = 'click' AND event_id % 10 < 2)
        OR (event_type = 'purchase' AND event_id % 2 < 1)
+       -- IS NULL spelled out: a NULL stratum is a rare stratum kept
+       -- whole (the engine's pinned behavior), but NULL NOT IN (...)
+       -- is NULL, silently dropping the group (fuzz_oracle nulls)
+       OR event_type IS NULL
        OR event_type NOT IN ('view', 'click', 'purchase')
     GROUP BY event_type
     ORDER BY event_type
@@ -1204,10 +1243,14 @@ def w04_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT unnest([0.25, 0.5, 0.9, 0.99]) AS p,
                unnest([1, 2, 3, 4]) AS i
     )
+    -- empty input: still one row per requested p, with NULL bounds
+    -- and a NULL (unknown) accuracy flag — there is no estimate to be
+    -- inside or outside the window (fuzz_oracle empty_facts variant)
     SELECT p.p,
            round(b.lo[p.i], 6) AS rank_lo,
            round(b.hi[p.i], 6) AS rank_hi,
-           TRUE AS within_rank_error,
+           CASE WHEN b.n_orders = 0 THEN NULL ELSE TRUE END
+               AS within_rank_error,
            b.n_orders
     FROM p, b
     """,
@@ -1245,9 +1288,17 @@ def a07_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prob_arr = F.array(*[F.lit(p) for p in probs])
     idx = F.col("pos") + 1
+    # empty input: the sketch aggregate is NULL and posexplode(NULL)
+    # would drop ALL output rows — explode a NULL-filled array instead
+    # so each requested p still reports (NULL bounds, NULL flag), the
+    # oracle's shape (fuzz_oracle empty_facts variant)
+    null_qs = F.array(*[F.lit(None).cast("double") for _ in probs])
     return (
         agg.select(
-            F.posexplode("qs").alias("pos", "qv"), "los", "his", "n_orders"
+            F.posexplode(F.coalesce(F.col("qs"), null_qs)).alias("pos", "qv"),
+            "los",
+            "his",
+            "n_orders",
         )
         .select(
             F.element_at(prob_arr, idx).alias("p"),
@@ -1272,11 +1323,11 @@ def a07_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w > INTERVAL 6 HOUR
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ), s AS (
         SELECT user_id, ts,
                CAST(sum(new_sess) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                    ROWS UNBOUNDED PRECEDING
                ) AS BIGINT) AS session_no
         FROM d
@@ -1367,9 +1418,10 @@ def s04_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
         SELECT c_mktsegment, c_acctbal,
+               -- NULLS FIRST: the engine contract (Spark ASC default)
                ntile(4) OVER (
                    PARTITION BY c_mktsegment
-                   ORDER BY c_acctbal, c_custkey
+                   ORDER BY c_acctbal NULLS FIRST, c_custkey
                ) AS quartile
         FROM customer
     )
@@ -1700,9 +1752,12 @@ def a10_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH cum AS (
         SELECT l_returnflag, l_extendedprice, l_quantity,
+               -- NULLS FIRST on the nullable keys: the engine contract
+               -- (Spark ASC default); DuckDB defaults NULLS LAST
                sum(l_quantity) OVER (
                    PARTITION BY l_returnflag
-                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ORDER BY l_extendedprice NULLS FIRST, l_orderkey,
+                            l_linenumber NULLS FIRST
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS cum_w,
                sum(l_quantity) OVER (PARTITION BY l_returnflag) AS total_w
@@ -1763,14 +1818,14 @@ def a11_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
         SELECT user_id, ts, event_id, event_type,
                CASE WHEN row_number() OVER (
-                   PARTITION BY user_id, event_type ORDER BY ts, event_id
+                   PARTITION BY user_id, event_type ORDER BY ts NULLS FIRST, event_id
                ) = 1 THEN 1 ELSE 0 END AS first_seen
         FROM events
         WHERE user_id < 10
     )
     SELECT user_id, event_id,
            CAST(sum(first_seen) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ) AS BIGINT) AS types_seen_so_far
     FROM flagged
@@ -1814,8 +1869,11 @@ def w08_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH lagged AS (
         SELECT user_id, ts, event_id, event_type, value,
+               -- NULLS FIRST: the engine contract (Spark's ASC
+               -- default); DuckDB windows default NULLS LAST, which
+               -- silently reorders NULL-ts rows (fuzz_oracle nulls)
                lag(ts) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ) AS prev_ts
         FROM events
     )
@@ -1858,7 +1916,12 @@ def pl05_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shuffle via Spark's expand; everything else is partial-agg.
     """
     events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_first IS Spark's ASC default — written out because the
+    # oracle must pin the same placement explicitly (DuckDB defaults
+    # NULLS LAST in window ORDER BY)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc_nulls_first(), "event_id"
+    )
     lagged = events.select(
         "user_id",
         "ts",
@@ -1921,7 +1984,7 @@ def pl05_feature_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM events
     UNION ALL
     SELECT 'events_props_has_k', count(*),
-           CAST(count(*) FILTER (json_extract(props, '$.k') IS NULL) AS BIGINT)
+           CAST(count(*) FILTER (json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') IS NULL) AS BIGINT)
     FROM events
     UNION ALL
     SELECT 'customer_acctbal_nonneg', count(*),
@@ -1997,12 +2060,18 @@ def dq01_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c10_map_functions",
     oracle="""
     SELECT event_type,
-           CAST(count(*) FILTER (json_extract(props, '$.k') IS NOT NULL)
+           CAST(count(*) FILTER (json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') IS NOT NULL)
                 AS BIGINT) AS n_with_k,
            CAST(count(*) AS BIGINT) AS n_total,
-           round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6)
+           round(avg(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS DOUBLE)), 6)
                AS avg_k,
-           CAST(max(len(json_keys(props))) AS BIGINT) AS max_keys
+           -- nested CASE (guaranteed eval order): json_keys must see
+           -- only VALID JSON OBJECTS — from_json(map) yields a NULL
+           -- map for anything else, malformed or scalar alike
+           CAST(max(len(json_keys(
+               CASE WHEN json_valid(props) THEN
+                   CASE WHEN json_type(props) = 'OBJECT' THEN props END
+               END))) AS BIGINT) AS max_keys
     FROM events
     GROUP BY event_type
     """,
@@ -2107,18 +2176,24 @@ def j08_full_outer_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         SELECT c_custkey + 100000, 'NEWCOMER'
         FROM customer WHERE c_custkey < 5
     )
+    -- IS DISTINCT FROM, not <>: SCD2 change detection is null-safe
+    -- (the engine's eqNullSafe) — NULL segment -> 'PROMOTED' IS a
+    -- change, but plain <> returns NULL and silently skips the
+    -- version close/open (fuzz_oracle nulls variant)
     SELECT c.c_custkey,
            c.c_mktsegment,
            DATE '1970-01-01' AS valid_from,
-           CASE WHEN u.c_custkey IS NOT NULL AND u.seg <> c.c_mktsegment
+           CASE WHEN u.c_custkey IS NOT NULL
+                     AND u.seg IS DISTINCT FROM c.c_mktsegment
                 THEN DATE '2024-02-01' END AS valid_to,
-           NOT (u.c_custkey IS NOT NULL AND u.seg <> c.c_mktsegment)
+           NOT (u.c_custkey IS NOT NULL
+                AND u.seg IS DISTINCT FROM c.c_mktsegment)
                AS is_current
     FROM customer c LEFT JOIN upd u ON u.c_custkey = c.c_custkey
     UNION ALL
     SELECT u.c_custkey, u.seg, DATE '2024-02-01', NULL, TRUE
     FROM upd u LEFT JOIN customer c ON c.c_custkey = u.c_custkey
-    WHERE c.c_custkey IS NULL OR u.seg <> c.c_mktsegment
+    WHERE c.c_custkey IS NULL OR u.seg IS DISTINCT FROM c.c_mktsegment
     """,
 )
 def scd01_dimension_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2216,12 +2291,16 @@ def r05_pivot_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias("qty"),
         )
     )
+    # a pivot value with NO rows anywhere leaves a NULL cell, but the
+    # conditional-aggregate semantics this query pins give count 0 /
+    # sum 0.0 — coalesce the CELLS, the in-agg coalesce can't fill a
+    # missing cell (fuzz_oracle tiny variant)
     return pivoted.select(
         "l_returnflag",
-        F.col("F_n").alias("f_n"),
-        F.col("F_qty").alias("f_qty"),
-        F.col("O_n").alias("o_n"),
-        F.col("O_qty").alias("o_qty"),
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("f_n"),
+        F.coalesce(F.col("F_qty"), F.lit(0.0)).alias("f_qty"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("o_n"),
+        F.coalesce(F.col("O_qty"), F.lit(0.0)).alias("o_qty"),
     )
 
 
@@ -2333,8 +2412,11 @@ def a12_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
         FROM orders
     )
-    SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)), 9)
-                AS BIGINT) AS bucket,
+    -- degenerate range (hi = lo: one distinct value, or a 1-row
+    -- table) puts every row in bucket 0 instead of dividing by zero
+    SELECT CAST(CASE WHEN hi = lo THEN 0
+                ELSE least(floor((o_totalprice - lo) / ((hi - lo) / 10.0)), 9)
+                END AS BIGINT) AS bucket,
            CAST(count(*) AS BIGINT) AS n_rows,
            round(min(o_totalprice), 2) AS bucket_min,
            round(max(o_totalprice), 2) AS bucket_max
@@ -2358,12 +2440,16 @@ def a13_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = orders.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
-    bucket = F.least(
-        F.floor(
-            (F.col("o_totalprice") - F.col("lo"))
-            / ((F.col("hi") - F.col("lo")) / 10.0)
-        ),
-        F.lit(9),
+    # degenerate range (hi == lo) -> one bucket, not a divide-by-zero
+    # (ANSI Spark throws; fuzz_oracle ties/tiny variants)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10.0)
+            ),
+            F.lit(9),
+        )
     ).cast("long")
     return (
         orders.join(F.broadcast(bounds))
@@ -2386,9 +2472,11 @@ def a13_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM pop),
     binned AS (
+        -- degenerate pooled range (hi = lo) -> one bucket, not /0
         SELECT seg,
-               CAST(least(floor((v - lo) / ((hi - lo) / 20.0)), 19) AS BIGINT)
-                   AS bucket
+               CAST(CASE WHEN hi = lo THEN 0
+                    ELSE least(floor((v - lo) / ((hi - lo) / 20.0)), 19)
+                    END AS BIGINT) AS bucket
         FROM pop, bounds
     ),
     counts AS (
@@ -2434,9 +2522,15 @@ def a14_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("v"))
     )
     bounds = pop.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
-    bucket = F.least(
-        F.floor((F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20.0)),
-        F.lit(19),
+    # degenerate pooled range (hi == lo) -> one bucket, not an ANSI
+    # divide-by-zero (fuzz_oracle ties variant; the a13 guard)
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("v") - F.col("lo")) / ((F.col("hi") - F.col("lo")) / 20.0)
+            ),
+            F.lit(19),
+        )
     ).cast("long")
     counts = (
         pop.join(F.broadcast(bounds))
@@ -2449,15 +2543,17 @@ def a14_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = counts.agg(
         F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
     )
+    # try_divide: an absent population (t=0 on tiny inputs) has no
+    # mass fractions — NULL, DuckDB's /0 result; ANSI / throws
+    p_a = F.try_divide(F.col("n_a"), F.col("t_a"))
+    p_b = F.try_divide(F.col("n_b"), F.col("t_b"))
     return counts.join(F.broadcast(totals)).select(
         "bucket",
         "n_a",
         "n_b",
-        F.round(F.col("n_a") / F.col("t_a"), 6).alias("p_a"),
-        F.round(F.col("n_b") / F.col("t_b"), 6).alias("p_b"),
-        F.round(F.abs(F.col("n_a") / F.col("t_a") - F.col("n_b") / F.col("t_b")), 6).alias(
-            "gap"
-        ),
+        F.round(p_a, 6).alias("p_a"),
+        F.round(p_b, 6).alias("p_b"),
+        F.round(F.abs(p_a - p_b), 6).alias("gap"),
     )
 
 
@@ -2537,7 +2633,7 @@ def co01_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seq AS (
         SELECT user_id, event_type,
                lead(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ) AS next_type
         FROM events
     ),
@@ -3022,8 +3118,18 @@ def mv01_incremental_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("p_max"),
         )
 
+    # the two slices must PARTITION the table — the batch side is the
+    # complement of the materialized predicate, which includes NULL
+    # order dates; a bare >= cutoff drops them from BOTH slices and
+    # the "incremental" total silently loses rows the full recompute
+    # counts (fuzz_oracle nulls variant — the classic MV-maintenance
+    # incomplete-partition-predicate bug)
     materialized = partials(joined.filter(F.col("o_orderdate") < cutoff))
-    new_batch = partials(joined.filter(F.col("o_orderdate") >= cutoff))
+    new_batch = partials(
+        joined.filter(
+            F.col("o_orderdate").isNull() | (F.col("o_orderdate") >= cutoff)
+        )
+    )
     return (
         materialized.unionByName(new_batch)
         .groupBy("c_mktsegment")
@@ -3364,10 +3470,14 @@ def a17_ab_test_significance(spark: SparkSession, sf_dir: str) -> DataFrame:
     p_pool = (F.col("x_c") + F.col("x_t")).cast("double") / (
         F.col("n_c") + F.col("n_t")
     )
-    z = (
+    # try_divide: a degenerate experiment (zero conversions or a
+    # missing arm) has no z-stat — NULL, exactly DuckDB's /0 result;
+    # ANSI Spark's bare / throws instead (fuzz_oracle ties variant)
+    z = F.try_divide(
         F.col("x_t").cast("double") / F.col("n_t")
-        - F.col("x_c").cast("double") / F.col("n_c")
-    ) / F.sqrt(p_pool * (1 - p_pool) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t")))
+        - F.col("x_c").cast("double") / F.col("n_c"),
+        F.sqrt(p_pool * (1 - p_pool) * (1.0 / F.col("n_c") + 1.0 / F.col("n_t"))),
+    )
     return wide.select(
         F.col("n_c").alias("n_control"),
         F.col("x_c").alias("conv_control"),
@@ -3576,13 +3686,13 @@ def a18_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
                    sum(CASE WHEN prev_ts IS NULL
                              OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
                             THEN 1 ELSE 0 END) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_id
+                       PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS sid
             FROM (
                 SELECT user_id, ts, event_id,
                        lag(ts) OVER (
-                           PARTITION BY user_id ORDER BY ts, event_id
+                           PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                        ) AS prev_ts
                 FROM events
             )
@@ -3808,7 +3918,7 @@ def f09_backtest_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                lead(event_type, 1) OVER w AS e2,
                lead(event_type, 2) OVER w AS e3
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     ),
     paths AS (
         SELECT e1, e2, e3, count(*) AS n
@@ -3940,8 +4050,10 @@ def a20_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("r").alias("replicate"))
         .agg(
             F.sum("w").alias("n_eff"),
+            # try_divide: a replicate that drew all-zero weights (tiny
+            # inputs) has no bootstrap mean — NULL, DuckDB's /0 result
             F.round(
-                F.sum(F.col("w") * F.col("v")) / F.sum("w"), 4
+                F.try_divide(F.sum(F.col("w") * F.col("v")), F.sum("w")), 4
             ).alias("boot_mean"),
         )
     )

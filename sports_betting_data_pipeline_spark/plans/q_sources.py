@@ -166,7 +166,13 @@ def src03_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "value", "event_type"
     )
     events.write.mode("overwrite").partitionBy("event_type").parquet(path)
-    back = spark.read.parquet(path)
+    # DECLARED read schema (the io.py "never infer" policy): an empty
+    # landing has no footers to infer from and the bare read throws
+    # UNABLE_TO_INFER_SCHEMA (fuzz_oracle empty_facts variant); the
+    # partition column is declared last, as the layout stores it
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, value double, event_type string"
+    ).parquet(path)
     return (
         back.filter(F.col("event_type").isin("purchase", "error"))
         .groupBy("event_type")
@@ -227,10 +233,16 @@ def src04_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "src05_schema_evolution",
     oracle="""
+    -- batch 2 is the COMPLEMENT of batch 1 (user_id < 75), which
+    -- includes NULL user ids — mirrored in the CASE predicates
     SELECT CAST(count(*) AS BIGINT) AS n_events,
-           CAST(count(CASE WHEN user_id >= 75 THEN 1 END) AS BIGINT)
+           -- count of non-null VALUES (a NULL props row in the new
+           -- vintage still has a NULL props_len), matching count(col)
+           CAST(count(CASE WHEN user_id >= 75 OR user_id IS NULL
+                           THEN length(props) END) AS BIGINT)
                AS n_with_props_len,
-           CAST(sum(CASE WHEN user_id >= 75 THEN length(props) END)
+           CAST(sum(CASE WHEN user_id >= 75 OR user_id IS NULL
+                         THEN length(props) END)
                AS BIGINT) AS total_props_len,
            round(sum(value), 2) AS total_value
     FROM events
@@ -255,10 +267,14 @@ def src05_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "value", "props"
     )
+    # the two batches must PARTITION the table: batch 2 is the
+    # complement of batch 1's predicate, including NULL user ids — a
+    # bare >= 75 silently drops them from BOTH vintages (fuzz_oracle
+    # nulls variant; the mv01 incomplete-partition-predicate lesson)
     old = events.filter(F.col("user_id") < 75).drop("props")
-    new = events.filter(F.col("user_id") >= 75).withColumn(
-        "props_len", F.length("props").cast("long")
-    ).drop("props")
+    new = events.filter(
+        F.col("user_id").isNull() | (F.col("user_id") >= 75)
+    ).withColumn("props_len", F.length("props").cast("long")).drop("props")
     old.write.mode("overwrite").parquet(path)
     new.write.mode("append").parquet(path)
     back = spark.read.option("mergeSchema", True).parquet(path)
@@ -350,30 +366,49 @@ def src06_corrupt_json_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def src07_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Line-oriented text source path (``spark.read.text`` — the format
     raw LLM corpora actually arrive in): encode documents as
-    tab-delimited ``doc_id \\t lang \\t text`` lines, decode by
-    splitting each line back apart (split limit 3 so tabs inside text
-    would survive), and aggregate per language. Byte totals ride along
-    so any encode/decode mangling breaks the hash.
+    tab-delimited ``doc_id \\t lang \\t hex(text)`` lines, decode by
+    splitting each line back apart, and aggregate per language. Byte
+    totals ride along so any encode/decode mangling breaks the hash.
+
+    The text field rides HEX with a ``\\N`` sentinel for NULLs
+    (classic TSV convention): raw text cannot ride a line format —
+    concat_ws silently DROPS null fields (shifting text into the lang
+    column) and embedded newlines split one document across records
+    (both found by fuzz_oracle; the pre-fix decode threw
+    INVALID_ARRAY_INDEX on the shifted 2-field lines). hex, not
+    base64: Spark's base64() MIME-chunks long output with CRLF every
+    76 chars — newlines right back in the line format. The line/field
+    structure — the actual source exercise — is unchanged.
 
     Scale: text files split by line ranges, so the read parallelizes
     within files, not just across them; like CSV this is the edge
-    format you land into parquet once. The split/cast happens JVM-side
-    (``split``/``element_at``), no Python in the decode.
+    format you land into parquet once. The encode/split/decode happens
+    JVM-side (``base64``/``split``/``element_at``), no Python.
     """
     path = _scratch(sf_dir, "documents_txt")
     docs = load_table(spark, sf_dir, "documents")
+    NULL_S = "\\N"
     docs.select(
-        F.concat_ws("\t", F.col("doc_id"), F.col("lang"), F.col("text")).alias(
-            "value"
-        )
+        F.concat_ws(
+            "\t",
+            F.col("doc_id"),
+            F.coalesce(F.col("lang"), F.lit(NULL_S)),
+            F.coalesce(F.hex(F.encode("text", "UTF-8")), F.lit(NULL_S)),
+        ).alias("value")
     ).write.mode("overwrite").text(path)
+
+    def _null_sentinel(c):
+        return F.when(c != NULL_S, c)
+
     back = (
         spark.read.text(path)
         .select(F.split("value", "\t", 3).alias("parts"))
         .select(
             F.element_at("parts", 1).cast("long").alias("doc_id"),
-            F.element_at("parts", 2).alias("lang"),
-            F.element_at("parts", 3).alias("text"),
+            _null_sentinel(F.element_at("parts", 2)).alias("lang"),
+            F.decode(
+                F.unhex(_null_sentinel(F.element_at("parts", 3))), "UTF-8"
+            ).alias("text"),
         )
     )
     return (
@@ -390,11 +425,22 @@ def src07_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "src08_binaryfile_source",
     oracle="""
-    SELECT doc_id,
+    -- DISTINCT: the landing is keyed by doc_id (one doc_NNN.bin per
+    -- id), so a re-delivered doc row lands once (fuzz_oracle dup
+    -- variant); same-id rows with DIFFERING text remain an input
+    -- contract violation (dq01's pk-uniqueness check is the guard)
+    SELECT DISTINCT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS content_md5
     FROM documents
-    WHERE doc_id < 100
+    -- text IS NOT NULL: no asset file can be written from unknown
+    -- bytes, so the landing excludes those docs (fuzz_oracle nulls).
+    -- octet_length > 0: Spark's binaryFile source SILENTLY SKIPS
+    -- zero-byte files (they produce no input splits — probed), so an
+    -- empty payload cannot roundtrip through this landing; excluded
+    -- on both sides and documented here (fuzz_oracle extremes)
+    WHERE doc_id < 100 AND text IS NOT NULL
+      AND octet_length(encode(text)) > 0
     """,
 )
 def src08_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,7 +465,13 @@ def src08_binaryfile_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the glob read below (ADVICE r4) — same discipline as st14
     shutil.rmtree(path, ignore_errors=True)
     os.makedirs(path, exist_ok=True)
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        # no asset file can be written from NULL text, and a 0-byte
+        # file is INVISIBLE to the binaryFile source (no input split)
+        # — both excluded, oracle matches (fuzz_oracle nulls/extremes)
+        (F.col("doc_id") < 100)
+        & (F.octet_length(F.encode("text", "UTF-8")) > 0)
+    )
 
     def write_part(rows):
         for r in rows:

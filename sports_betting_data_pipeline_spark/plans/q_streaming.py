@@ -35,6 +35,9 @@ from sports_betting_data_pipeline_spark.streaming.jobs import (
            count(*) AS n,
            round(sum(value), 2) AS total_value
     FROM events
+    -- an event with no timestamp belongs to NO window (Spark's
+    -- window() drops it; date_trunc(NULL) would mint a NULL bucket)
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -55,6 +58,8 @@ def st01_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - g.o * INTERVAL '30 minutes') AS BIGINT) AS window_start_s,
            event_type, count(*) AS n
     FROM events, (SELECT unnest([0, 1]) AS o) g
+    -- no timestamp -> no window (see st01)
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -157,7 +162,7 @@ def st04_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT 'tournament_' || CAST(user_id % 10 AS VARCHAR) AS channel,
            count(*) AS n_msgs,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+           CAST(sum(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY 1
     ORDER BY 1
@@ -256,7 +261,12 @@ def st07_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st08_stream_dedup",
     oracle="""
-    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+    -- DISTINCT: the keyed dedup collapses same-event_id rows whether
+    -- they came from redelivery OR were duplicated in the source
+    -- itself (fuzz_oracle dup variant); a no-op when event_id is
+    -- unique. Same-id rows with DIFFERING attributes remain an input
+    -- contract violation (first-arrival-wins is order-dependent).
+    SELECT DISTINCT event_id, user_id, epoch_us(ts) AS ts_us,
            event_type AS etype, round(value, 6) AS value_r
     FROM events
     """,
@@ -362,7 +372,12 @@ def st10_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
-    return out.join(exact_users, on="segment")
+    # null-safe rendezvous: a NULL segment is a legitimate GROUP BY
+    # key in both legs, but a plain equi-join on it drops the group
+    # (fuzz_oracle nulls variant)
+    return out.join(
+        exact_users, on=out["segment"].eqNullSafe(exact_users["segment"])
+    ).drop(exact_users["segment"])
 
 
 @register(
@@ -441,10 +456,13 @@ def st11_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            epoch_us(ts) // 21600000000 * 21600000000 AS bucket_us,
-           round(arg_min(value, ts), 4) AS open_value,
+           -- struct-wrapped arg extremes: Spark min_by/max_by return
+           -- the extreme row's payload even when NULL, and ignore
+           -- NULL-ts rows the same way (fuzz_oracle nulls variant)
+           round((arg_min({'v': value}, ts)).v, 4) AS open_value,
            round(max(value), 4) AS high_value,
            round(min(value), 4) AS low_value,
-           round(arg_max(value, ts), 4) AS close_value,
+           round((arg_max({'v': value}, ts)).v, 4) AS close_value,
            CAST(count(*) AS BIGINT) AS volume,
            round(sum(value), 2) AS total_value
     FROM events
@@ -474,12 +492,18 @@ def st12_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH wm AS (
         SELECT max(ts) - INTERVAL '10 minutes' AS w FROM events
+    ),
+    -- DISTINCT: the pipeline's watermarked-dedup stage collapses
+    -- same-event_id rows, in-source duplicates included (fuzz_oracle
+    -- dup variant; st08's contract) — a no-op on unique event ids
+    dedup AS (
+        SELECT DISTINCT event_id, ts, event_type, value FROM events
     )
     SELECT event_type,
            epoch_us(ts) // 21600000000 * 21600000000 AS bucket_us,
            CAST(count(*) AS BIGINT) AS n,
            round(sum(value), 2) AS total_value
-    FROM events, wm
+    FROM dedup, wm
     GROUP BY 1, 2, wm.w
     HAVING to_timestamp((epoch_us(ts) // 21600000000 * 21600000000
                          + 21600000000) / 1000000.0) <= wm.w
@@ -542,11 +566,11 @@ def pl04_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cum AS (
         SELECT user_id, event_id,
                sum(coalesce(value, 0.0)) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                ) AS cum,
                row_number() OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ) AS rn
         FROM events
     ),
@@ -642,7 +666,13 @@ def st14_stream_lake_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    back = spark.read.parquet(out)
+    # DECLARED read schema (io.py "never infer"): an empty stream
+    # lands no files and the bare read throws UNABLE_TO_INFER_SCHEMA
+    # (fuzz_oracle empty_facts variant); partition column last
+    back = spark.read.schema(
+        "event_id bigint, ts timestamp, user_id bigint, value double,"
+        " props string, event_type string"
+    ).parquet(out)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
@@ -663,7 +693,7 @@ def st14_stream_lake_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
                    w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS psumsq
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     )
     SELECT user_id, event_id,
            round((v - psum / (rn - 1))

@@ -232,10 +232,13 @@ def ts01_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            epoch_us(ts) // 21600000000 * 21600000000 AS bucket_us,
-           round(arg_min(value, ts), 4) AS open_value,
+           -- struct-wrapped arg extremes: Spark min_by/max_by return
+           -- the extreme row's payload even when NULL, and ignore
+           -- NULL-ts rows the same way (fuzz_oracle nulls variant)
+           round((arg_min({'v': value}, ts)).v, 4) AS open_value,
            round(max(value), 4) AS high_value,
            round(min(value), 4) AS low_value,
-           round(arg_max(value, ts), 4) AS close_value,
+           round((arg_max({'v': value}, ts)).v, 4) AS close_value,
            CAST(count(*) AS BIGINT) AS volume,
            round(sum(value), 2) AS total_value
     FROM events
@@ -284,7 +287,7 @@ def ts02_ohlc_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, value,
                epoch_us(lead(ts) OVER (
                    PARTITION BY user_id, event_type
-                   ORDER BY ts, event_id
+                   ORDER BY ts NULLS FIRST, event_id
                )) - epoch_us(ts) AS dur_us
         FROM events
         WHERE user_id < 20
@@ -329,9 +332,16 @@ def ts03_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         seg.filter(F.col("dur_us").isNotNull())
         .groupBy("user_id", "event_type")
         .agg(
-            F.round(F.sum(F.col("value") * F.col("dur_us")) / F.sum("dur_us"), 4).alias(
-                "twap"
-            ),
+            # try_divide: a series whose observed duration is all-zero
+            # (every event at the same instant) has no TWAP — NULL,
+            # DuckDB's /0 result; ANSI Spark's bare / throws
+            # (fuzz_oracle ties variant)
+            F.round(
+                F.try_divide(
+                    F.sum(F.col("value") * F.col("dur_us")), F.sum("dur_us")
+                ),
+                4,
+            ).alias("twap"),
             F.count(F.lit(1)).alias("n_segments"),
         )
     )
@@ -342,7 +352,7 @@ def ts03_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ordered AS (
         SELECT user_id, value,
-               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               row_number() OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
                    AS rn,
                count(*) OVER (PARTITION BY user_id) AS n
         FROM events
@@ -430,11 +440,19 @@ def c11_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list(F.struct("l_quantity", "l_tax")).alias("items")
     )
     qty = F.transform("items", lambda s: s["l_quantity"])
+    # SQL sum() SKIPS nulls and returns NULL for an all-null group; a
+    # bare fold would instead poison the whole sum (acc + NULL = NULL)
+    # — filter first, then guard the empty case (fuzz_oracle nulls)
+    nn_qty = F.filter(qty, lambda q: q.isNotNull())
     return arrs.select(
         "l_orderkey",
         F.size("items").cast("long").alias("n_items"),
         F.round(
-            F.aggregate(qty, F.lit(0.0), lambda acc, q: acc + q), 2
+            F.when(
+                F.size(nn_qty) > 0,
+                F.aggregate(nn_qty, F.lit(0.0), lambda acc, q: acc + q),
+            ),
+            2,
         ).alias("total_qty"),
         F.size(F.filter(qty, lambda q: q > 10)).cast("long").alias("n_over10"),
         F.round(
@@ -450,11 +468,11 @@ def c11_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     "c12_variant_json",
     oracle="""
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           CAST(sum(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT))
                 AS BIGINT) AS sum_k,
-           CAST(count(*) FILTER (json_extract(props, '$.k') IS NOT NULL)
+           CAST(count(*) FILTER (json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') IS NOT NULL)
                 AS BIGINT) AS n_with_k,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           CAST(max(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT))
                 AS BIGINT) AS max_k
     FROM events
     GROUP BY event_type
@@ -475,8 +493,12 @@ def c12_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined shuffle.
     """
     events = load_table(spark, sf_dir, "events")
+    # try_parse_json: malformed payloads become NULL variants (no k,
+    # excluded from n_with_k) instead of aborting the whole query —
+    # at 100 TB of real event payloads some WILL be malformed
+    # (fuzz_oracle extremes variant; the oracle's json_valid guard)
     v = events.select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type", F.try_parse_json("props").alias("v")
     ).select(
         "event_type",
         F.try_variant_get("v", "$.k", "long").alias("k"),
@@ -522,10 +544,18 @@ def sql03_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c13_url_parse",
     oracle="""
+    -- a URL assembled from ANY null component is null, so every
+    -- parsed field is null together — per-field reconstruction would
+    -- keep path/ref alive where the engine's parse_url(NULL) cannot
+    -- (fuzz_oracle nulls variant)
     SELECT event_id,
-           'shard' || CAST(user_id % 8 AS VARCHAR) || '.example.com' AS host,
-           '/t/' || event_type AS path,
-           CAST(event_id AS VARCHAR) AS ref_param
+           CASE WHEN user_id IS NULL OR event_type IS NULL THEN NULL
+                ELSE 'shard' || CAST(user_id % 8 AS VARCHAR)
+                     || '.example.com' END AS host,
+           CASE WHEN user_id IS NULL OR event_type IS NULL THEN NULL
+                ELSE '/t/' || event_type END AS path,
+           CASE WHEN user_id IS NULL OR event_type IS NULL THEN NULL
+                ELSE CAST(event_id AS VARCHAR) END AS ref_param
     FROM events
     WHERE event_id % 25 = 0
     """,
@@ -625,12 +655,14 @@ def ts05_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type = 'purchase'
         GROUP BY 1
     )
+    -- NULLS FIRST: the NULL-ts week group must occupy the same
+    -- lag position in both engines (fuzz_oracle nulls variant)
     SELECT week,
            round(rev, 2) AS revenue,
-           round(lag(rev) OVER (ORDER BY week), 2) AS prev_revenue,
-           CAST(CASE WHEN lag(rev) OVER (ORDER BY week) IS NULL THEN NULL
+           round(lag(rev) OVER (ORDER BY week NULLS FIRST), 2) AS prev_revenue,
+           CAST(CASE WHEN lag(rev) OVER (ORDER BY week NULLS FIRST) IS NULL THEN NULL
                 ELSE 10000 * CAST(round(rev * 100) AS BIGINT)
-                     // CAST(round(lag(rev) OVER (ORDER BY week) * 100)
+                     // CAST(round(lag(rev) OVER (ORDER BY week NULLS FIRST) * 100)
                              AS BIGINT) - 10000 END AS BIGINT) AS wow_growth_bp
     FROM weekly
     """,
@@ -668,7 +700,7 @@ def ts06_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag("rev").over(w).isNotNull(),
             F.expr(
                 "10000 * CAST(round(rev * 100) AS BIGINT)"
-                " div CAST(round(lag(rev) OVER (ORDER BY week) * 100)"
+                " div CAST(round(lag(rev) OVER (ORDER BY week NULLS FIRST) * 100)"
                 " AS BIGINT) - 10000"
             ),
         ).alias("wow_growth_bp"),

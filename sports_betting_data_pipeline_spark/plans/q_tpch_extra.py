@@ -355,11 +355,15 @@ def q11_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q12_priority_shipping",
     oracle="""
+    -- low = NOT high, spelled as the ELSE branch: "NOT IN" under a
+    -- NULL priority is NULL -> ELSE 0, silently counting the row in
+    -- NEITHER bucket; the engine's binary split counts it low
+    -- (fuzz_oracle nulls variant)
     SELECT l_linestatus,
            CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
                          THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '2001-01-01 00:00:00'
@@ -667,8 +671,14 @@ def q21_sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql.window import Window
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_shipdate"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        # a NULL supplier is INVISIBLE to the EXISTS/NOT-EXISTS
+        # semantics this window rewrite replaces (f2.l_suppkey <>
+        # f1.l_suppkey is never true against NULL), but it would
+        # inflate the rewrite's per-order counts (fuzz_oracle nulls)
+        .filter(F.col("l_suppkey").isNotNull())
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     supplier = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -946,9 +956,13 @@ def q19_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
         SELECT p_partkey, s_suppkey, s_name, cents, qty,
+               -- NULLS FIRST: engine contract (Spark ASC default); a
+               -- NULL ratio (all-null price/qty offers) must rank the
+               -- same in both engines (fuzz_oracle nulls variant)
                row_number() OVER (
                    PARTITION BY p_partkey
-                   ORDER BY CAST(cents AS DOUBLE) / qty, s_suppkey
+                   ORDER BY CAST(cents AS DOUBLE) / qty NULLS FIRST,
+                            s_suppkey
                ) AS rn
         FROM offers
     )

@@ -932,24 +932,38 @@ def test_minhash_uncached_base_no_fold_duplication(spark):
     assert fold_count(consumer) == fold_count(base)
 
 
-def test_minhash_empty_docs_one_exact_block(spark):
-    """Token-less docs (empty/whitespace/NULL text) shingle to the
-    singleton [''] set — exact duplicates of one another by the
-    documented semantic — and collapse_exact folds the block to one
-    banded representative + star edges, so a large empty-doc block
-    costs O(d), not O(d^2), on the production path."""
+def test_minhash_tokenless_docs_excluded(spark):
+    """TOKEN-LESS docs never enter near-dup candidate generation:
+    NULL text shingles to NULL ('content unknown'), empty/whitespace
+    text to [] (the empty set — Jaccard 0 against everything, exactly
+    the DuckDB fragments' semantics). The pre-fix [''] singleton made
+    all empty docs one mutual-duplicate block — a semantic no oracle
+    implemented AND a giant-bucket skew hazard (one all-empty block is
+    one O(d^2) task). Dedup of content-less docs is the exact-dedup
+    family's job (l05/l06 GROUP BY), not the near-dup candidates'.
+    Found by scripts/fuzz_oracle.py (nulls + extremes variants)."""
     from sports_betting_data_pipeline_spark.functions.dedup import (
         minhash_lsh_candidates,
     )
+    from sports_betting_data_pipeline_spark.functions.text import shingles
 
-    rows = [(1, ""), (2, "   "), (3, None), (4, "real text two"), (5, "")]
+    rows = [
+        (1, ""), (2, "   "), (3, None), (4, "real text two"), (5, ""),
+        (6, "real text two"),
+    ]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = {r.doc_id: r.sh for r in df.select(
+        "doc_id", shingles(F.col("text")).alias("sh")).collect()}
+    assert sh[1] == [] and sh[2] == [] and sh[5] == []
+    assert sh[3] is None
+    assert sh[4] == ["real text two"]
     out = minhash_lsh_candidates(
         df, "doc_id", "text", k=3, verify_threshold=0.99, collapse_exact=True
     )
     pairs = {(r.id_a, r.id_b): r.jaccard_sim for r in out.collect()}
-    # empty docs 1,2,3,5 form one exact block: star edges from rep=1
-    assert set(pairs) == {(1, 2), (1, 3), (1, 5)}
+    # only the REAL duplicate pair survives; token-less docs 1,2,3,5
+    # are excluded from candidate generation entirely
+    assert set(pairs) == {(4, 6)}
     assert all(sim == 1.0 for sim in pairs.values())
 
 

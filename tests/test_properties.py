@@ -353,8 +353,9 @@ def test_neardup_state_invariants(sigs, h, cap):
 
 @given(
     texts=st.lists(
-        st.text(
-            alphabet=st.sampled_from("ab \t\n"), min_size=0, max_size=40
+        st.one_of(
+            st.none(),
+            st.text(alphabet=st.sampled_from("ab \t\n"), min_size=0, max_size=40),
         ),
         min_size=1,
         max_size=12,
@@ -365,14 +366,18 @@ def test_simhash_two_implementations_agree(spark, texts):
     """The explode+aggregate scale path (simhash_signatures) and the
     single-expression fold (simhash64) are independent implementations
     of the same signature — they must agree bit-for-bit on every doc,
-    including token-less docs (signature 0 via explode_outer)."""
+    including token-less docs: empty/whitespace AND NULL text all
+    sign to 0 (explode_outer in one form, the coalesce'd fold in the
+    other — the pre-fix expression form gave NULL for NULL text and
+    crashed st09's stateful update; fuzz_oracle nulls variant)."""
     from sports_betting_data_pipeline_spark.functions.dedup import (
         simhash64,
         simhash_signatures,
     )
 
     df = spark.createDataFrame(
-        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id int, text string",
     )
     expr_sigs = {
         r["doc_id"]: r["sig"]
