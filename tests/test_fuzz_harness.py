@@ -1,0 +1,81 @@
+"""The adversarial-data oracle fuzz harness (scripts/fuzz_oracle.py)
+must keep working: it is the correctness gate for data the fixed
+fixtures never show the engine (NULL keys, empty inputs, duplicate
+PKs, ties, extremes, skew, non-finite doubles). A full sweep is a
+script-level job (FUZZ.json is the committed artifact); this file
+pins the harness machinery and the skip-list's integrity so neither
+can rot silently.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCRIPTS = os.path.join(REPO, "scripts")
+if SCRIPTS not in sys.path:
+    sys.path.insert(0, SCRIPTS)
+
+import fuzz_oracle  # noqa: E402
+
+from sports_betting_data_pipeline_spark.plans import ORACLES, QUERIES  # noqa: E402
+
+
+def test_contract_skips_reference_real_queries_and_variants():
+    """Every documented contract skip must name an existing variant
+    and an existing catalog query — a renamed query must not leave a
+    stale skip silently matching nothing."""
+    for variant, query in fuzz_oracle.KNOWN_CONTRACT_SKIPS:
+        assert variant in fuzz_oracle.VARIANTS, (variant, query)
+        assert query in QUERIES, (variant, query)
+        # skipping a rows-only query would be meaningless — the skip
+        # list exists to annotate ORACLE divergences
+        assert query in ORACLES, (variant, query)
+
+
+def test_variant_generators_are_seed_deterministic(tmp_path):
+    """Same seed -> byte-identical variant parquet (the resume/replay
+    property every triage probe relies on)."""
+    import numpy as np
+
+    base = fuzz_oracle.load_base("/root/testdata/sf0.001")
+    for i, v in enumerate(["nulls", "dup", "extremes"]):
+        d1 = tmp_path / f"{v}_a"
+        d2 = tmp_path / f"{v}_b"
+        fuzz_oracle.write_variant(base, fuzz_oracle.VARIANTS[v], 7, str(d1))
+        fuzz_oracle.write_variant(base, fuzz_oracle.VARIANTS[v], 7, str(d2))
+        for t in fuzz_oracle.TABLES:
+            b1 = (d1 / f"{t}.parquet").read_bytes()
+            b2 = (d2 / f"{t}.parquet").read_bytes()
+            assert b1 == b2, (v, t)
+    # and the nulls variant really does inject nulls outside PKs
+    import pyarrow.parquet as pq
+
+    dfs = {t: (df.copy(), s) for t, (df, s) in base.items()}
+    rng = np.random.default_rng(7)
+    mutated = fuzz_oracle.v_nulls({t: d for t, (d, _) in dfs.items()}, rng)
+    assert mutated["documents"]["text"].isna().any()
+    assert not mutated["documents"][fuzz_oracle.PK["documents"]].isna().any()
+
+
+@pytest.mark.parametrize("name", ["q01_pricing_summary", "l05_prefix_dedup"])
+def test_fuzz_nulls_variant_end_to_end(spark, tmp_path, name):
+    """One end-to-end differential check per representative query on
+    the nulls variant — the harness's compare loop itself (variant
+    write, DuckDB view registration, Spark-vs-oracle match) must stay
+    green. l05 is the query whose NULL-text divergence this harness
+    originally caught."""
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    base = fuzz_oracle.load_base("/root/testdata/sf0.001")
+    vdir = str(tmp_path / "fz_smoke_nulls")
+    fuzz_oracle.write_variant(base, fuzz_oracle.v_nulls, 20260816, vdir)
+    res = fuzz_oracle.run_variant(spark, mod, "nulls", vdir, [name])
+    assert res[name]["status"] == "match", res[name]
