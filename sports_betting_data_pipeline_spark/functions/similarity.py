@@ -384,7 +384,15 @@ def kmeans_centroids(
     from pyspark.ml.functions import array_to_vector
 
     spark = corpus.sparkSession
-    n_rows = corpus.count()
+    if n_centroids is None:
+        # the sqrt-N rule needs the exact count anyway
+        n_rows = corpus.count()
+    else:
+        # explicit C: the guards below only need min(C, n) — a
+        # LIMIT-bounded count early-terminates after C rows instead
+        # of scanning the corpus (the guard must not tax the normal
+        # path; C is tiny next to N)
+        n_rows = corpus.limit(max(n_centroids, 2)).count()
     if n_rows == 0:
         # no data -> no centroids; downstream IVF probes find nothing.
         # MLlib's .fit would throw on an empty input (fuzz_oracle

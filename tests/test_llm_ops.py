@@ -619,6 +619,32 @@ def test_ivf_default_cell_count_follows_sqrt_n(spark):
     assert got.count() > 0
 
 
+def test_kmeans_centroids_degenerate_corpora(spark):
+    """The trained quantizer must not crash on degenerate inputs
+    (fuzz_oracle empty_facts/tiny variants — MLlib's .fit throws on
+    all three): empty corpus -> empty centroid table, one row -> that
+    row IS the quantizer, k > n -> clamped to n. The explicit-C guard
+    uses a LIMIT-bounded count, so it must stay correct when n < C."""
+    from sports_betting_data_pipeline_spark.functions.similarity import (
+        kmeans_centroids,
+    )
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    assert kmeans_centroids(empty, n_centroids=8).count() == 0
+
+    one = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id bigint, embedding array<float>")
+    got = kmeans_centroids(one, n_centroids=8).collect()
+    assert len(got) == 1 and got[0].cent_id == 0
+    assert [round(x, 6) for x in got[0].cv] == [1.0, 2.0]
+
+    three = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(3)],
+        "vec_id bigint, embedding array<float>",
+    )
+    cents = kmeans_centroids(three, n_centroids=64).collect()
+    assert 2 <= len(cents) <= 3
+
+
 def test_minhash_collapse_exact_tames_duplicate_block(spark):
     """Skew guard for the band join: a planted 10% identical-doc block
     at sf0.1 (500 docs) makes every band bucket for that block hold
