@@ -171,8 +171,53 @@ def streaming_posture(spark, sf1_dir: str) -> None:
         )
 
 
+def text_corpus_posture(spark, sf1_dir: str) -> None:
+    """Text-analysis/corpus-assembly family at 10x docs: BM25's
+    posting-list joins (l35), decontamination's shingle anti-joins
+    (l24), and token-budget selection's distributed prefix sums (l33)
+    — the three distinct shuffle shapes of the family. Gate: the
+    quadratic plan-node counts must not change with scale and
+    wall-clock must stay sub-linear-ish (every stage is equi-join /
+    partial-agg work that grows with the corpus, never with its
+    square)."""
+    from sports_betting_data_pipeline_spark.plans.q_llm import (
+        l24_decontamination,
+        l33_token_budget,
+        l35_bm25_topk,
+    )
+
+    nodes = ("CartesianProduct", "BroadcastNestedLoopJoin")
+    for fn in (l35_bm25_topk, l24_decontamination, l33_token_budget):
+        fn(spark, SF01).count()  # warm codegen for the baseline
+    for name, fn in (
+        ("l35_bm25_topk", l35_bm25_topk),
+        ("l24_decontamination", l24_decontamination),
+        ("l33_token_budget", l33_token_budget),
+    ):
+        shapes = {}
+        for tag, d in (("sf0.1", SF01), ("sf1", sf1_dir)):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            df = fn(spark, d)
+            rows = df.count()
+            dt = time.time() - t0
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            shapes[tag] = {k: plan.count(k) for k in nodes}
+            print(
+                f"{name} @ {tag}: {dt:.2f}s rows={rows} "
+                f"quad_nodes={shapes[tag]}",
+                flush=True,
+            )
+        same = all(shapes["sf0.1"][k] == shapes["sf1"][k] for k in nodes)
+        print(
+            f"{name}: quadratic plan nodes "
+            f"{'UNCHANGED' if same else 'DIFFER (check!)'} across 10x scale",
+            flush=True,
+        )
+
+
 def main() -> None:
-    # optional section filter: `batch`, `streaming`, or `all` (default)
+    # optional section filter: `batch`, `streaming`, `text`, or `all`
     section = sys.argv[1] if len(sys.argv) > 1 else "all"
     spark = get_spark(app_name="scale_posture_sf1")
     sf1_dir = build_sf1_documents(spark)
@@ -180,6 +225,9 @@ def main() -> None:
     build_sf1_events(spark)
     if section == "streaming":
         streaming_posture(spark, sf1_dir)
+        return
+    if section == "text":
+        text_corpus_posture(spark, sf1_dir)
         return
 
     from sports_betting_data_pipeline_spark.plans.q_llm import (
@@ -244,6 +292,7 @@ def main() -> None:
             flush=True,
         )
 
+    text_corpus_posture(spark, sf1_dir)
     streaming_posture(spark, sf1_dir)
 
 
