@@ -89,11 +89,14 @@ _DSH3 = (
            CAST(length(text) AS BIGINT) AS len_chars,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT) AS n_bpe,
-           -- coalesce: a token-less doc has mean length 0.0 (the
-           -- engine's total-function choice, like the ratios below);
-           -- bare list_sum([]) is NULL (fuzz_oracle extremes)
-           round(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
-                 / greatest(len(toks), 1), 6) AS mean_tok_len,
+           -- EMPTY toks -> 0.0 (the engine's total-function choice,
+           -- like the ratios below; bare list_sum([]) is NULL) but
+           -- NULL toks (NULL text) stays NULL — a blanket coalesce
+           -- resurrected 0.0 for unknown text (fuzz_oracle extremes,
+           -- then nulls)
+           round(CASE WHEN toks IS NULL THEN NULL
+                 ELSE coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                      / greatest(len(toks), 1) END, 6) AS mean_tok_len,
            round(len(list_distinct(toks)) / greatest(len(toks), 1), 6) AS uniq_ratio,
            round(len(list_filter(toks, x -> list_contains({STOPWORDS!r}, lower(x)))) / greatest(len(toks), 1), 6) AS sw_ratio
     FROM t
@@ -2575,12 +2578,14 @@ def l40_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ), g AS (
         SELECT doc_id, source, len(toks) AS n,
-               -- coalesce: a token-less doc has mwl 0.0 (fails the
-               -- 3..10 gate, as the engine counts it); bare
-               -- list_sum([]) is NULL and NULL 3VL would silently
-               -- exclude the doc from the fail count (fuzz_oracle)
-               coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
-                   / greatest(len(toks), 1) AS mwl,
+               -- EMPTY toks -> mwl 0.0 (fails the 3..10 gate, as the
+               -- engine counts it; bare list_sum([]) is NULL and 3VL
+               -- would silently exclude the doc from the fail count)
+               -- but NULL toks (NULL text) stays NULL like the engine
+               -- (fuzz_oracle extremes, then nulls)
+               CASE WHEN toks IS NULL THEN NULL
+               ELSE coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                    / greatest(len(toks), 1) END AS mwl,
                len(list_distinct(list_filter(toks, x -> list_contains(
                    ['the','a','an','is','are','of','and','or','to','in'], x))))
                    AS n_stop,
@@ -4237,7 +4242,7 @@ def l57_containment_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                gs.i // 8 AS frame_idx,
                ascii(substr(d.text, 2 * gs.i + 1, 1))
                + 256 * ascii(substr(d.text, 2 * gs.i + 2, 1)) AS s
-        FROM (SELECT doc_id, text FROM documents
+        FROM (SELECT DISTINCT doc_id, text FROM documents
               -- the qualifying predicate is the ACTUAL payload size:
               -- the decoder consumes 32 bytes, and the n_chars column
               -- is metadata that can disagree with the text (NULL

@@ -984,10 +984,17 @@ def d02_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "a05_statistical_aggregates",
     oracle="""
+    -- corr spelled as covar/(sd*sd): the SAME float expression the
+    -- engine computes (its try_divide form), so the two sides round
+    -- identically at 6dp; the built-in corr()'s internal co-moment
+    -- path can differ in the last ulp right at a rounding boundary
+    -- (fuzz_oracle nulls variant). NULL on zero variance either way.
     SELECT event_type,
            round(stddev_samp(value), 6) AS sd_value,
            round(var_samp(value), 6) AS var_value,
-           round(corr(value, CAST(user_id AS DOUBLE)), 6) AS corr_vu,
+           round(covar_samp(value, CAST(user_id AS DOUBLE))
+                 / (stddev_samp(value)
+                    * stddev_samp(CAST(user_id AS DOUBLE))), 6) AS corr_vu,
            round(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov_vu
     FROM events WHERE value IS NOT NULL
     GROUP BY 1

@@ -573,6 +573,10 @@ def pl04_streaming_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                    PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                ) AS rn
         FROM events
+        -- no event time -> no event-time processing: the stateful
+        -- (ts, event_id) frontier drops NULL-ts rows explicitly
+        -- (st01/st02's window convention; fuzz_oracle nulls variant)
+        WHERE ts IS NOT NULL
     ),
     crossed AS (
         SELECT user_id, event_id, cum, rn,
@@ -693,6 +697,8 @@ def st14_stream_lake_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
                    w ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ) AS psumsq
         FROM events
+        -- no event time -> no event-time processing (see st13)
+        WHERE ts IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id)
     )
     SELECT user_id, event_id,

@@ -970,6 +970,13 @@ def threshold_alerts(events: DataFrame, threshold: float = 1500.0) -> DataFrame:
     # columns first — props alone is wider than the rest combined.
     return (
         events.select("user_id", "ts", "event_id", "value")
+        # no event time -> no event-time processing (the st01/st02
+        # window convention, made EXPLICIT here): the (ts, event_id)
+        # frontier cannot order a NULL timestamp — before this filter
+        # NaT silently became the int64 sentinel and fell behind the
+        # initial high-water mark, an accidental drop (fuzz_oracle
+        # nulls variant)
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
@@ -1077,7 +1084,9 @@ def zscore_anomalies(
                 eids = pdf["event_id"].to_numpy()
                 out = [
                     {
-                        "user_id": int(key[0]),
+                        # a NULL grouping key is a legal group — int()
+                        # on it would kill the stage (fuzz_oracle)
+                        "user_id": None if key[0] is None else int(key[0]),
                         "event_id": int(eids[i]),
                         "z": round(float(z[i]), 4),
                         "n_prev": int(n_prior[i]),
@@ -1094,6 +1103,13 @@ def zscore_anomalies(
     # Narrow the Arrow transfer (see threshold_alerts).
     return (
         events.select("user_id", "ts", "event_id", "value")
+        # no event time -> no event-time processing (the st01/st02
+        # window convention, made EXPLICIT here): the (ts, event_id)
+        # frontier cannot order a NULL timestamp — before this filter
+        # NaT silently became the int64 sentinel and fell behind the
+        # initial high-water mark, an accidental drop (fuzz_oracle
+        # nulls variant)
+        .filter(F.col("ts").isNotNull())
         .groupBy("user_id")
         .applyInPandasWithState(
             update,
