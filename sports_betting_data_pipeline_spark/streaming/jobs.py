@@ -1084,9 +1084,12 @@ def zscore_anomalies(
                 eids = pdf["event_id"].to_numpy()
                 out = [
                     {
-                        # a NULL grouping key is a legal group — int()
-                        # on it would kill the stage (fuzz_oracle)
-                        "user_id": None if key[0] is None else int(key[0]),
+                        # a NULL grouping key is a legal group — and
+                        # it arrives as float NaN through Arrow, not
+                        # None, so pd.isna is the only correct test;
+                        # int() on it kills the stage (fuzz_oracle,
+                        # two seeds needed to catch both spellings)
+                        "user_id": None if pd.isna(key[0]) else int(key[0]),
                         "event_id": int(eids[i]),
                         "z": round(float(z[i]), 4),
                         "n_prev": int(n_prior[i]),
