@@ -217,6 +217,40 @@ def v_skew(dfs, rng):
     return dfs
 
 
+def v_timewarp(dfs, rng):
+    """Extreme timestamps: 10% of event times shifted pre-1970
+    (NEGATIVE epochs — floor-division bucketing vs truncating
+    division is the classic cross-engine divergence), 5% to the far
+    future (year ~2185), and order/ship dates spread likewise.
+    Exercises every window bucket, epoch extraction, date-diff, and
+    watermark path on epochs the fixtures never leave 2024 for."""
+    lo = pd.Timestamp("1965-03-07 04:05:06")
+    hi = pd.Timestamp("2185-11-23 18:19:20")
+    e = dfs["events"]
+    n = len(e)
+    if n:
+        past = rng.random(n) < 0.10
+        future = (~past) & (rng.random(n) < 0.05)
+        ts = e["ts"].copy()
+        ts[past] = lo + pd.to_timedelta(
+            rng.integers(0, 10_000_000, size=int(past.sum())), unit="s"
+        )
+        ts[future] = hi + pd.to_timedelta(
+            rng.integers(0, 10_000_000, size=int(future.sum())), unit="s"
+        )
+        e["ts"] = ts
+    for t, c in (("orders", "o_orderdate"), ("lineitem", "l_shipdate")):
+        df = dfs[t]
+        if len(df):
+            past = rng.random(len(df)) < 0.10
+            col = df[c].copy()
+            col[past] = lo + pd.to_timedelta(
+                rng.integers(0, 10_000_000, size=int(past.sum())), unit="s"
+            )
+            df[c] = col
+    return dfs
+
+
 def v_nonfinite(dfs, rng):
     """NaN and ±inf in double measures — the engines genuinely
     disagree on NaN in some contexts (ordering, grouping); this
@@ -245,6 +279,7 @@ VARIANTS = {
     "extremes": v_extremes,
     "skew": v_skew,
     "nonfinite": v_nonfinite,
+    "timewarp": v_timewarp,
 }
 
 # Documented out-of-contract divergences: (variant, query) pairs where
@@ -279,6 +314,28 @@ KNOWN_CONTRACT_SKIPS = {
     ("nonfinite", "st15_stream_anomalies"):
         "NULL and NaN are indistinguishable through Arrow in the "
         "stateful worker (fillna folds both)",
+    # far-future timestamp outliers advance the WATERMARK past every
+    # genuine event, so the watermarked operators evict/withhold them
+    # as late data — the documented streaming contract (st16 exists
+    # to pin exactly this behavior at fixture scale). Which rows
+    # survive depends on microbatch ARRIVAL ORDER, which no batch SQL
+    # oracle can express. The production guard is event-time
+    # validation upstream (a dq-gate on plausible timestamp ranges).
+    ("timewarp", "st03_session_window"):
+        "watermark advanced by future outliers: session eviction is "
+        "arrival-order semantics",
+    ("timewarp", "st08_stream_dedup"):
+        "watermark advanced by future outliers: dedup-state eviction "
+        "is arrival-order semantics",
+    ("timewarp", "st11_stream_left_outer_join"):
+        "watermark advanced by future outliers: join-state eviction "
+        "is arrival-order semantics",
+    ("timewarp", "st16_late_data_drop"):
+        "the late-drop query itself: future outliers make 'late' an "
+        "arrival-order property",
+    ("timewarp", "pl04_streaming_pipeline"):
+        "composed watermark pipeline: same eviction semantics as its "
+        "st stages",
     # non-finite doubles: DuckDB's second-moment aggregates RAISE
     # (OutOfRange: STDDEV_SAMP/VARSAMP) on inf inputs where Spark
     # yields NaN — an oracle-side limitation, not an engine bug; the

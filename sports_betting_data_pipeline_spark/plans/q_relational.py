@@ -2568,8 +2568,12 @@ def a14_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "co01_cohort_retention",
     oracle="""
     WITH activity AS (
+        -- floor(x/7.0), not integer //: DuckDB's // truncates
+        -- toward zero on negatives where the engine floors
+        -- (fuzz_oracle timewarp variant; the ts06 lesson)
         SELECT DISTINCT user_id,
-               CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+               CAST(floor(date_diff('day', DATE '2024-01-01',
+                                    CAST(ts AS DATE)) / 7.0)
                     AS BIGINT) AS week
         FROM events
     ),
@@ -4145,18 +4149,22 @@ def a23_pareto_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dq02_freshness_report",
     oracle="""
+    -- floor(x/3.6e9), not integer //: a FUTURE max event time makes
+    -- staleness negative, where DuckDB's // truncates toward zero
+    -- and the engine floors (fuzz_oracle timewarp; the ts06 lesson).
+    -- Double division is exact here (|x| << 2^52 * divisor).
     SELECT 'events' AS source,
            max(epoch_us(ts)) AS last_event_us,
-           CAST((1706745600000000 - max(epoch_us(ts))) // 3600000000
-                AS BIGINT) AS staleness_hours,
+           CAST(floor((1706745600000000 - max(epoch_us(ts)))
+                      / 3600000000.0) AS BIGINT) AS staleness_hours,
            (1706745600000000 - max(epoch_us(ts))) <= 86400000000
                AS within_sla
     FROM events
     UNION ALL
     SELECT 'orders',
            max(epoch_us(o_orderdate)),
-           CAST((1706745600000000 - max(epoch_us(o_orderdate)))
-                // 3600000000 AS BIGINT),
+           CAST(floor((1706745600000000 - max(epoch_us(o_orderdate)))
+                      / 3600000000.0) AS BIGINT),
            (1706745600000000 - max(epoch_us(o_orderdate))) <= 86400000000
     FROM orders
     """,

@@ -649,7 +649,12 @@ def ts05_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts06_wow_growth",
     oracle="""
     WITH weekly AS (
-        SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+        -- explicit floor(x/7.0), not integer //: DuckDB's integer //
+        -- TRUNCATES toward zero for negative operands (probed) while
+        -- the engine floors — pre-1970 event dates land in different
+        -- weeks otherwise (fuzz_oracle timewarp variant)
+        SELECT CAST(floor(date_diff('day', DATE '2024-01-01',
+                                    CAST(ts AS DATE)) / 7.0)
                     AS BIGINT) AS week,
                sum(coalesce(value, 0.0)) AS rev
         FROM events WHERE event_type = 'purchase'
