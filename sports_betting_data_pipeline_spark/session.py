@@ -22,6 +22,7 @@ posture is configured once for every caller:
 from __future__ import annotations
 
 import os
+import sys
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -122,6 +123,20 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
+    # Pin local-mode Python workers to the driver's interpreter. An
+    # ambient PYSPARK_PYTHON=python resolves against PATH, so a venv
+    # install of this package (pip install -e .) imports on the driver
+    # but raises ModuleNotFoundError inside mapInPandas /
+    # foreachPartition tasks whenever the harness runs outside the repo
+    # checkout. The env var must be set BEFORE context init (an
+    # in-process Python driver reads os.environ, not the Spark conf);
+    # only forced for local masters, where the driver's interpreter is
+    # by definition present on every "executor" and a differing worker
+    # interpreter is never correct (Spark enforces version parity).
+    # Cluster deployments keep their own interpreter via spark-submit /
+    # --archives.
+    if master.startswith("local"):
+        os.environ["PYSPARK_PYTHON"] = sys.executable
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
 
