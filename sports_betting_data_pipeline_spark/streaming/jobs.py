@@ -75,6 +75,40 @@ def kafka_source_options(
     }
 
 
+def split_future_events(
+    df: DataFrame,
+    ts_col: str = "ts",
+    bound: str = "1 HOUR",
+) -> tuple[DataFrame, DataFrame]:
+    """Route rows whose event time is implausibly far in the FUTURE to
+    a quarantine side output, before any watermark sees them.
+
+    Returns ``(clean, quarantined)``: rows with
+    ``ts_col > current_timestamp() + bound`` land on the quarantined
+    side; everything else — including NULL event times, which the
+    no-event-time filters downstream already own (st13/T3) — stays
+    clean. Both halves derive from the same source relation, so in a
+    streaming query each can be written by its own sink (or split
+    inside ``foreachBatch`` for exactly-once pairing).
+
+    Why this exists: Spark's watermark is ``max(event time) - delay``,
+    so a SINGLE corrupt far-future timestamp (a producer with a wrong
+    clock, a ns/µs unit mixup) advances the watermark past every
+    genuine event and the state operator evicts — then drops — the
+    entire live workload (pinned as the engine contract by the
+    timewarp fuzz variant and st16's eviction semantics). At 100 TB
+    one poisoned row can silently discard a day of state; bounding
+    event time against PROCESSING time is the standard defense.
+    ``current_timestamp()`` is fixed per microbatch at planning time,
+    so the predicate is deterministic within a batch and needs no
+    Python in the hot path.
+    """
+    threshold = F.current_timestamp() + F.expr(f"INTERVAL {bound}")
+    clean = df.filter(F.coalesce(F.col(ts_col) <= threshold, F.lit(True)))
+    quarantined = df.filter(F.col(ts_col) > threshold)
+    return clean, quarantined
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -83,6 +117,8 @@ def read_events_stream(
     topic: str | None = None,
     host: str | None = None,
     port: int | None = None,
+    future_bound: str | None = None,
+    future_policy: str = "quarantine",
 ) -> DataFrame:
     """S6: streaming events source with the ns→µs timestamp conversion
     applied scan-side. ``source`` selects the connector — every
@@ -100,7 +136,20 @@ def read_events_stream(
       relay): each line is the C6 wire message — JSON with a
       base64(JSON EVENTS_RAW) payload (mm_calls.py:164-174) — decoded
       fully JVM-side.
+
+    ``future_bound`` (opt-in, default off — st01–st17 semantics are
+    unchanged) guards the watermark against corrupt far-future event
+    times: rows with ``ts > processing time + future_bound`` are
+    either excluded from the main stream (``future_policy=
+    "quarantine"`` — recover them with :func:`split_future_events` on
+    the raw read and sink them separately) or clamped to the bound
+    (``"clamp"`` — the row survives with a capped event time, so the
+    watermark can never outrun processing time by more than the
+    bound). See :func:`split_future_events` for why one poisoned
+    timestamp is a state-eviction hazard at scale.
     """
+    if future_policy not in ("quarantine", "clamp"):
+        raise ValueError(f"unknown future_policy: {future_policy!r}")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if source == "file":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -163,7 +212,14 @@ def read_events_stream(
         )
     else:
         raise ValueError(f"unknown events stream source: {source!r}")
-    return normalize_events_ts(raw)
+    out = normalize_events_ts(raw)
+    if future_bound is not None:
+        if future_policy == "clamp":
+            threshold = F.current_timestamp() + F.expr(f"INTERVAL {future_bound}")
+            out = out.withColumn("ts", F.least(F.col("ts"), threshold))
+        else:
+            out, _ = split_future_events(out, "ts", future_bound)
+    return out
 
 
 _EVENTS_SCHEMA_CACHE: dict[str, tuple[tuple[int, int], object]] = {}

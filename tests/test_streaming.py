@@ -737,3 +737,186 @@ def test_default_state_partitions_rule():
     assert default_state_partitions(0, 32) == 2      # floor
     assert default_state_partitions(5, 32) == 2
     assert default_state_partitions(10**9, 2048) == 2048
+
+
+# ---------------------------------------------------------------------------
+# Future-timestamp quarantine (the timewarp fuzz variant's hazard):
+# one corrupt far-future event time advances the watermark past every
+# genuine event and the state operator drops the live workload.
+# split_future_events bounds event time against PROCESSING time so
+# genuine windows survive; read_events_stream exposes it opt-in.
+# ---------------------------------------------------------------------------
+
+_EVENTS_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _events_fixture_dir(spark, tmp_path, rows, name="sf_future"):
+    """Write an events-shaped fixture dir (schema of the driver's
+    events.parquet) and return it as an sf_dir for read_events_stream."""
+    import datetime as _dt
+
+    sf = tmp_path / name
+    sf.mkdir()
+    df = spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(sf / "events.parquet"))
+    return str(sf)
+
+
+def _t(day, hour, minute=0):
+    return datetime.datetime(2024, 1, day, hour, minute)
+
+
+_FUTURE_TS = datetime.datetime(2185, 11, 23, 18, 19, 20)
+
+
+def test_split_future_events_routes_rows_and_keeps_null_ts(spark):
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        split_future_events,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, _t(1, 10), "genuine"),
+            (2, None, "null_ts"),
+            (3, _FUTURE_TS, "poison"),
+        ],
+        "event_id bigint, ts timestamp, tag string",
+    )
+    clean, quarantined = split_future_events(df, "ts", "1 HOUR")
+    assert sorted(r.tag for r in clean.collect()) == ["genuine", "null_ts"]
+    assert [r.tag for r in quarantined.collect()] == ["poison"]
+
+
+def test_future_guard_keeps_genuine_windows_across_batches(spark, tmp_path):
+    """The timewarp shape, two microbatches: batch 0 carries ONE
+    poison year-2185 row, batch 1 the genuine workload. Unguarded,
+    the poison watermark makes the state operator filter every
+    genuine row (st16's one-batch-behind late filter); with
+    split_future_events ahead of the watermark, the genuine windows
+    all survive and the poison row is on the quarantine side."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        split_future_events,
+    )
+
+    schema = "event_id bigint, ts timestamp, k string"
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # Three mtime-ordered microbatches: the late filter runs with the
+    # watermark as of the PREVIOUS batch's planning (one batch behind
+    # eviction — st16's empirical note), so the genuine workload must
+    # land two batches after the poison row to face its watermark.
+    slices = [
+        spark.createDataFrame([(999, _FUTURE_TS, "a")], schema),
+        spark.createDataFrame(
+            [(998, _FUTURE_TS + datetime.timedelta(minutes=1), "a")], schema
+        ),
+        spark.createDataFrame(
+            [
+                (1, _t(1, 10, 5), "a"),
+                (2, _t(1, 10, 20), "a"),
+                (3, _t(1, 11, 5), "a"),
+                (4, _t(1, 12, 0), "a"),
+            ],
+            schema,
+        ),
+    ]
+    for i, sl in enumerate(slices):
+        before = {f for f in os.listdir(src) if f.endswith(".parquet")}
+        sl.coalesce(1).write.mode("append").parquet(src)
+        new = {f for f in os.listdir(src) if f.endswith(".parquet")} - before
+        for f in new:
+            os.utime(os.path.join(src, f), (1700000000 + 60 * i,) * 2)
+
+    def drain(guarded: bool, qname: str):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        if guarded:
+            stream, _ = split_future_events(stream, "ts", "1 HOUR")
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / ("ckpt_" + qname)))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wms = [
+            p["eventTime"].get("watermark")
+            for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+        return sorted((r.ws, r.n) for r in spark.table(qname).collect()), wms
+
+    rows_bad, wms_bad = drain(False, "future_unguarded")
+    # the poison rows alone own the watermark: every genuine window is
+    # late on arrival and the output contains no 2024 window — here
+    # NOTHING emits (genuine rows dropped as late, the poison's own
+    # window still open), the total-data-loss shape of the hazard
+    assert wms_bad[-1].startswith("2185-"), wms_bad
+    assert all(ws.year > 2100 for ws, _ in rows_bad), rows_bad
+
+    rows_ok, wms_ok = drain(True, "future_guarded")
+    # guarded: watermark never leaves 2024 and the genuine windows
+    # aggregate; closed ones (end <= 11:50 final watermark) emit
+    assert all(wm is None or wm.startswith(("1970-", "2024-")) for wm in wms_ok), wms_ok
+    assert (_t(1, 10), 2) in rows_ok, rows_ok
+    assert all(ws.year == 2024 for ws, _ in rows_ok), rows_ok
+
+
+def test_read_events_stream_future_policies(spark, tmp_path):
+    """Opt-in plumbing on the S6 source: default off (poison rows
+    pass through), quarantine excludes them, clamp caps their event
+    time at processing time + bound so row count is preserved."""
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_table,
+    )
+
+    rows = [
+        (1, _t(1, 10, 5), 7, "bet_placed", 10.0, "{}"),
+        (2, _t(1, 11, 20), 7, "bet_placed", 20.0, "{}"),
+        (3, _FUTURE_TS, 8, "bet_placed", 30.0, "{}"),
+    ]
+    sf = _events_fixture_dir(spark, tmp_path, rows)
+
+    def drain(name, **kw):
+        out = read_events_stream(spark, sf, **kw).select("event_id", "ts")
+        return {
+            r.event_id: r.ts
+            for r in run_stream_to_table(
+                out, name, output_mode="append", state_partitions=2
+            ).collect()
+        }
+
+    default = drain("fut_default")
+    assert set(default) == {1, 2, 3} and default[3] == _FUTURE_TS
+
+    quarantined = drain("fut_quar", future_bound="1 HOUR")
+    assert set(quarantined) == {1, 2}
+
+    clamped = drain("fut_clamp", future_bound="1 HOUR", future_policy="clamp")
+    assert set(clamped) == {1, 2, 3}
+    assert clamped[1] == _t(1, 10, 5) and clamped[2] == _t(1, 11, 20)
+    # the poison row survives with its event time capped near NOW —
+    # bounded ahead of processing time, far behind 2185
+    assert clamped[3] < datetime.datetime(2100, 1, 1)
+    assert clamped[3] > _t(1, 12)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="future_policy"):
+        read_events_stream(spark, sf, future_bound="1 HOUR", future_policy="oops")
