@@ -223,6 +223,65 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
     return n
 
 
+_FILE_ROWS_CACHE: dict[str, tuple[tuple[int, int], int]] = {}
+
+
+def size_hint(df: DataFrame) -> int | None:
+    """Row-count upper bound for ``df`` from the parquet FOOTERS of its
+    plan's input files — driver-side metadata only, no Spark job.
+
+    This generalizes :func:`table_row_count` from "a named fixture
+    table" to "whatever ``df`` actually scans", so strategy switches
+    (:func:`functions.corpus.deterministic_shuffle`'s single-partition
+    rank path, :func:`session.latency_regime`'s small-regime confs, the
+    connected-components loop sizing) are DEFAULT behavior instead of
+    caller discipline: plans pass ``size_hint(docs)`` rather than
+    hand-threading ``table_row_count(sf_dir, "documents")``. It is the
+    same CBO stand-in — a cost-based planner reads exactly this bound
+    from the metastore before picking a physical strategy.
+
+    The bound is the total footer row count of ``df.inputFiles()``:
+    filters/joins/aggregates downstream only ever see at most the
+    scanned rows per leaf, so for posture decisions (which only need
+    "is this the small regime?") it is safe on any linear plan; callers
+    composing row-multiplying shapes (explodes, many-to-many joins)
+    scale it themselves, e.g. l22's ``32 ×`` edges-per-doc bound.
+    Returns None — caller falls back to measuring with a job — when any
+    input is non-parquet or non-file (streaming, in-memory fixtures),
+    so the hint can never silently undercount a real source.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import pyarrow.parquet as pq
+    from urllib.parse import unquote, urlparse
+
+    total = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("", "file"):
+            return None
+        path = unquote(parsed.path) or uri
+        if not path.endswith(".parquet"):
+            return None
+        try:
+            st = os.stat(path)
+            stamp = (st.st_mtime_ns, st.st_size)
+            hit = _FILE_ROWS_CACHE.get(path)
+            if hit is not None and hit[0] == stamp:
+                total += hit[1]
+                continue
+            n = pq.ParquetFile(path).metadata.num_rows
+            _FILE_ROWS_CACHE[path] = (stamp, n)
+            total += n
+        except Exception:
+            return None
+    return total
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
 

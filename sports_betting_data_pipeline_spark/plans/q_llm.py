@@ -59,7 +59,7 @@ from sports_betting_data_pipeline_spark.functions.text import (
     ws_token_count,
     ws_tokens,
 )
-from sports_betting_data_pipeline_spark.io import load_table, table_row_count, widen_for_compute
+from sports_betting_data_pipeline_spark.io import load_table, size_hint, widen_for_compute
 from sports_betting_data_pipeline_spark.plans.catalog import register
 
 # DuckDB fragment equal to text.ws_tokens.
@@ -1241,7 +1241,7 @@ def l21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.35, block_col="lang",
     ).select("id_a", "id_b")
     # footer-stat size hint, ×32 edge bound — see l22's sizing note
-    hint = table_row_count(sf_dir, "documents")
+    hint = size_hint(docs)
     cc = connected_components(
         pairs, size_hint=32 * hint if hint else None
     )
@@ -1313,14 +1313,14 @@ def l22_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3, num_hashes=32, bands=8, verify_threshold=0.35,
         collapse_exact=True,
     ).select("id_a", "id_b")
-    # size_hint: corpus row count from parquet footer metadata (io
-    # .table_row_count — catalog statistics, no job), ×32 as a
+    # size_hint: corpus row count from the scan's parquet footer
+    # metadata (io.size_hint — catalog statistics, no job), ×32 as a
     # generous near-dup-edges-per-doc bound. CC sizes its label loop
     # from it AND skips its edge-count job; the small-regime conf is
     # then already active while the first fused job materializes the
     # LSH candidate pipeline (whose tiny stages pay the same AQE
     # floor). Saturates to session parallelism at warehouse scale.
-    hint = table_row_count(sf_dir, "documents")
+    hint = size_hint(docs)
     cc = connected_components(
         pairs, size_hint=32 * hint if hint else None
     )
@@ -1445,11 +1445,8 @@ def l26_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sports_betting_data_pipeline_spark.functions.corpus import (
         deterministic_shuffle,
     )
-    from sports_betting_data_pipeline_spark.io import table_row_count
-
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    n = table_row_count(sf_dir, "documents")
-    return deterministic_shuffle(docs, n_rows=n).filter(
+    return deterministic_shuffle(docs, n_rows=size_hint(docs)).filter(
         F.col("shuffle_rank") <= 100
     )
 
@@ -4053,7 +4050,7 @@ def l55_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.35, block_col="lang",
     ).select("id_a", "id_b")
     # footer-stat size hint, ×32 edge bound — see l22's sizing note
-    hint = table_row_count(sf_dir, "documents")
+    hint = size_hint(docs)
     cc = connected_components(
         pairs, size_hint=32 * hint if hint else None
     )
