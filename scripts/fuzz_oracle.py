@@ -282,6 +282,53 @@ VARIANTS = {
     "timewarp": v_timewarp,
 }
 
+# CI mini-sweep (tests/test_fuzz_harness.py): the nulls-variant queries
+# the first fuzz wave flagged, one per engine fix it motivated —
+# token-less shingle exclusion (l05/l06/l08/l58/l31/pl03), null-safe
+# incremental anti-join (l28), incomplete-partition predicates
+# (mv01/src05/p03), concat_ws field drops (src07/wg01), NOT-IN /
+# EXISTS null traps (q21/f07/j08/scd01), NULL-payload Arrow guards
+# (m01/m02/m04), divide-by-zero + degenerate ranges (a05/a07/a13),
+# try_parse_json (c12), pivot coalesce (r05), NULL grouping
+# keys (l01/l41/l44/l54/d01/c05), null-safe rendezvous (st10), asof
+# NULL keys (aj01). Kept small enough to run under ~a minute at
+# sf0.001 so a regression in any fuzz fix fails CI immediately, not
+# at the next session-scale sweep.
+NULLS_SMOKE = [
+    "a05_statistical_aggregates",
+    "a07_approx_quantiles",
+    "a13_equiwidth_histogram",
+    "aj01_asof_last_view_before_purchase",
+    "c05_null_defaulting",
+    "c12_variant_json",
+    "d01_distinct",
+    "f07_stratified_sample",
+    "j08_full_outer_reconciliation",
+    "l01_text_stats",
+    "l05_prefix_dedup",
+    "l06_canonical_dedupe",
+    "l08_minhash_lsh",
+    "l28_incremental_exact_dedupe",
+    "l31_chunk_dedup",
+    "l41_gopher_rule_accounting",
+    "l44_train_val_test_split",
+    "l54_zipf_coverage",
+    "l58_simhash_portable",
+    "m01_multimodal_features",
+    "m02_frame_sample_plan",
+    "m04_image_roundtrip",
+    "mv01_incremental_aggregate",
+    "p03_two_branch_union",
+    "pl03_hybrid_retrieval",
+    "q21_sole_late_shipper",
+    "r05_pivot_multi_agg",
+    "scd01_dimension_history",
+    "src05_schema_evolution",
+    "src07_text_roundtrip",
+    "st10_stream_static_join",
+    "wg01_place_wagers",
+]
+
 # Documented out-of-contract divergences: (variant, query) pairs where
 # the adversarial data violates a stated INPUT contract of the operator
 # (not an engine bug), with the reason. These count as "skipped", not

@@ -79,3 +79,25 @@ def test_fuzz_nulls_variant_end_to_end(spark, tmp_path, name):
     fuzz_oracle.write_variant(base, fuzz_oracle.v_nulls, 20260816, vdir)
     res = fuzz_oracle.run_variant(spark, mod, "nulls", vdir, [name])
     assert res[name]["status"] == "match", res[name]
+
+
+def test_fuzz_nulls_mini_sweep(spark, tmp_path):
+    """Seeded nulls-variant mini-sweep over the queries the first fuzz
+    wave flagged (one per engine fix it motivated — the list lives
+    next to the harness, fuzz_oracle.NULLS_SMOKE): a regression in any
+    fuzz fix fails CI in about a minute instead of surfacing at the
+    next session-scale 9-variant sweep."""
+    for name in fuzz_oracle.NULLS_SMOKE:
+        assert name in QUERIES and name in ORACLES, name
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    base = fuzz_oracle.load_base("/root/testdata/sf0.001")
+    vdir = str(tmp_path / "fz_mini_nulls")
+    fuzz_oracle.write_variant(base, fuzz_oracle.v_nulls, 20260816, vdir)
+    res = fuzz_oracle.run_variant(spark, mod, "nulls", vdir, list(fuzz_oracle.NULLS_SMOKE))
+    bad = {k: v for k, v in res.items() if v["status"] != "match"}
+    assert len(res) == len(fuzz_oracle.NULLS_SMOKE)
+    assert not bad, bad
