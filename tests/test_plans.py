@@ -676,3 +676,23 @@ def test_geo02_blocked_twin_is_equijoin_and_exact(spark, sf_dir):
     # coverage is at least 1 - that fraction; assert the plan text
     # carries both branches and the union.
     assert plan.count("Union") >= 1, plan
+
+
+def test_operators_doc_is_current():
+    """docs/OPERATORS.md is generated from the catalog registry
+    (scripts/gen_operators_doc.py); a catalog or docstring change
+    without a regen leaves the index lying to users — fail fast and
+    name the fix."""
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scripts = os.path.join(repo, "scripts")
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    import gen_operators_doc
+
+    committed = open(os.path.join(repo, "docs", "OPERATORS.md")).read()
+    assert gen_operators_doc.build_page() == committed, (
+        "docs/OPERATORS.md is stale — rerun scripts/gen_operators_doc.py"
+    )
