@@ -97,11 +97,18 @@ def main() -> None:
     # catalog is robust to the handful of queries a round actually
     # changes. ambient_factor > 1 means THIS run saw a slower box;
     # divide by it before reading per-query deltas as real.
+    # $SPARK_GRAFT_BENCH_OUT redirects the artifact (and its ambient
+    # reference) so off-default-SF runs — the sf1 catalog bench — never
+    # clobber the quiet-window sf0.1 artifact.
+    out_path = os.path.join(
+        _REPO_DIR, os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    )
     ambient = {}
     try:
-        with open(os.path.join(_REPO_DIR, "BENCH_FULL.json")) as fh:
+        with open(out_path) as fh:
             prev = json.loads(fh.read())
-        prev_q = prev.get("queries") or {}
+        # an artifact from a different SF is not an ambient reference
+        prev_q = (prev.get("queries") or {}) if prev.get("sf") == sf else {}
         ratios = sorted(
             timings[q] / prev_q[q]
             for q in timings
@@ -134,7 +141,7 @@ def main() -> None:
     # Persist the full per-query table too: stdout capture can truncate
     # the (long) JSON line, losing the timing breakdown.
     try:
-        with open(os.path.join(_REPO_DIR, "BENCH_FULL.json"), "w") as fh:
+        with open(out_path, "w") as fh:
             fh.write(payload + "\n")
     except OSError:
         pass

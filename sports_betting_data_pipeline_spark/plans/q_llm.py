@@ -2744,10 +2744,15 @@ def l42_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), b AS (
         SELECT vec_id AS b_id, embedding::DOUBLE[] AS vb
         FROM embeddings WHERE label % 2 = 1
+    ), m AS (
+        -- deterministic sqrt(N)-cell quantizer stride, same rule the
+        -- engine computes from the parquet footer count (io.size_hint)
+        SELECT greatest(1, CAST(floor(sqrt(count(*) // 2)) AS BIGINT)) AS m
+        FROM embeddings
     ), ca AS (
-        SELECT a_id AS cent_id, va AS cv FROM a WHERE a_id < 16
+        SELECT a_id AS cent_id, va AS cv FROM a, m WHERE a_id % m.m = 0
     ), cb AS (
-        SELECT b_id AS cent_id, vb AS cv FROM b WHERE b_id < 16
+        SELECT b_id AS cent_id, vb AS cv FROM b, m WHERE b_id % m.m = 0
     ), bass AS (
         SELECT b_id, cent_id FROM (
             SELECT b.b_id, c.cent_id,
@@ -2816,14 +2821,24 @@ def l42_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def l43_bitext_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION bitext-mining path (l42's l22): each direction's
-    nearest-neighbor comes from the IVF index (l13's deterministic
-    first-16 quantizer, nprobe=4) instead of the exact A×B product,
-    and the mutual filter keeps pairs where each side is the other's
-    IVF top-1 — Artetxe & Schwenk's mining recipe at index cost. The
-    deterministic quantizer makes the WHOLE approximate computation
-    SQL-reproducible, so this is hash-checked end to end (stronger
-    than a recall pin, which tests/test_llm_ops.py adds anyway
-    against l42's exact audit).
+    nearest-neighbor comes from the IVF index instead of the exact A×B
+    product, and the mutual filter keeps pairs where each side is the
+    other's IVF top-1 — Artetxe & Schwenk's mining recipe at index
+    cost. The deterministic quantizer makes the WHOLE approximate
+    computation SQL-reproducible, so this is hash-checked end to end
+    (stronger than a recall pin, which tests/test_llm_ops.py adds
+    anyway against l42's exact audit).
+
+    The quantizer is a deterministic id-stride sample sized by the
+    √N cell rule (the r7/r8 finding behind
+    :func:`functions.similarity.default_n_centroids`): stride
+    m = ⌊√(N/2)⌋ from the parquet FOOTER count (io.size_hint, no job)
+    keeps ids ≡ 0 (mod m) as centroids, ≈ √N_side cells per side. The
+    r8 fixed id<16 cutoff froze C while N grew — the full-catalog sf1
+    bench caught it as the one real super-linear query (×27 for ×10
+    data: nprobe/C of the corpus per probe is N²·nprobe/16 scorings at
+    fixed C, N^1.5·nprobe at √N cells). Stride sampling needs no
+    global sort, so centroid selection stays a scan-side filter.
 
     Scale: the only non-equi joins are the two C-row centroid
     broadcasts inside :func:`ivf_topk` (C=|cells|, the l13/l23/l36
@@ -2832,17 +2847,23 @@ def l43_bitext_mining_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny top-1 tables. l42's full cross product is relegated to the
     audit role.
     """
+    import math
+
     emb = load_table(spark, sf_dir, "embeddings")
+    n = size_hint(emb)
+    if n is None:
+        n = emb.count()
+    m = max(1, math.isqrt(max(0, n // 2)))
     a = emb.filter(F.pmod("label", F.lit(2)) == 0).select(
         F.col("vec_id").alias("a_id"), F.col("embedding").alias("va")
     )
     b = emb.filter(F.pmod("label", F.lit(2)) == 1).select(
         F.col("vec_id").alias("b_id"), F.col("embedding").alias("vb")
     )
-    cents_a = a.filter(F.col("a_id") < 16).select(
+    cents_a = a.filter(F.pmod(F.col("a_id"), F.lit(m)) == 0).select(
         F.col("a_id").alias("cent_id"), F.col("va").alias("cv")
     )
-    cents_b = b.filter(F.col("b_id") < 16).select(
+    cents_b = b.filter(F.pmod(F.col("b_id"), F.lit(m)) == 0).select(
         F.col("b_id").alias("cent_id"), F.col("vb").alias("cv")
     )
     return ivf_mutual_nn(a, b, cents_a, cents_b, nprobe=4)

@@ -1567,13 +1567,19 @@ def test_bitext_ann_noise_floor_recall_pinned(spark, sf_dir):
     # The fixture's embeddings are pure noise (max mutual cosine ~0.5)
     # — no sub-linear index can have high top-1 recall there. Pin the
     # measured noise floor so regressions in the IVF path still show.
+    # The floor tracks the quantizer's scan fraction: with the √N-cell
+    # stride (r9 — the fixed-C quantizer was the sf1 bench's one real
+    # super-linear query) sf0.001's 500 vectors give ~16 cells/side at
+    # nprobe=4, a 25% scan per direction; measured mutual recall on
+    # noise is ~0.22 (planted TRUE pairs stay at recall 1.0 — the
+    # test above). Re-measure if quantizer geometry changes again.
     from sports_betting_data_pipeline_spark.plans.catalog import QUERIES
 
     exact = {(r["a_id"], r["b_id"]) for r in QUERIES["l42_bitext_mining"](spark, sf_dir).collect()}
     ann = {(r["a_id"], r["b_id"]) for r in QUERIES["l43_bitext_mining_ann"](spark, sf_dir).collect()}
     assert exact
     recall = len(exact & ann) / len(exact)
-    assert recall >= 0.5, recall
+    assert recall >= 0.15, recall
 
 
 def test_shared_token_base_parity(planted_docs, spark):
