@@ -329,6 +329,26 @@ NULLS_SMOKE = [
     "wg01_place_wagers",
 ]
 
+# CI mini-sweep, timewarp variant: the negative-epoch floor-divide and
+# extreme-timestamp fixes (ts06/co01/dq02 oracles spell floor(x/d); c01/
+# c03/c08 parse & render pre-1970 and year-2185 instants; ts01/ts02/w07/
+# mk01 window over extreme ranges; st01/st02 drain them — the watermark-
+# eviction shapes are contract skips, not smoke candidates). ~25 s.
+TIMEWARP_SMOKE = [
+    "c01_iso_parse_roundtrip",
+    "c03_epoch_micros",
+    "c08_date_arithmetic",
+    "co01_cohort_retention",
+    "dq02_freshness_report",
+    "mk01_transition_matrix",
+    "st01_tumbling_window",
+    "st02_sliding_window",
+    "ts01_gap_fill_forward",
+    "ts02_ohlc_resample",
+    "ts06_wow_growth",
+    "w07_time_range_moving_avg",
+]
+
 # Documented out-of-contract divergences: (variant, query) pairs where
 # the adversarial data violates a stated INPUT contract of the operator
 # (not an engine bug), with the reason. These count as "skipped", not

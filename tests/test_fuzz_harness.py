@@ -101,3 +101,36 @@ def test_fuzz_nulls_mini_sweep(spark, tmp_path):
     bad = {k: v for k, v in res.items() if v["status"] != "match"}
     assert len(res) == len(fuzz_oracle.NULLS_SMOKE)
     assert not bad, bad
+
+
+def test_contract_skip_list_size_is_pinned():
+    """The skip list exists to annotate honest contract violations —
+    pin its SIZE so a new skip can't slip in as a quiet way to hide a
+    finding (r8 verdict nit #1). Growing it must be a deliberate,
+    test-updating act that names the violated contract."""
+    assert len(fuzz_oracle.KNOWN_CONTRACT_SKIPS) == 18, sorted(
+        fuzz_oracle.KNOWN_CONTRACT_SKIPS
+    )
+
+
+def test_fuzz_timewarp_mini_sweep(spark, tmp_path):
+    """Seeded timewarp mini-sweep (extreme pre-1970 / far-future
+    timestamps): pins the negative-epoch floor-divide fixes and the
+    extreme-instant parse/render paths the r8 ninth variant caught —
+    same CI rationale as the nulls mini-sweep."""
+    for name in fuzz_oracle.TIMEWARP_SMOKE:
+        assert name in QUERIES and name in ORACLES, name
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    base = fuzz_oracle.load_base("/root/testdata/sf0.001")
+    vdir = str(tmp_path / "fz_mini_timewarp")
+    fuzz_oracle.write_variant(base, fuzz_oracle.v_timewarp, 20260816, vdir)
+    res = fuzz_oracle.run_variant(
+        spark, mod, "timewarp", vdir, list(fuzz_oracle.TIMEWARP_SMOKE)
+    )
+    bad = {k: v for k, v in res.items() if v["status"] != "match"}
+    assert len(res) == len(fuzz_oracle.TIMEWARP_SMOKE)
+    assert not bad, bad
