@@ -696,3 +696,45 @@ def test_operators_doc_is_current():
     assert gen_operators_doc.build_page() == committed, (
         "docs/OPERATORS.md is stale — rerun scripts/gen_operators_doc.py"
     )
+
+
+def test_sf1_fixture_replication_keeps_fk_fanout(spark):
+    """The full-catalog sf1 bench fixture (scripts/build_sf1_fixture)
+    replicates facts with CONSISTENT key-family offsets — replica r's
+    orders must reference replica r's customers, or scaled joins run
+    on empty matches and the bench lies about join cost. Pin the
+    invariants on a toy frame: x10 rows, disjoint key ranges, and
+    exactly-preserved per-replica join fan-out."""
+    import os
+    import sys
+
+    scripts = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"
+    )
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    import build_sf1_fixture as b
+
+    cust = spark.createDataFrame(
+        [(i, f"c{i}") for i in range(4)], "c_custkey long, c_name string"
+    )
+    orders = spark.createDataFrame(
+        [(10 + i, i % 4, 100.0 * i) for i in range(8)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    rc = b._replicate(cust, b.KEY_OFFSETS["customer"], "customer")
+    ro = b._replicate(orders, b.KEY_OFFSETS["orders"], "orders")
+    assert rc.count() == 4 * b.REPLICAS and ro.count() == 8 * b.REPLICAS
+    # disjoint key ranges per replica
+    assert rc.select("c_custkey").distinct().count() == 4 * b.REPLICAS
+    assert ro.select("o_orderkey").distinct().count() == 8 * b.REPLICAS
+    # FK fan-out preserved: every replicated order still finds exactly
+    # one replicated customer, and the join is replica-local
+    joined = ro.join(rc, ro.o_custkey == rc.c_custkey)
+    assert joined.count() == 8 * b.REPLICAS
+    # replica-locality: order and customer replica indices agree
+    bad = joined.filter(
+        (F.col("o_orderkey") / b.FACT_OFF).cast("long")
+        != (F.col("c_custkey") / b.DIM_OFF).cast("long")
+    )
+    assert bad.count() == 0
