@@ -270,6 +270,51 @@ def v_nonfinite(dfs, rng):
     return dfs
 
 
+_UNI_SNIPPETS = [
+    "中文測試文本",                 # CJK (no ASCII whitespace inside)
+    "🚀🎲📊",                       # astral-plane emoji (UTF-16 surrogates)
+    "été",              # combining accents (NFD)
+    "été",                # the same text precomposed (NFC)
+    "مرحبا بالعالم",                # RTL Arabic
+    "Ｆｕｌｌｗｉｄｔｈ１２３",      # full-width Latin/digits
+    "straße STRASSE",          # sharp-s casing trap
+    "İstanbul i̇stanbul", # dotted-I casing trap
+    "a​b c",              # zero-width space + NBSP (non-ASCII \\s)
+]
+
+
+def v_unicode(dfs, rng):
+    """Non-ASCII text in every string surface a real corpus has: CJK,
+    astral-plane emoji, NFC-vs-NFD combining forms, RTL, full-width
+    forms, locale casing traps (ß, dotted I), and non-ASCII
+    whitespace. Every fixture string is plain ASCII, so the entire
+    text stack — `\\s+` tokenization, lower(), length(), regexp
+    classes, LIKE, collated sorts — has never been differentially
+    tested against DuckDB's utf8proc semantics."""
+    def decorate(series, frac):
+        col = series.astype(object)
+        idx = np.flatnonzero(rng.random(len(col)) < frac)
+        for j in idx:
+            snip = _UNI_SNIPPETS[int(rng.integers(0, len(_UNI_SNIPPETS)))]
+            cur = col.iloc[j]
+            col.iloc[j] = snip if cur is None else f"{cur} {snip}"
+        return col
+
+    d = dfs["documents"]
+    if len(d):
+        d["text"] = decorate(d["text"], 0.10)
+    c = dfs["customer"]
+    if len(c):
+        c["c_name"] = decorate(c["c_name"], 0.10)
+    p = dfs["part"]
+    if len(p):
+        p["p_name"] = decorate(p["p_name"], 0.10)
+    s = dfs["supplier"]
+    if len(s):
+        s["s_name"] = decorate(s["s_name"], 0.10)
+    return dfs
+
+
 VARIANTS = {
     "nulls": v_nulls,
     "empty_facts": v_empty_facts,
@@ -280,6 +325,7 @@ VARIANTS = {
     "skew": v_skew,
     "nonfinite": v_nonfinite,
     "timewarp": v_timewarp,
+    "unicode": v_unicode,
 }
 
 # CI mini-sweep (tests/test_fuzz_harness.py): the nulls-variant queries
@@ -294,6 +340,25 @@ VARIANTS = {
 # NULL keys (aj01). Kept small enough to run under ~a minute at
 # sf0.001 so a regression in any fuzz fix fails CI immediately, not
 # at the next session-scale sweep.
+#
+# CI mini-sweep, unicode variant: the nine queries the r9 unicode
+# wave flagged — ALL one root cause: JVM full vs utf8proc simple case
+# mapping of U+0130, now spelled in every oracle via _LOWER_TEXT (see
+# plans/q_llm.py) — plus lang-id and quality scoring as the broadest
+# text-feature surfaces.
+UNICODE_SMOKE = [
+    "l03_lang_id",
+    "l04_quality_score",
+    "l07_ngram_jaccard",
+    "l14_normalize_fingerprint",
+    "l19_tfidf_top_terms",
+    "l34_unigram_surprisal",
+    "l39_winnowing_fingerprints",
+    "l56_containment_dedup",
+    "l57_containment_prefix_join",
+    "l58_simhash_portable",
+    "pl01_pretraining_pipeline",
+]
 NULLS_SMOKE = [
     "a05_statistical_aggregates",
     "a07_approx_quantiles",

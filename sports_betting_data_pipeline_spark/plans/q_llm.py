@@ -63,7 +63,21 @@ from sports_betting_data_pipeline_spark.io import load_table, size_hint, widen_f
 from sports_betting_data_pipeline_spark.plans.catalog import register
 
 # DuckDB fragment equal to text.ws_tokens.
+#
+# Case-mapping contract (unicode fuzz variant, r9): the engine's
+# lower() is the JVM's Unicode FULL case mapping, DuckDB's is
+# utf8proc's SIMPLE mapping; U+0130 'İ' → 'i̇' (i + combining dot) is
+# the ONLY non-locale lowercase difference between them
+# (SpecialCasing.txt), so every oracle lowers corpus text as
+# lower(replace(text, 'İ', 'i̇')) — a byte-level no-op on ASCII and on
+# the JVM (full mapping produces the same two codepoints), and the
+# full-mapping contract on DuckDB. Token-level lower(x) stopword
+# membership needs no wrapper: no stopword contains a dotted I under
+# either mapping.
 _DTOKS = "list_filter(string_split_regex({src}, '\\s+'), t -> t != '')"
+
+# the oracle spelling of the engine's lower(text) (see above)
+_LOWER_TEXT = "lower(replace(text, 'İ', 'i̇'))"
 
 # DuckDB fragment equal to text.shingles(lower(text), 3): distinct
 # 3-word sliding windows; <3-token docs yield their full-token join.
@@ -125,7 +139,7 @@ def l01_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l02_word_frequency",
     oracle=f"""
     SELECT word, count(*) AS cnt
-    FROM (SELECT unnest({_DTOKS.format(src='lower(text)')}) AS word FROM documents)
+    FROM (SELECT unnest({_DTOKS.format(src=_LOWER_TEXT)}) AS word FROM documents)
     GROUP BY word
     ORDER BY cnt DESC, word
     LIMIT 20
@@ -147,7 +161,7 @@ def l02_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_oracle_sql() -> str:
-    toks = _DTOKS.format(src="lower(text)")
+    toks = _DTOKS.format(src="lower(replace(text, 'İ', 'i̇'))")
     scores = ", ".join(
         f"len(list_intersect(list_distinct({toks}), {words!r})) AS s_{lang}"
         for lang, words in LANG_MARKERS.items()
@@ -281,7 +295,7 @@ def l06_canonical_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
         SELECT doc_id, lang,
-               list_distinct({_DTOKS.format(src='lower(text)')}) AS sh
+               list_distinct({_DTOKS.format(src=_LOWER_TEXT)}) AS sh
         FROM documents WHERE doc_id % 17 = 0
     )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -331,7 +345,7 @@ def l07_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l08_minhash_lsh",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, {_DTOKS.format(src='lower(text)')} AS toks
+        SELECT doc_id, {_DTOKS.format(src=_LOWER_TEXT)} AS toks
         FROM documents
     ), s AS (
         SELECT doc_id, {_DSH3.format(toks='toks')} AS sh FROM t
@@ -401,7 +415,7 @@ def _l58_oracle_sql() -> str:
         f"(CASE WHEN c{j} > 0 THEN 1::BIGINT << {j} ELSE 0 END)"
         for j in range(60)
     )
-    dtoks = _DTOKS.format(src="lower(text)")
+    dtoks = _DTOKS.format(src="lower(replace(text, 'İ', 'i̇'))")
     return f"""
     WITH t AS (
         SELECT doc_id, unnest({dtoks}) AS tok
@@ -795,7 +809,7 @@ def l23_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH n AS (
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+               trim(regexp_replace(lower(replace(text, 'İ', 'i̇')), '\s+', ' ', 'g')) AS norm
         FROM documents
     )
     SELECT doc_id,
@@ -971,7 +985,7 @@ def l17_scrub_urls_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+               list_filter(string_split_regex(lower(replace(text, 'İ', 'i̇')), '\s+'), x -> x != '')
                    AS toks
         FROM documents
     ), g AS (
@@ -1031,7 +1045,7 @@ def l18_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH norm AS (
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+               trim(regexp_replace(lower(replace(text, 'İ', 'i̇')), '\s+', ' ', 'g')) AS norm
         FROM documents
     ), toks AS (
         SELECT doc_id, norm,
@@ -1112,7 +1126,7 @@ def pl01_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l19_tfidf_top_terms",
     oracle=f"""
     WITH tok AS (
-        SELECT doc_id, unnest({_DTOKS.format(src='lower(text)')}) AS term
+        SELECT doc_id, unnest({_DTOKS.format(src=_LOWER_TEXT)}) AS term
         FROM documents
     ), tf AS (
         SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
@@ -1197,7 +1211,7 @@ def l20_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE s AS (
         SELECT doc_id, lang,
-               list_distinct({_DTOKS.format(src='lower(text)')}) AS sh
+               list_distinct({_DTOKS.format(src=_LOWER_TEXT)}) AS sh
         FROM documents WHERE doc_id % 5 = 0
     ), p AS (
         SELECT a.doc_id AS src, b.doc_id AS dst
@@ -1259,7 +1273,7 @@ def l21_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE t AS (
         SELECT doc_id,
-               {_DTOKS.format(src='lower(text)')} AS toks
+               {_DTOKS.format(src=_LOWER_TEXT)} AS toks
         FROM documents
     ), s AS (
         SELECT doc_id, {_DSH3.format(toks='toks')} AS sh FROM t
@@ -1493,7 +1507,7 @@ def l27_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH n AS (
         SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+               md5(trim(regexp_replace(lower(replace(text, 'İ', 'i̇')), '\s+', ' ', 'g'))) AS fp
         FROM documents
     ), hist AS (
         SELECT DISTINCT fp FROM n WHERE doc_id % 10 != 9
@@ -1535,7 +1549,7 @@ def l28_incremental_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))
                    AS ntok,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+               md5(trim(regexp_replace(lower(replace(text, 'İ', 'i̇')), '\s+', ' ', 'g'))) AS fp
         FROM documents
     ), g AS (
         SELECT source,
@@ -1589,7 +1603,7 @@ def l29_source_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l30_incremental_neardup",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, {_DTOKS.format(src='lower(text)')} AS toks
+        SELECT doc_id, {_DTOKS.format(src=_LOWER_TEXT)} AS toks
         FROM documents
     ), s AS (
         SELECT doc_id, {_DSH3.format(toks='toks')} AS sh FROM t
@@ -2056,7 +2070,7 @@ def pl02_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "l34_unigram_surprisal",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, unnest({_DTOKS.format(src='lower(text)')}) AS w
+        SELECT doc_id, unnest({_DTOKS.format(src=_LOWER_TEXT)}) AS w
         FROM documents
     ), counts AS (
         SELECT w, count(*) AS c FROM toks GROUP BY w
@@ -2092,7 +2106,7 @@ _BM25_TERMS = ["table", "spark", "stream"]
     "l35_bm25_topk",
     oracle=f"""
     WITH toks AS (
-        SELECT doc_id, unnest({_DTOKS.format(src='lower(text)')}) AS w
+        SELECT doc_id, unnest({_DTOKS.format(src=_LOWER_TEXT)}) AS w
         FROM documents
     ), lens AS (
         SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id
@@ -2242,7 +2256,7 @@ def l36_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CMS_ORACLE = f"""
     WITH tok AS (
-        SELECT unnest({_DTOKS.format(src='lower(text)')}) AS word FROM documents
+        SELECT unnest({_DTOKS.format(src=_LOWER_TEXT)}) AS word FROM documents
     ),
     exact AS (
         SELECT word, count(*) AS exact_count FROM tok GROUP BY word
@@ -2411,7 +2425,7 @@ def l38_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WINNOW_ORACLE = f"""
     WITH t AS (
-        SELECT doc_id, {_DTOKS.format(src='lower(text)')} AS toks
+        SELECT doc_id, {_DTOKS.format(src=_LOWER_TEXT)} AS toks
         FROM documents
     ),
     g AS (
@@ -2570,7 +2584,7 @@ def l40_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id, source,
-               list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+               list_filter(string_split_regex(lower(replace(text, 'İ', 'i̇')), '\s+'), x -> x != '')
                    AS toks
         FROM documents
     ), g AS (
@@ -2882,7 +2896,7 @@ _PL03_QUERY_IDS = (0, 101, 202)
         -- zero-lex tie region (fuzz_oracle nulls variant).
         SELECT d.doc_id AS id,
                CASE WHEN d.text IS NULL THEN NULL
-                    ELSE {_DSH3.format(toks=_DTOKS.format(src='lower(d.text)'))}
+                    ELSE {_DSH3.format(toks=_DTOKS.format(src="lower(replace(d.text, 'İ', 'i̇'))"))}
                END AS sh,
                e.embedding::DOUBLE[] AS v
         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
@@ -4010,7 +4024,7 @@ def l54_zipf_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE s AS (
         SELECT doc_id, lang,
-               list_distinct({_DTOKS.format(src='lower(text)')}) AS sh
+               list_distinct({_DTOKS.format(src=_LOWER_TEXT)}) AS sh
         FROM documents WHERE doc_id % 5 = 0
     ), p AS (
         SELECT a.doc_id AS src, b.doc_id AS dst
@@ -4106,7 +4120,7 @@ def l55_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
         SELECT doc_id, lang,
-               list_distinct({_DTOKS.format(src='lower(text)')}) AS sh
+               list_distinct({_DTOKS.format(src=_LOWER_TEXT)}) AS sh
         FROM documents WHERE doc_id % 4 = 0
     )
     SELECT a.doc_id AS contained_id,
@@ -4206,7 +4220,7 @@ def l56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH s AS (
         SELECT doc_id, lang,
-               list_distinct({_DTOKS.format(src='lower(text)')}) AS sh
+               list_distinct({_DTOKS.format(src=_LOWER_TEXT)}) AS sh
         FROM documents WHERE doc_id % 4 = 0
     )
     SELECT a.doc_id AS contained_id,

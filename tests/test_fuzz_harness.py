@@ -134,3 +134,27 @@ def test_fuzz_timewarp_mini_sweep(spark, tmp_path):
     bad = {k: v for k, v in res.items() if v["status"] != "match"}
     assert len(res) == len(fuzz_oracle.TIMEWARP_SMOKE)
     assert not bad, bad
+
+
+def test_fuzz_unicode_mini_sweep(spark, tmp_path):
+    """Seeded unicode mini-sweep (CJK / astral emoji / NFD-vs-NFC /
+    RTL / casing traps / non-ASCII whitespace in every name+text
+    column): pins the U+0130 full-vs-simple case-mapping contract the
+    r9 unicode wave caught (every oracle lowers corpus text via
+    _LOWER_TEXT) across the widest text-feature surfaces."""
+    for name in fuzz_oracle.UNICODE_SMOKE:
+        assert name in QUERIES and name in ORACLES, name
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    base = fuzz_oracle.load_base("/root/testdata/sf0.001")
+    vdir = str(tmp_path / "fz_mini_unicode")
+    fuzz_oracle.write_variant(base, fuzz_oracle.v_unicode, 20260816, vdir)
+    res = fuzz_oracle.run_variant(
+        spark, mod, "unicode", vdir, list(fuzz_oracle.UNICODE_SMOKE)
+    )
+    bad = {k: v for k, v in res.items() if v["status"] != "match"}
+    assert len(res) == len(fuzz_oracle.UNICODE_SMOKE)
+    assert not bad, bad
