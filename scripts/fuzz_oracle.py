@@ -312,6 +312,26 @@ def v_unicode(dfs, rng):
     s = dfs["supplier"]
     if len(s):
         s["s_name"] = decorate(s["s_name"], 0.10)
+    # unicode INSIDE JSON values (probed convergent r9 — raw CJK/emoji
+    # and \uXXXX escapes extract byte-identically on both engines;
+    # this keeps that parity under regression): inject a decorated
+    # string field into valid props JSON objects
+    import json as _json
+
+    e = dfs["events"]
+    if len(e):
+        col = e["props"].astype(object)
+        idx = np.flatnonzero(rng.random(len(e)) < 0.05)
+        for j in idx:
+            raw = col.iloc[j]
+            try:
+                obj = _json.loads(raw) if raw is not None else None
+            except (TypeError, ValueError):
+                continue
+            if isinstance(obj, dict):
+                obj["uni"] = _UNI_SNIPPETS[int(rng.integers(0, len(_UNI_SNIPPETS)))]
+                col.iloc[j] = _json.dumps(obj, ensure_ascii=False)
+        e["props"] = col
     return dfs
 
 
