@@ -89,6 +89,17 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
+    # The two documented O(N²) certification audit twins (SCALE.md's
+    # sf1 adjudication table): each exists to certify a bucketed
+    # production path (l42 → l43's IVF ANN, l21 → l22's banded LSH
+    # CC) and carries a small-cohort contract in its docstring — at
+    # sf1 they are 26% of the headline total for queries a user would
+    # never run at scale. production_total is the headline WITHOUT
+    # them (VERDICT r9 next-#4); both stay in `queries` verbatim.
+    audit_twins = {"l42_bitext_mining", "l21_dedup_clusters"}
+    production_total = round(
+        sum(v for k, v in timings.items() if k not in audit_twins), 4
+    )
     # Self-normalizing artifact (VERDICT r6 #5): cross-run comparisons
     # on a shared box are confounded by ambient load (measured
     # ×1.0-1.3 within a day). Emit the per-query MEDIAN ratio vs the
@@ -135,6 +146,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": sf,
+            "production_total": production_total,
+            "audit_twin_seconds": round(total - production_total, 4),
             **ambient,
         }
     )
@@ -159,6 +172,7 @@ def main() -> None:
                 "unit": "sec",
                 "n_queries": len(timings),
                 "sf": sf,
+                "production_total": production_total,
             }
         )
     )

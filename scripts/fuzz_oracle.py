@@ -280,6 +280,11 @@ _UNI_SNIPPETS = [
     "straße STRASSE",          # sharp-s casing trap
     "İstanbul i̇stanbul", # dotted-I casing trap
     "a​b c",              # zero-width space + NBSP (non-ASCII \\s)
+    "ΟΔΥΣΣΕΑΣ και ΟΔΟΣ.",  # Greek Final_Sigma trap: word-final Σ → ς
+                           # (JVM conditional mapping) vs σ (utf8proc
+                           # simple); medial ΣΣ + terminal punctuation
+    "ΑΣ-Β Σ 中Σ ΑΣ1",      # sigma boundary probes: hyphen, lone,
+                           # non-cased-letter neighbor, digit follower
 ]
 
 

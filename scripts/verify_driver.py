@@ -16,6 +16,7 @@ import datetime
 import importlib.util
 import os
 import sys
+import time
 
 import duckdb
 import numpy as np
@@ -87,19 +88,24 @@ def main() -> int:
 
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
-        )
+        # dir-shaped tables (part files under <t>.parquet/ — the sf1
+        # fixture layout) need a glob; single-file tables read as-is
+        tbl = f"{SF}/{t}.parquet"
+        src = f"{tbl}/*.parquet" if os.path.isdir(tbl) else tbl
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
 
     only = sys.argv[1:]  # optional query-name filters
     qs, osql = mod.queries(), mod.oracle_sql()
+    report: dict[str, dict] = {}
     for name in sorted(qs):
         if only and not any(s in name for s in only):
             continue
+        t0 = time.perf_counter()
         try:
             sdf = norm(qs[name](spark, SF).toPandas())
         except Exception as exc:  # noqa: BLE001
             print(f"{name}: ERROR {type(exc).__name__}: {exc}")
+            report[name] = {"status": "spark_error", "err": f"{type(exc).__name__}: {exc}"}
             failed = True
             continue
         finally:
@@ -107,8 +113,10 @@ def main() -> int:
             # outside their own query reads — don't let storage
             # memory accumulate over the full-catalog sweep
             spark.catalog.clearCache()
+        sec = round(time.perf_counter() - t0, 2)
         if name not in osql:
             print(f"{name}: rows-only ({len(sdf)} rows)")
+            report[name] = {"status": "rows_only", "rows": len(sdf), "sec": sec}
             if len(sdf) == 0:
                 print(f"{name}: WARNING zero rows")
             continue
@@ -118,8 +126,29 @@ def main() -> int:
         if len(sdf) == 0 and ok:
             tag += " (WARNING zero rows)"
         print(f"{name}: {tag} ({len(sdf)} rows)")
+        report[name] = {
+            "status": "match" if ok else "mismatch",
+            "rows": len(sdf),
+            "oracle_rows": len(odf),
+            "sec": sec,
+            "detail": why,
+        }
         failed = failed or not ok
     print("RESULT:", "FAIL" if failed else "PASS")
+    # Optional JSON artifact (the sf1 regime-switch parity evidence,
+    # VERDICT r9 next-#1): $VERIFY_JSON_OUT=<path> dumps per-query
+    # status + the fixture dir the check ran against.
+    json_out = os.environ.get("VERIFY_JSON_OUT")
+    if json_out:
+        import json as _json
+
+        with open(json_out, "w") as fh:
+            _json.dump(
+                {"sf_dir": SF, "result": "FAIL" if failed else "PASS",
+                 "queries": report},
+                fh, indent=1, sort_keys=True,
+            )
+        print(f"report -> {json_out}")
     if not only:
         # Keep COVERAGE.md's driver-status table in lockstep with the
         # committed CORRECTNESS_r*.json artifacts: regenerating it on

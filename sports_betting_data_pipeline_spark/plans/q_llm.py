@@ -64,20 +64,39 @@ from sports_betting_data_pipeline_spark.plans.catalog import register
 
 # DuckDB fragment equal to text.ws_tokens.
 #
-# Case-mapping contract (unicode fuzz variant, r9): the engine's
-# lower() is the JVM's Unicode FULL case mapping, DuckDB's is
-# utf8proc's SIMPLE mapping; U+0130 'İ' → 'i̇' (i + combining dot) is
-# the ONLY non-locale lowercase difference between them
-# (SpecialCasing.txt), so every oracle lowers corpus text as
-# lower(replace(text, 'İ', 'i̇')) — a byte-level no-op on ASCII and on
-# the JVM (full mapping produces the same two codepoints), and the
-# full-mapping contract on DuckDB. Token-level lower(x) stopword
-# membership needs no wrapper: no stopword contains a dotted I under
-# either mapping.
+# Case-mapping contract (unicode fuzz variant, r9; sigma r10): the
+# engine's lower() is the JVM's Unicode FULL+conditional case mapping,
+# DuckDB's is utf8proc's SIMPLE mapping. SpecialCasing.txt has exactly
+# two non-locale lowercase divergences between them:
+#   1. U+0130 'İ' → 'i̇' (i + combining dot, full) vs 'i' (simple) —
+#      handled by a pre-lower replace, a byte-level no-op on ASCII and
+#      on the JVM (full mapping produces the same two codepoints).
+#   2. Final_Sigma: word-final 'Σ' → 'ς' (JVM) vs 'σ' (DuckDB) —
+#      handled by a post-lower regexp_replace implementing the rule
+#      "σ preceded by a cased letter and not followed by one → ς"
+#      with [\p{Lu}\p{Ll}\p{Lt}] as the cased class. This skips the
+#      rule's case-ignorable clause (an apostrophe or combining mark
+#      BETWEEN the sigma and the next cased letter is skipped by the
+#      JVM but not by the regex) — exact for all fuzz snippets and any
+#      text where Σ abuts letters/digits/whitespace/terminal
+#      punctuation directly, verified vs Spark 4.1.2 on 13 probes
+#      (CJK/digit/medial/final/ΣΣ).
+# Every oracle lowers corpus text via _lower_sql(); token-level
+# lower(x) stopword membership needs no wrapper: no English stopword
+# contains a dotted I or sigma under either mapping.
 _DTOKS = "list_filter(string_split_regex({src}, '\\s+'), t -> t != '')"
 
-# the oracle spelling of the engine's lower(text) (see above)
-_LOWER_TEXT = "lower(replace(text, 'İ', 'i̇'))"
+
+def _lower_sql(src: str = "text") -> str:
+    """The oracle (DuckDB) spelling of the engine's ``lower(src)`` —
+    see the case-mapping contract above."""
+    return (
+        f"regexp_replace(lower(replace({src}, 'İ', 'i̇')), "
+        r"'([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g')"
+    )
+
+
+_LOWER_TEXT = _lower_sql("text")
 
 # DuckDB fragment equal to text.shingles(lower(text), 3): distinct
 # 3-word sliding windows; <3-token docs yield their full-token join.
@@ -161,7 +180,7 @@ def l02_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lang_oracle_sql() -> str:
-    toks = _DTOKS.format(src="lower(replace(text, 'İ', 'i̇'))")
+    toks = _DTOKS.format(src=_lower_sql())
     scores = ", ".join(
         f"len(list_intersect(list_distinct({toks}), {words!r})) AS s_{lang}"
         for lang, words in LANG_MARKERS.items()
@@ -415,7 +434,7 @@ def _l58_oracle_sql() -> str:
         f"(CASE WHEN c{j} > 0 THEN 1::BIGINT << {j} ELSE 0 END)"
         for j in range(60)
     )
-    dtoks = _DTOKS.format(src="lower(replace(text, 'İ', 'i̇'))")
+    dtoks = _DTOKS.format(src=_lower_sql())
     return f"""
     WITH t AS (
         SELECT doc_id, unnest({dtoks}) AS tok
@@ -809,7 +828,7 @@ def l23_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH n AS (
         SELECT doc_id,
-               trim(regexp_replace(lower(replace(text, 'İ', 'i̇')), '\s+', ' ', 'g')) AS norm
+               trim(regexp_replace(regexp_replace(lower(replace(text, 'İ', 'i̇')), '([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g'), '\s+', ' ', 'g')) AS norm
         FROM documents
     )
     SELECT doc_id,
@@ -985,7 +1004,7 @@ def l17_scrub_urls_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(replace(text, 'İ', 'i̇')), '\s+'), x -> x != '')
+               list_filter(string_split_regex(regexp_replace(lower(replace(text, 'İ', 'i̇')), '([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g'), '\s+'), x -> x != '')
                    AS toks
         FROM documents
     ), g AS (
@@ -1045,7 +1064,7 @@ def l18_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=rf"""
     WITH norm AS (
         SELECT doc_id,
-               trim(regexp_replace(lower(replace(text, 'İ', 'i̇')), '\s+', ' ', 'g')) AS norm
+               trim(regexp_replace({_LOWER_TEXT}, '\s+', ' ', 'g')) AS norm
         FROM documents
     ), toks AS (
         SELECT doc_id, norm,
@@ -1507,7 +1526,7 @@ def l27_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH n AS (
         SELECT doc_id,
-               md5(trim(regexp_replace(lower(replace(text, 'İ', 'i̇')), '\s+', ' ', 'g'))) AS fp
+               md5(trim(regexp_replace(regexp_replace(lower(replace(text, 'İ', 'i̇')), '([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g'), '\s+', ' ', 'g'))) AS fp
         FROM documents
     ), hist AS (
         SELECT DISTINCT fp FROM n WHERE doc_id % 10 != 9
@@ -1549,7 +1568,7 @@ def l28_incremental_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))
                    AS ntok,
-               md5(trim(regexp_replace(lower(replace(text, 'İ', 'i̇')), '\s+', ' ', 'g'))) AS fp
+               md5(trim(regexp_replace(regexp_replace(lower(replace(text, 'İ', 'i̇')), '([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g'), '\s+', ' ', 'g'))) AS fp
         FROM documents
     ), g AS (
         SELECT source,
@@ -2584,7 +2603,7 @@ def l40_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id, source,
-               list_filter(string_split_regex(lower(replace(text, 'İ', 'i̇')), '\s+'), x -> x != '')
+               list_filter(string_split_regex(regexp_replace(lower(replace(text, 'İ', 'i̇')), '([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g'), '\s+'), x -> x != '')
                    AS toks
         FROM documents
     ), g AS (
@@ -2896,7 +2915,7 @@ _PL03_QUERY_IDS = (0, 101, 202)
         -- zero-lex tie region (fuzz_oracle nulls variant).
         SELECT d.doc_id AS id,
                CASE WHEN d.text IS NULL THEN NULL
-                    ELSE {_DSH3.format(toks=_DTOKS.format(src="lower(replace(d.text, 'İ', 'i̇'))"))}
+                    ELSE {_DSH3.format(toks=_DTOKS.format(src=_lower_sql("d.text")))}
                END AS sh,
                e.embedding::DOUBLE[] AS v
         FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id

@@ -79,17 +79,28 @@ def split_future_events(
     df: DataFrame,
     ts_col: str = "ts",
     bound: str = "1 HOUR",
+    threshold: "datetime.datetime | None" = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Route rows whose event time is implausibly far in the FUTURE to
     a quarantine side output, before any watermark sees them.
 
     Returns ``(clean, quarantined)``: rows with
-    ``ts_col > current_timestamp() + bound`` land on the quarantined
-    side; everything else — including NULL event times, which the
-    no-event-time filters downstream already own (st13/T3) — stays
-    clean. Both halves derive from the same source relation, so in a
-    streaming query each can be written by its own sink (or split
-    inside ``foreachBatch`` for exactly-once pairing).
+    ``ts_col > threshold`` land on the quarantined side; everything
+    else — including NULL event times, which the no-event-time
+    filters downstream already own (st13/T3) — stays clean.
+
+    The threshold is ``current_timestamp() + bound`` by default, or an
+    explicit ``threshold`` timestamp when given. EXACTLY-ONCE PAIRING
+    CAVEAT: ``current_timestamp()`` is fixed per microbatch at
+    PLANNING time, per QUERY — if the two halves are attached to two
+    separate ``writeStream`` sinks, each query plans its own
+    timestamp, so a row landing near the boundary between the two
+    planning instants can appear in both streams or neither. For
+    two-sink routing either pass an explicit ``threshold`` (one
+    literal, shared by construction) or split inside a single
+    ``foreachBatch`` (one plan, one instant). A single-query pipeline
+    (quarantine-and-drop, as ``read_events_stream`` uses it) is safe
+    with the default.
 
     Why this exists: Spark's watermark is ``max(event time) - delay``,
     so a SINGLE corrupt far-future timestamp (a producer with a wrong
@@ -99,13 +110,14 @@ def split_future_events(
     timewarp fuzz variant and st16's eviction semantics). At 100 TB
     one poisoned row can silently discard a day of state; bounding
     event time against PROCESSING time is the standard defense.
-    ``current_timestamp()`` is fixed per microbatch at planning time,
-    so the predicate is deterministic within a batch and needs no
-    Python in the hot path.
     """
-    threshold = F.current_timestamp() + F.expr(f"INTERVAL {bound}")
-    clean = df.filter(F.coalesce(F.col(ts_col) <= threshold, F.lit(True)))
-    quarantined = df.filter(F.col(ts_col) > threshold)
+    if threshold is not None:
+        cutoff = F.lit(threshold).cast("timestamp")
+    else:
+        cutoff = F.current_timestamp() + F.expr(f"INTERVAL {bound}")
+    is_future = F.col(ts_col) > cutoff
+    clean = df.filter(F.coalesce(~is_future, F.lit(True)))
+    quarantined = df.filter(is_future)
     return clean, quarantined
 
 
@@ -216,7 +228,17 @@ def read_events_stream(
     if future_bound is not None:
         if future_policy == "clamp":
             threshold = F.current_timestamp() + F.expr(f"INTERVAL {future_bound}")
-            out = out.withColumn("ts", F.least(F.col("ts"), threshold))
+            # NOT F.least(ts, threshold): least() skips NULLs, so a
+            # NULL event time would be fabricated as the threshold —
+            # the maximal watermark-advancing value — instead of
+            # staying NULL for the downstream no-event-time filters
+            # (st13/T3 own NULL ts). when() keeps NULL ts NULL.
+            out = out.withColumn(
+                "ts",
+                F.when(F.col("ts") > threshold, threshold).otherwise(
+                    F.col("ts")
+                ),
+            )
         else:
             out, _ = split_future_events(out, "ts", future_bound)
     return out

@@ -790,6 +790,20 @@ def test_split_future_events_routes_rows_and_keeps_null_ts(spark):
     assert sorted(r.tag for r in clean.collect()) == ["genuine", "null_ts"]
     assert [r.tag for r in quarantined.collect()] == ["poison"]
 
+    # Explicit threshold (the two-sink exactly-once form, ADVICE r9):
+    # one literal timestamp shared by construction — both halves
+    # decide from the same instant regardless of per-query planning.
+    cut = datetime.datetime(2024, 1, 1, 12, 0)
+    clean2, quar2 = split_future_events(df, "ts", threshold=cut)
+    assert sorted(r.tag for r in clean2.collect()) == ["genuine", "null_ts"]
+    assert [r.tag for r in quar2.collect()] == ["poison"]
+    # the literal really is the boundary: move it before the genuine
+    # row and that row flips to the quarantine side
+    _, quar3 = split_future_events(
+        df, "ts", threshold=datetime.datetime(2024, 1, 1, 9, 0)
+    )
+    assert sorted(r.tag for r in quar3.collect()) == ["genuine", "poison"]
+
 
 def test_future_guard_keeps_genuine_windows_across_batches(spark, tmp_path):
     """The timewarp shape, two microbatches: batch 0 carries ONE
@@ -890,6 +904,7 @@ def test_read_events_stream_future_policies(spark, tmp_path):
         (1, _t(1, 10, 5), 7, "bet_placed", 10.0, "{}"),
         (2, _t(1, 11, 20), 7, "bet_placed", 20.0, "{}"),
         (3, _FUTURE_TS, 8, "bet_placed", 30.0, "{}"),
+        (4, None, 9, "bet_placed", 40.0, "{}"),
     ]
     sf = _events_fixture_dir(spark, tmp_path, rows)
 
@@ -903,18 +918,24 @@ def test_read_events_stream_future_policies(spark, tmp_path):
         }
 
     default = drain("fut_default")
-    assert set(default) == {1, 2, 3} and default[3] == _FUTURE_TS
+    assert set(default) == {1, 2, 3, 4} and default[3] == _FUTURE_TS
 
     quarantined = drain("fut_quar", future_bound="1 HOUR")
-    assert set(quarantined) == {1, 2}
+    assert set(quarantined) == {1, 2, 4}
+    # NULL event times stay on the clean side (downstream
+    # no-event-time filters own them, st13/T3)
+    assert quarantined[4] is None
 
     clamped = drain("fut_clamp", future_bound="1 HOUR", future_policy="clamp")
-    assert set(clamped) == {1, 2, 3}
+    assert set(clamped) == {1, 2, 3, 4}
     assert clamped[1] == _t(1, 10, 5) and clamped[2] == _t(1, 11, 20)
     # the poison row survives with its event time capped near NOW —
     # bounded ahead of processing time, far behind 2185
     assert clamped[3] < datetime.datetime(2100, 1, 1)
     assert clamped[3] > _t(1, 12)
+    # NULL ts must stay NULL under clamp (ADVICE r9: least() skips
+    # NULLs and would fabricate the maximal watermark-advancing value)
+    assert clamped[4] is None
 
     import pytest
 
