@@ -28,6 +28,14 @@ def _consume(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# The two documented O(N²) certification audit twins (SCALE.md's sf1
+# adjudication table): each certifies a bucketed production path (l42 →
+# l43's IVF ANN, l21 → l22's banded LSH CC) and carries a small-cohort
+# contract in its docstring. production_total excludes them (VERDICT r9
+# next-#4); tests/test_plans.py pins this set against the catalog.
+AUDIT_TWINS = frozenset({"l42_bitext_mining", "l21_dedup_clusters"})
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -89,16 +97,11 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    # The two documented O(N²) certification audit twins (SCALE.md's
-    # sf1 adjudication table): each exists to certify a bucketed
-    # production path (l42 → l43's IVF ANN, l21 → l22's banded LSH
-    # CC) and carries a small-cohort contract in its docstring — at
-    # sf1 they are 26% of the headline total for queries a user would
-    # never run at scale. production_total is the headline WITHOUT
-    # them (VERDICT r9 next-#4); both stay in `queries` verbatim.
-    audit_twins = {"l42_bitext_mining", "l21_dedup_clusters"}
+    # production_total: the headline minus the documented audit twins
+    # (see AUDIT_TWINS above) — at sf1 they are 26% of the total for
+    # queries a user would never run at scale; both stay in `queries`.
     production_total = round(
-        sum(v for k, v in timings.items() if k not in audit_twins), 4
+        sum(v for k, v in timings.items() if k not in AUDIT_TWINS), 4
     )
     # Self-normalizing artifact (VERDICT r6 #5): cross-run comparisons
     # on a shared box are confounded by ambient load (measured

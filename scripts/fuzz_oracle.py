@@ -285,6 +285,9 @@ _UNI_SNIPPETS = [
                            # simple); medial ΣΣ + terminal punctuation
     "ΑΣ-Β Σ 中Σ ΑΣ1",      # sigma boundary probes: hyphen, lone,
                            # non-cased-letter neighbor, digit follower
+    "ﬁne ﬂat ß",           # Latin ligature + sharp-s UPPERCASE traps:
+                           # JVM full upper() → FINE FLAT SS, utf8proc
+                           # simple → ﬁNE ﬂAT ẞ (oracle replace chain)
 ]
 
 
@@ -317,6 +320,14 @@ def v_unicode(dfs, rng):
     s = dfs["supplier"]
     if len(s):
         s["s_name"] = decorate(s["s_name"], 0.10)
+    # the catalog's two upper() surfaces (p04 c_mktsegment, c09
+    # p_brand): without these the full-vs-simple UPPERCASE mapping
+    # divergence (ß→SS vs ẞ, ligatures) is never probed — the oracles
+    # carry a replace-chain contract mirroring _lower_sql
+    if len(c):
+        c["c_mktsegment"] = decorate(c["c_mktsegment"], 0.10)
+    if len(p):
+        p["p_brand"] = decorate(p["p_brand"], 0.10)
     # unicode INSIDE JSON values (probed convergent r9 — raw CJK/emoji
     # and \uXXXX escapes extract byte-identically on both engines;
     # this keeps that parity under regression): inject a decorated

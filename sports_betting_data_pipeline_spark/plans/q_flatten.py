@@ -234,10 +234,18 @@ def p03_two_branch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "p04_struct_access",
+    # upper() case-mapping contract (mirror of q_llm._lower_sql): the
+    # engine's upper() is the JVM FULL mapping (ß→SS, ﬁ→FI, ﬂ→FL),
+    # DuckDB's is utf8proc SIMPLE (ß→ẞ, ligatures unchanged). The
+    # replace chain covers exactly the divergent codepoints the
+    # unicode fuzz variant injects; the full SpecialCasing uppercase
+    # table is impractical in SQL and unneeded — the engine's
+    # behavior IS the contract (README "case-mapping oracle contract").
     oracle="""
     SELECT c_custkey,
            c_name            AS contact_name,
-           upper(c_mktsegment) AS segment_uc,
+           upper(replace(replace(replace(c_mktsegment,
+                 'ß', 'SS'), 'ﬁ', 'FI'), 'ﬂ', 'FL')) AS segment_uc,
            round(c_acctbal, 2) AS balance
     FROM customer
     WHERE c_custkey % 10 = 0

@@ -612,11 +612,15 @@ def r03_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "c09_string_functions",
+    # upper(): JVM FULL vs utf8proc SIMPLE mapping — replace chain for
+    # the divergent codepoints the unicode fuzz injects (ß/ﬁ/ﬂ); see
+    # q_flatten.p04 and README "case-mapping oracle contract".
     oracle="""
     SELECT CAST(p_partkey AS VARCHAR)            AS key_str,
            'P#' || CAST(p_partkey AS VARCHAR)    AS tagged,
            CAST(length(p_name) AS BIGINT)        AS name_len,
-           upper(p_brand)                        AS brand_upper,
+           upper(replace(replace(replace(p_brand,
+                 'ß', 'SS'), 'ﬁ', 'FI'), 'ﬂ', 'FL')) AS brand_upper,
            CASE WHEN p_type LIKE '%AR%' THEN 'large_std' ELSE 'other' END AS family
     FROM part
     WHERE p_size <= 10
