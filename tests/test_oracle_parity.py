@@ -108,3 +108,36 @@ def test_pinned_values_sf001_version_sensitive_oracles(spark, name, cols, digest
         assert len(pdf) == n_rows, engine
         got = hashlib.md5(pdf.to_csv(index=False).encode()).hexdigest()
         assert got == digest, f"{engine}: {got}"
+
+
+def test_case_mapping_oracle_contract(spark):
+    """Pin the case-mapping oracle contract (README, SCALE.md r10):
+    q_llm._lower_sql() must equal the engine's (JVM full+conditional)
+    lower() on every divergence class the unicode fuzzer injects —
+    U+0130 and Final_Sigma with its boundary cases — and the upper()
+    replace chain (p04/c09) must equal JVM upper() on the injected
+    ß/ligature traps. A Spark or DuckDB upgrade that shifts either
+    side fails here, not in a 10-minute fuzz sweep."""
+    import duckdb
+
+    from sports_betting_data_pipeline_spark.plans.q_llm import _lower_sql
+
+    probes = [
+        "ΟΔΟΣ", "ΟΔΟΣ ΑΛΛΟ", "Σ", "ΣΣ", "ΑΣ-Β", "İstanbul ΟΔΟΣ",
+        "ΟΔΥΣΣΕΑΣ και ΟΔΟΣ.", "中Σ", "ΑΣ中", "1Σ", "ΑΣ1", "ΑΣΣΑ",
+        "σ ς already", "straße STRASSE", "ﬁne ﬂat ß", "hello world",
+    ]
+    df = spark.createDataFrame([(t,) for t in probes], "text string")
+    rows = df.selectExpr(
+        "text", "lower(text) AS lo", "upper(text) AS up"
+    ).collect()
+    con = duckdb.connect()
+    upper_sql = ("upper(replace(replace(replace(text,"
+                 " 'ß', 'SS'), 'ﬁ', 'FI'), 'ﬂ', 'FL'))")
+    for r in rows:
+        got_lo, got_up = con.execute(
+            f"SELECT {_lower_sql('text')}, {upper_sql}"
+            " FROM (SELECT ? AS text)", [r.text],
+        ).fetchone()
+        assert got_lo == r.lo, f"lower({r.text!r}): duck={got_lo!r} jvm={r.lo!r}"
+        assert got_up == r.up, f"upper({r.text!r}): duck={got_up!r} jvm={r.up!r}"
