@@ -158,3 +158,42 @@ def test_fuzz_unicode_mini_sweep(spark, tmp_path):
     bad = {k: v for k, v in res.items() if v["status"] != "match"}
     assert len(res) == len(fuzz_oracle.UNICODE_SMOKE)
     assert not bad, bad
+
+
+def test_verify_sf1_cc_duckdb_oracle_on_known_graph(tmp_path):
+    """scripts/verify_sf1_cc.py's iterative min-label loop is the
+    independent oracle for the sf1 CC-stage evidence
+    (CORRECTNESS_SF1.json) — pin it against a graph whose components
+    are known by construction: two chains (min-label must propagate
+    across diameter > 1), a clique, an isolated edge."""
+    import os
+    import sys
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    scripts = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    if scripts not in sys.path:
+        sys.path.insert(0, scripts)
+    from verify_sf1_cc import duckdb_components
+
+    edges = [  # chain 1-2-3-4, chain 10-11-12, clique {20,21,22}, edge 30-31
+        (2, 1), (2, 3), (3, 4),
+        (10, 11), (11, 12),
+        (20, 21), (20, 22), (21, 22),
+        (30, 31),
+    ]
+    pq.write_table(
+        pa.table({"id_a": [a for a, _ in edges],
+                  "id_b": [b for _, b in edges]}),
+        str(tmp_path / "edges.parquet"),
+    )
+    out = duckdb_components(duckdb.connect(), str(tmp_path / "edges.parquet"))
+    got = {int(r.node): (int(r.component), int(r.comp_size))
+           for r in out.itertuples()}
+    want = {1: (1, 4), 2: (1, 4), 3: (1, 4), 4: (1, 4),
+            10: (10, 3), 11: (10, 3), 12: (10, 3),
+            20: (20, 3), 21: (20, 3), 22: (20, 3),
+            30: (30, 2), 31: (30, 2)}
+    assert got == want
