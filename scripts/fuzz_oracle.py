@@ -351,6 +351,56 @@ def v_unicode(dfs, rng):
     return dfs
 
 
+_BADJSON_FRAGMENTS = [
+    # malformed — json_valid=false on DuckDB, NULL extraction on Spark
+    "not json at all",
+    '{"k": 12',            # truncated object
+    "[1,2",                # truncated array
+    "",                    # empty string
+    "   ",                 # whitespace only
+    '{"k":}',              # missing value
+    # valid JSON, edge-typed k — each engine path coerces differently
+    # (catalog.py JSON coercion contract: get_json_object+try_cast vs
+    # from_json struct vs from_json map vs try_variant_get)
+    '{"k": "99"}',         # string-typed integer
+    '{"k": "xyz"}',        # string-typed garbage
+    '{"k": 3.7}',          # float where int consumers expect integer
+    '{"k": 1e3}',          # scientific notation (DOUBLE-typed)
+    '{"k": true}',         # boolean
+    '{"k": null}',         # explicit null (key EXISTS, value doesn't)
+    '{"k": [1, 2]}',       # array-typed
+    '{"k": 9223372036854775808}',   # int64 overflow
+    '{"k": -4}',           # negative int (sign handling in guards)
+    '{"nested": {"k": 5}, "k": 61, "z": 1}',  # top-level k + 3 keys
+    '{"a": 1, "b": 2, "c": 3}',               # NO k, 3 keys
+]
+# Engine-permissive edges deliberately NOT injected (no SQL contract
+# can mirror them — documented in plans/catalog.py): trailing garbage
+# ('{"k":1}x' — Jackson parses the valid prefix, json_valid is false)
+# and NaN/Infinity literals (yyjson accepts them, Jackson rejects).
+
+
+def v_badjson(dfs, rng):
+    """Corrupt and edge-typed JSON in events.props — the real-corpus
+    hazard the json_valid guards were built for, now probed end to
+    end: malformed payloads (truncated/garbage/empty) and VALID
+    payloads whose k is string/float/bool/null/array/overflow. Under
+    Spark 4's default ANSI mode a naive cast of one extracted
+    non-numeric string ABORTS the whole query — the engine uses
+    try_cast / strict from_json / try_variant_get, and each oracle
+    carries the matching DuckDB spelling (plans/catalog.py)."""
+    e = dfs["events"]
+    if len(e):
+        col = e["props"].astype(object)
+        idx = np.flatnonzero(rng.random(len(e)) < 0.20)
+        for j in idx:
+            col.iloc[j] = _BADJSON_FRAGMENTS[
+                int(rng.integers(0, len(_BADJSON_FRAGMENTS)))
+            ]
+        e["props"] = col
+    return dfs
+
+
 VARIANTS = {
     "nulls": v_nulls,
     "empty_facts": v_empty_facts,
@@ -362,6 +412,7 @@ VARIANTS = {
     "nonfinite": v_nonfinite,
     "timewarp": v_timewarp,
     "unicode": v_unicode,
+    "badjson": v_badjson,
 }
 
 # CI mini-sweep (tests/test_fuzz_harness.py): the nulls-variant queries
@@ -394,6 +445,14 @@ UNICODE_SMOKE = [
     "l57_containment_prefix_join",
     "l58_simhash_portable",
     "pl01_pretraining_pipeline",
+]
+BADJSON_SMOKE = [
+    "f03_json_field_existence",
+    "c07_json_typed_extract",
+    "c10_map_functions",
+    "c12_variant_json",
+    "st05_pusher_decode",
+    "dq01_expectations_report",
 ]
 NULLS_SMOKE = [
     "a05_statistical_aggregates",

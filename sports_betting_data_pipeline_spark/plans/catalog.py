@@ -48,6 +48,75 @@ ROWS_ONLY_SIBLINGS: dict[str, tuple[str, ...]] = {
 }
 
 
+# ---------------------------------------------------------------------------
+# JSON coercion contract (DuckDB spellings of the engine's JSON access
+# paths, exercised by the badjson fuzz variant — corrupt/edge payloads
+# are a fact of life at 100 TB of event data, and Spark 4 runs ANSI
+# mode by default, where a naive cast of a non-numeric extracted string
+# ABORTS the whole query). Each helper mirrors one Spark expression
+# exactly, verified empirically on Spark 4.1.2 vs DuckDB 1.0:
+#
+#   get_json_object + try_cast(bigint): NULL unless the extracted
+#     string is integral (try_cast('3.7' AS bigint) is NULL on Spark
+#     but rounds to 4 under DuckDB TRY_CAST — hence the regex guard).
+#   from_json struct<k: bigint>: STRICT — only JSON-typed integers
+#     within int64 parse; strings/floats/bools/overflow → NULL.
+#   try_variant_get(..., 'long'): PERMISSIVE — "99"→99, 3.7→3
+#     (truncate toward zero), true→1, overflow/array/object → NULL.
+#
+# Known engine-permissive edges NO SQL contract can mirror (excluded
+# from the fuzz fragments, documented here): Spark's Jackson parses a
+# VALID PREFIX with trailing garbage ('{"k":1}x' → 1) where json_valid
+# is false; DuckDB's yyjson accepts NaN/Infinity literals that Jackson
+# rejects.
+# ---------------------------------------------------------------------------
+
+
+def json_guarded(src: str = "props") -> str:
+    """Malformed-JSON guard: NULL unless ``src`` parses (DuckDB's JSON
+    functions ERROR on malformed input; Spark's return NULL)."""
+    return f"CASE WHEN json_valid({src}) THEN {src} END"
+
+
+def sql_try_bigint(expr: str) -> str:
+    """DuckDB spelling of Spark ``try_cast(expr AS BIGINT)`` for string
+    input: integral strings only (DuckDB TRY_CAST would round '3.7')."""
+    return (
+        f"CASE WHEN regexp_matches(trim({expr}), '^[+-]?[0-9]+$') "
+        f"THEN TRY_CAST({expr} AS BIGINT) END"
+    )
+
+
+def json_k_extract(src: str = "props", key: str = "k") -> str:
+    """Guarded ``get_json_object(src, '$.key')`` equivalent."""
+    return f"json_extract_string({json_guarded(src)}, '$.{key}')"
+
+
+def json_k_strict_bigint(src: str = "props", key: str = "k") -> str:
+    """Mirror of ``from_json(src, 'struct<key: bigint>').key``: only
+    JSON-typed integers parse (UBIGINT covers positive yyjson ints;
+    TRY_CAST nulls the >int64 overflow exactly like Jackson)."""
+    g = json_guarded(src)
+    return (
+        f"CASE WHEN json_type({g}, '$.{key}') IN ('BIGINT', 'UBIGINT') "
+        f"THEN TRY_CAST(json_extract_string({g}, '$.{key}') AS BIGINT) END"
+    )
+
+
+def json_k_variant_bigint(src: str = "props", key: str = "k") -> str:
+    """Mirror of ``try_variant_get(try_parse_json(src), '$.key',
+    'long')`` — the permissive coercion matrix (module comment)."""
+    g = json_guarded(src)
+    v = f"json_extract_string({g}, '$.{key}')"
+    return f"""CASE json_type({g}, '$.{key}')
+        WHEN 'BIGINT' THEN TRY_CAST({v} AS BIGINT)
+        WHEN 'UBIGINT' THEN TRY_CAST({v} AS BIGINT)
+        WHEN 'DOUBLE' THEN TRY_CAST(trunc(TRY_CAST({v} AS DOUBLE)) AS BIGINT)
+        WHEN 'VARCHAR' THEN {sql_try_bigint(v)}
+        WHEN 'BOOLEAN' THEN CASE {v} WHEN 'true' THEN 1 ELSE 0 END
+        END"""
+
+
 def register(name: str, oracle: str | None = None):
     """Decorator: add a query (and optional oracle SQL) to the catalog."""
 

@@ -24,7 +24,12 @@ from sports_betting_data_pipeline_spark.operators.relational import (
     topk_per_group,
     whitelist_filter,
 )
-from sports_betting_data_pipeline_spark.plans.catalog import register
+from sports_betting_data_pipeline_spark.plans.catalog import (
+    json_k_extract,
+    json_k_strict_bigint,
+    register,
+    sql_try_bigint,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -185,13 +190,17 @@ def f02_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "f03_json_field_existence",
-    oracle="""
+    # try_cast contract (badjson variant): the engine's k is
+    # try_cast(get_json_object(...) AS long) — NULL for any
+    # non-integral extracted string; sql_try_bigint is the exact
+    # DuckDB spelling (plans/catalog.py JSON coercion contract).
+    oracle=f"""
     SELECT event_type,
            count(*) AS n_events,
-           round(avg(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)), 6) AS avg_k
+           round(avg({sql_try_bigint(json_k_extract())}), 6) AS avg_k
     FROM events
-    WHERE json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') IS NOT NULL
-      AND CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT) > 50
+    WHERE {sql_try_bigint(json_k_extract())} IS NOT NULL
+      AND {sql_try_bigint(json_k_extract())} > 50
     GROUP BY event_type
     ORDER BY event_type
     """,
@@ -201,7 +210,10 @@ def f03_json_field_existence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ('market_lines' in market.keys(), main.py:82; JSON payload decode,
     mm_calls.py:167-174) via get_json_object."""
     events = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast, not cast: Spark 4 defaults to ANSI mode, where one
+    # corrupt props value ('{"k": "oops"}') ABORTS the whole query —
+    # at 100 TB some payloads WILL be corrupt (badjson fuzz variant)
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return (
         events.withColumn("k", k)
         .filter(F.col("k").isNotNull() & (F.col("k") > 50))
@@ -896,11 +908,14 @@ def q03_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c07_json_typed_extract",
-    oracle="""
+    # strict from_json struct contract (badjson variant): only
+    # JSON-typed integers parse into struct<k: bigint> — see
+    # plans/catalog.py json_k_strict_bigint.
+    oracle=f"""
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(sum({json_k_strict_bigint()}) AS BIGINT)
                AS sum_k,
-           CAST(max(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT)
+           CAST(max({json_k_strict_bigint()}) AS BIGINT)
                AS max_k,
            CAST(count(*) AS BIGINT) AS n
     FROM events
@@ -2069,12 +2084,16 @@ def dq01_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c10_map_functions",
+    # badjson contracts: n_with_k via json_type (a {"k": null} entry
+    # IS in the parsed map — json_extract would miss it); avg via
+    # TRY_CAST (Spark-side try_cast — ANSI CAST of a non-numeric map
+    # value would abort); max_keys unchanged (nested CASE below).
     oracle="""
     SELECT event_type,
-           CAST(count(*) FILTER (json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') IS NOT NULL)
+           CAST(count(*) FILTER (json_type(CASE WHEN json_valid(props) THEN props END, '$.k') IS NOT NULL)
                 AS BIGINT) AS n_with_k,
            CAST(count(*) AS BIGINT) AS n_total,
-           round(avg(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS DOUBLE)), 6)
+           round(avg(TRY_CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS DOUBLE)), 6)
                AS avg_k,
            -- nested CASE (guaranteed eval order): json_keys must see
            -- only VALID JSON OBJECTS — from_json(map) yields a NULL
@@ -2107,7 +2126,9 @@ def c10_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.map_contains_key("pm", "k"), 1)).alias("n_with_k"),
             F.count(F.lit(1)).alias("n_total"),
             F.round(
-                F.avg(F.element_at("pm", "k").cast("double")), 6
+                # try_cast: a non-numeric map value ('{"k": "oops"}')
+                # would abort the query under ANSI (badjson variant)
+                F.avg(F.element_at("pm", "k").try_cast("double")), 6
             ).alias("avg_k"),
             F.max(F.size(F.map_keys("pm"))).cast("long").alias("max_keys"),
         )

@@ -14,7 +14,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sports_betting_data_pipeline_spark.io import load_table
-from sports_betting_data_pipeline_spark.plans.catalog import register
+from sports_betting_data_pipeline_spark.plans.catalog import (
+    json_k_strict_bigint,
+    register,
+)
 from sports_betting_data_pipeline_spark.streaming.jobs import (
     decode_pusher_envelope,
     encode_pusher_envelope,
@@ -159,10 +162,13 @@ def st04_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "st05_pusher_decode",
-    oracle="""
+    # strict from_json struct contract (badjson variant) — the C6
+    # payload decode parses props against struct<k: bigint>; see
+    # plans/catalog.py json_k_strict_bigint.
+    oracle=f"""
     SELECT 'tournament_' || CAST(user_id % 10 AS VARCHAR) AS channel,
            count(*) AS n_msgs,
-           CAST(sum(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+           CAST(sum({json_k_strict_bigint()}) AS BIGINT) AS sum_k
     FROM events
     GROUP BY 1
     ORDER BY 1

@@ -18,7 +18,10 @@ from sports_betting_data_pipeline_spark.operators.temporal import (
     ISO_Z_FORMAT,
     parse_iso_utc,
 )
-from sports_betting_data_pipeline_spark.plans.catalog import register
+from sports_betting_data_pipeline_spark.plans.catalog import (
+    json_k_variant_bigint,
+    register,
+)
 
 
 @register(
@@ -466,13 +469,17 @@ def c11_higher_order_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "c12_variant_json",
-    oracle="""
+    # variant coercion contract (badjson variant): try_variant_get
+    # (...,'long') is PERMISSIVE — "99"→99, 3.7→3, true→1,
+    # overflow/array → NULL (plans/catalog.py json_k_variant_bigint);
+    # n_with_k counts the COERCED k, matching the engine's aggregate.
+    oracle=f"""
     SELECT event_type,
-           CAST(sum(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT))
+           CAST(sum({json_k_variant_bigint()})
                 AS BIGINT) AS sum_k,
-           CAST(count(*) FILTER (json_extract(CASE WHEN json_valid(props) THEN props END, '$.k') IS NOT NULL)
+           CAST(count(*) FILTER ({json_k_variant_bigint()} IS NOT NULL)
                 AS BIGINT) AS n_with_k,
-           CAST(max(CAST(json_extract_string(CASE WHEN json_valid(props) THEN props END, '$.k') AS BIGINT))
+           CAST(max({json_k_variant_bigint()})
                 AS BIGINT) AS max_k
     FROM events
     GROUP BY event_type

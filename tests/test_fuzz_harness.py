@@ -160,6 +160,32 @@ def test_fuzz_unicode_mini_sweep(spark, tmp_path):
     assert not bad, bad
 
 
+def test_fuzz_badjson_mini_sweep(spark, tmp_path):
+    """Seeded badjson mini-sweep (malformed + edge-typed JSON in
+    events.props — r10): pins the JSON coercion contracts in
+    plans/catalog.py across every props consumer. Spark 4 defaults to
+    ANSI mode, so before the r10 hardening one corrupt payload
+    ('{"k": "oops"}') ABORTED f03/c10 outright; the engine now uses
+    try_cast / strict from_json / try_variant_get, and each oracle
+    carries the matching DuckDB spelling."""
+    for name in fuzz_oracle.BADJSON_SMOKE:
+        assert name in QUERIES and name in ORACLES, name
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    base = fuzz_oracle.load_base("/root/testdata/sf0.001")
+    vdir = str(tmp_path / "fz_mini_badjson")
+    fuzz_oracle.write_variant(base, fuzz_oracle.v_badjson, 20260816, vdir)
+    res = fuzz_oracle.run_variant(
+        spark, mod, "badjson", vdir, list(fuzz_oracle.BADJSON_SMOKE)
+    )
+    bad = {k: v for k, v in res.items() if v["status"] != "match"}
+    assert len(res) == len(fuzz_oracle.BADJSON_SMOKE)
+    assert not bad, bad
+
+
 def test_verify_sf1_cc_duckdb_oracle_on_known_graph(tmp_path):
     """scripts/verify_sf1_cc.py's iterative min-label loop is the
     independent oracle for the sf1 CC-stage evidence
