@@ -941,3 +941,40 @@ def test_read_events_stream_future_policies(spark, tmp_path):
 
     with pytest.raises(ValueError, match="future_policy"):
         read_events_stream(spark, sf, future_bound="1 HOUR", future_policy="oops")
+
+
+def test_decode_pusher_envelope_corrupt_wire_messages(spark):
+    """Corrupt wire input must yield NULL-field rows, never a job
+    abort (the badjson hazard class on the STREAMING surface): a
+    truncated envelope, non-JSON line, non-base64 payload, and a
+    payload whose inner JSON is malformed each decode to NULLs
+    through from_json → unbase64 → from_json, while a valid envelope
+    in the same batch still decodes."""
+    import base64
+    import json
+
+    from sports_betting_data_pipeline_spark.streaming.jobs import (
+        decode_pusher_envelope,
+    )
+
+    inner = json.dumps({"k": 61})
+    good = json.dumps(
+        {"channel": "tournament_3",
+         "payload": base64.b64encode(inner.encode()).decode()}
+    )
+    bad_inner = json.dumps(
+        {"channel": "tournament_4",
+         "payload": base64.b64encode(b'{"k": 12').decode()}
+    )
+    rows = [
+        (good,),
+        ('{"channel": "tournament_1", "payl',),   # truncated envelope
+        ("not an envelope at all",),              # non-JSON line
+        ('{"channel": "t", "payload": "%%%"}',),  # non-base64 payload
+        (bad_inner,),                             # inner JSON malformed
+    ]
+    df = spark.createDataFrame(rows, "msg string")
+    out = decode_pusher_envelope(df).collect()
+    assert len(out) == len(rows)  # no row lost, no abort
+    ks = sorted((r.k for r in out), key=lambda x: (x is None, x))
+    assert ks[0] == 61 and all(k is None for k in ks[1:])
