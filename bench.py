@@ -6,6 +6,20 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
 Each query is forced end-to-end with the noop sink (computes every
 row/column, no driver-side collect), which is the honest measure of
 operator throughput.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR        input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS          local[] threads (default 32)
+  SPARK_GRAFT_BENCH_RUNS    best-of-N per query (default 2)
+  SPARK_GRAFT_BENCH_QUERIES comma-separated subset of catalog names —
+                            a filtered run writes BENCH_FULL_partial.json
+                            (never the full reference artifact) and
+                            skips the subsystem warmups; this is the
+                            cheap path the CI smoke uses.
+  SPARK_GRAFT_BENCH_OUT     explicit artifact filename (overrides all
+                            redirect logic — used for the sf1 catalog
+                            bench so it never clobbers the sf0.1
+                            quiet-window artifact).
 """
 
 from __future__ import annotations
@@ -35,12 +49,100 @@ def _consume(df) -> None:
 # next-#4); tests/test_plans.py pins this set against the catalog.
 AUDIT_TWINS = frozenset({"l42_bitext_mining", "l21_dedup_clusters"})
 
+# A self-reported ambient above this is a loaded window: the run still
+# produces a full artifact, but it must not become the quiet reference
+# that every future ambient self-report is computed against (VERDICT
+# r10 next-#3 — loaded driver runs clobbered the quiet artifact three
+# rounds running).
+LOADED_AMBIENT_THRESHOLD = 1.15
+
+
+def compute_ambient(prev: dict | None, timings: dict[str, float], sf) -> dict:
+    """Self-normalizing ambient factors vs a previous artifact.
+
+    Emits two estimators (VERDICT r10 next-#5):
+
+    - ``ambient_factor``: per-query MEDIAN ratio — robust to the
+      handful of queries a round actually changes; use it for
+      per-query regression flags.
+    - ``ambient_factor_weighted``: trimmed duration-weighted ratio
+      (sum of current seconds / sum of previous seconds over the
+      shared queries, after dropping the k highest- and k lowest-ratio
+      queries, k = max(1, n//20) once n >= 10). Long queries dominate
+      the sums, so this tracks the tail drag the median under-corrects
+      in loaded windows (SCALE.md's r10 attempt-7 observation: median
+      normalization read 133.7 s vs a ~120 s true total). Use it for
+      normalized TOTALS.
+
+    An artifact from a different SF is not an ambient reference.
+    """
+    if not prev or prev.get("sf") != sf:
+        return {}
+    prev_q = prev.get("queries") or {}
+    pairs = sorted(
+        ((timings[q], prev_q[q]) for q in timings
+         if q in prev_q and prev_q[q] > 0),
+        key=lambda p: p[0] / p[1],
+    )
+    if not pairs:
+        return {}
+    ratios = [c / p for c, p in pairs]
+    mid = len(ratios) // 2
+    med = (
+        ratios[mid]
+        if len(ratios) % 2
+        else (ratios[mid - 1] + ratios[mid]) / 2
+    )
+    out = {
+        "ambient_factor": round(med, 4),
+        "ambient_ref_total": prev.get("value"),
+        "ambient_n": len(ratios),
+    }
+    k = max(1, len(pairs) // 20) if len(pairs) >= 10 else 0
+    core = pairs[k: len(pairs) - k] if k else pairs
+    prev_sum = sum(p for _, p in core)
+    if prev_sum > 0:
+        out["ambient_factor_weighted"] = round(
+            sum(c for c, _ in core) / prev_sum, 4
+        )
+    return out
+
+
+def resolve_out_path(
+    env_out: str | None, filtered: bool, ambient_factor: float | None
+) -> tuple[str, bool]:
+    """Decide where the artifact goes; returns (filename, redirected).
+
+    - explicit $SPARK_GRAFT_BENCH_OUT always wins (sf1 runs, smokes);
+    - a filtered (partial-catalog) run never touches the reference —
+      its table would shrink the ambient sample for every later run;
+    - a full run whose self-reported ambient exceeds
+      LOADED_AMBIENT_THRESHOLD is written to BENCH_FULL_loaded.json so
+      the quiet reference stays calibrated (redirected=True).
+    """
+    if env_out:
+        return env_out, False
+    if filtered:
+        return "BENCH_FULL_partial.json", False
+    if ambient_factor is not None and ambient_factor > LOADED_AMBIENT_THRESHOLD:
+        return "BENCH_FULL_loaded.json", True
+    return "BENCH_FULL.json", False
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(match.group(1)) if match else None
+
+    selected = sorted(QUERIES)
+    query_filter = os.environ.get("SPARK_GRAFT_BENCH_QUERIES", "").strip()
+    if query_filter:
+        want = {w.strip() for w in query_filter.split(",") if w.strip()}
+        unknown = want - set(selected)
+        if unknown:
+            raise SystemExit(f"unknown bench queries: {sorted(unknown)}")
+        selected = [n for n in selected if n in want]
 
     spark = get_spark(
         app_name="bench",
@@ -57,20 +159,23 @@ def main() -> None:
     #   - JSON/base64 expression stack (st05's shape)
     #   - Arrow/Python worker fork (Pandas UDF paths)
     #   - streaming engine + state store (availableNow drain)
+    # A filtered run (CI smoke) skips the subsystem warmups — it is a
+    # parse-path check, not a timing measurement.
     warm_sf = "/root/testdata/sf0.001"
     warmup_dir = warm_sf if os.path.isdir(warm_sf) else sf_dir
     spark.range(1).count()
-    _consume(QUERIES["q01_pricing_summary"](spark, sf_dir))
-    for warm_name in (
-        "st05_pusher_decode",   # to_json/base64/from_json codegen
-        "m01_multimodal_features",  # Arrow + Python worker startup
-        "st01_tumbling_window",  # streaming engine + state store
-    ):
-        if warm_name in QUERIES:
-            try:
-                _consume(QUERIES[warm_name](spark, warmup_dir))
-            except Exception:
-                pass  # warmup must never fail the bench
+    if not query_filter:
+        _consume(QUERIES["q01_pricing_summary"](spark, sf_dir))
+        for warm_name in (
+            "st05_pusher_decode",   # to_json/base64/from_json codegen
+            "m01_multimodal_features",  # Arrow + Python worker startup
+            "st01_tumbling_window",  # streaming engine + state store
+        ):
+            if warm_name in QUERIES:
+                try:
+                    _consume(QUERIES[warm_name](spark, warmup_dir))
+                except Exception:
+                    pass  # warmup must never fail the bench
 
     # Best-of-N per query (default 2): single-shot numbers on a shared
     # box fold GC pauses and first-use warmup (state stores, Python
@@ -78,7 +183,7 @@ def main() -> None:
     # operator cost.
     runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
+    for name in selected:
         best = None
         for _ in range(runs):
             # Clear BEFORE each timed run, not once per query: many
@@ -105,55 +210,36 @@ def main() -> None:
     )
     # Self-normalizing artifact (VERDICT r6 #5): cross-run comparisons
     # on a shared box are confounded by ambient load (measured
-    # ×1.0-1.3 within a day). Emit the per-query MEDIAN ratio vs the
-    # previous BENCH_FULL.json so every artifact carries its own
-    # correction factor — the median over the (mostly untouched)
-    # catalog is robust to the handful of queries a round actually
-    # changes. ambient_factor > 1 means THIS run saw a slower box;
-    # divide by it before reading per-query deltas as real.
-    # $SPARK_GRAFT_BENCH_OUT redirects the artifact (and its ambient
-    # reference) so off-default-SF runs — the sf1 catalog bench — never
-    # clobber the quiet-window sf0.1 artifact.
-    out_path = os.path.join(
-        _REPO_DIR, os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    )
-    ambient = {}
+    # ×1.0-1.9 within a day). The ambient reference is ALWAYS the
+    # quiet artifact (or the explicit $SPARK_GRAFT_BENCH_OUT target);
+    # the write target may be redirected — see resolve_out_path.
+    env_out = os.environ.get("SPARK_GRAFT_BENCH_OUT") or None
+    ref_path = os.path.join(_REPO_DIR, env_out or "BENCH_FULL.json")
+    prev = None
     try:
-        with open(out_path) as fh:
+        with open(ref_path) as fh:
             prev = json.loads(fh.read())
-        # an artifact from a different SF is not an ambient reference
-        prev_q = (prev.get("queries") or {}) if prev.get("sf") == sf else {}
-        ratios = sorted(
-            timings[q] / prev_q[q]
-            for q in timings
-            if q in prev_q and prev_q[q] > 0
-        )
-        if ratios:
-            mid = len(ratios) // 2
-            med = (
-                ratios[mid]
-                if len(ratios) % 2
-                else (ratios[mid - 1] + ratios[mid]) / 2
-            )
-            ambient = {
-                "ambient_factor": round(med, 4),
-                "ambient_ref_total": prev.get("value"),
-                "ambient_n": len(ratios),
-            }
-    except (OSError, ValueError, KeyError, ZeroDivisionError):
+    except (OSError, ValueError):
         pass
-    payload = json.dumps(
-        {
-            "metric": "total_query_seconds",
-            "value": total,
-            "unit": "sec",
-            "queries": timings,
-            "sf": sf,
-            "production_total": production_total,
-            "audit_twin_seconds": round(total - production_total, 4),
-            **ambient,
-        }
+    ambient = compute_ambient(prev, timings, sf)
+
+    out_name, redirected = resolve_out_path(
+        env_out, bool(query_filter), ambient.get("ambient_factor")
     )
+    out_path = os.path.join(_REPO_DIR, out_name)
+    payload_dict = {
+        "metric": "total_query_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "production_total": production_total,
+        "audit_twin_seconds": round(total - production_total, 4),
+        **ambient,
+    }
+    if redirected:
+        payload_dict["loaded_redirect"] = True
+    payload = json.dumps(payload_dict)
     # Persist the full per-query table too: stdout capture can truncate
     # the (long) JSON line, losing the timing breakdown.
     try:
@@ -161,6 +247,25 @@ def main() -> None:
             fh.write(payload + "\n")
     except OSError:
         pass
+
+    # Stop the JVM BEFORE printing the metric lines. r10's driver bench
+    # produced `parsed: null` because a StateStore-maintenance shutdown
+    # race (RpcEnvStoppedException → "Could not unload state store
+    # provider" stack trace) fired at interpreter-exit teardown and
+    # landed in the stdout tail AFTER the compact line, defeating the
+    # print-last defense (VERDICT r10 next-#1). Silencing log4j and
+    # stopping Spark synchronously here guarantees every byte of JVM
+    # shutdown noise precedes the metric lines, so the tail always ends
+    # with parseable JSON (pinned by tests/test_cli.py's bench smoke).
+    try:
+        spark.sparkContext.setLogLevel("OFF")
+    except Exception:
+        pass
+    try:
+        spark.stop()
+    except Exception:
+        pass
+
     # Full payload first, compact line LAST: the driver keeps the
     # stdout TAIL, so the final short line is the one guaranteed to
     # survive truncation and parse (r3 printed compact-first and the
@@ -179,6 +284,7 @@ def main() -> None:
             }
         )
     )
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

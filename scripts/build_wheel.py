@@ -139,9 +139,24 @@ def smoke(wheel_path: str) -> None:
             [vpy, "-c", "import site; print(site.getsitepackages()[0])"],
             check=True, capture_output=True, text=True,
         ).stdout.strip()
+        # Provenance check with the venv python ALONE — no PYTHONPATH.
+        # PYTHONPATH entries precede site-packages in sys.path, so if
+        # the parent env ever had a plain install of the package in its
+        # purelib, an import under PYTHONPATH would resolve to the
+        # parent copy and fail spuriously (ADVICE r10 #1). find_spec
+        # locates without executing __init__ (which imports pyspark,
+        # absent in the dep-less venv), so this works venv-alone.
+        loc = subprocess.run(
+            [vpy, "-c",
+             "import importlib.util; "
+             f"print(importlib.util.find_spec('{NAME}').origin)"],
+            check=True, capture_output=True, text=True, cwd=venv_dir,
+        ).stdout.strip()
+        assert loc.startswith(site), f"package resolved outside venv: {loc}"
+        print(f"installed package at {loc}")
+        # deps (pyspark/numpy/...) from the parent env, ONLY for the
+        # CLI steps below that actually execute the package
         env = dict(os.environ)
-        # deps from the parent env; the package itself from the venv
-        # (site dir first so the venv copy shadows any repo checkout)
         parent_sp = subprocess.run(
             [sys.executable, "-c",
              "import sysconfig; print(sysconfig.get_paths()['purelib'])"],
@@ -149,13 +164,6 @@ def smoke(wheel_path: str) -> None:
         ).stdout.strip()
         env["PYTHONPATH"] = parent_sp
         env.pop("SPARK_HOME", None)
-        loc = subprocess.run(
-            [vpy, "-c", f"import {NAME}; print({NAME}.__file__)"],
-            check=True, capture_output=True, text=True, env=env,
-            cwd=venv_dir,
-        ).stdout.strip()
-        assert loc.startswith(site), f"package resolved outside venv: {loc}"
-        print(f"installed package at {loc}")
         script = os.path.join(venv_dir, "bin", "sbdp-query")
         listing = subprocess.run(
             [script, "--list"], check=True, capture_output=True, text=True,

@@ -285,6 +285,10 @@ _UNI_SNIPPETS = [
                            # simple); medial ΣΣ + terminal punctuation
     "ΑΣ-Β Σ 中Σ ΑΣ1",      # sigma boundary probes: hyphen, lone,
                            # non-cased-letter neighbor, digit follower
+    "ΟΔΥΣΣΕΑΣ'Σ Α'Σ ΑΣ'Β",  # Final_Sigma case-ignorable clause
+                           # (ADVICE r10 #2): apostrophe between sigma
+                           # and boundary — final, preceded-through-
+                           # ignorable, and medial-through-ignorable
     "ﬁne ﬂat ß",           # Latin ligature + sharp-s UPPERCASE traps:
                            # JVM full upper() → FINE FLAT SS, utf8proc
                            # simple → ﬁNE ﬂAT ẞ (oracle replace chain)

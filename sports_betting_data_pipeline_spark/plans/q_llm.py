@@ -72,19 +72,29 @@ from sports_betting_data_pipeline_spark.plans.catalog import register
 #      handled by a pre-lower replace, a byte-level no-op on ASCII and
 #      on the JVM (full mapping produces the same two codepoints).
 #   2. Final_Sigma: word-final 'Σ' → 'ς' (JVM) vs 'σ' (DuckDB) —
-#      handled by a post-lower regexp_replace implementing the rule
-#      "σ preceded by a cased letter and not followed by one → ς"
-#      with [\p{Lu}\p{Ll}\p{Lt}] as the cased class. This skips the
-#      rule's case-ignorable clause (an apostrophe or combining mark
-#      BETWEEN the sigma and the next cased letter is skipped by the
-#      JVM but not by the regex) — exact for all fuzz snippets and any
-#      text where Σ abuts letters/digits/whitespace/terminal
-#      punctuation directly, verified vs Spark 4.1.2 on 13 probes
-#      (CJK/digit/medial/final/ΣΣ).
+#      handled by a post-lower regexp_replace implementing the full
+#      rule "σ preceded by cased (case-ignorable)* and not followed by
+#      (case-ignorable)* cased → ς", with [\p{Lu}\p{Ll}\p{Lt}] as the
+#      cased class and the JDK ConditionalSpecialCasing ignorable set
+#      [\p{Mn}\p{Me}\p{Cf}\p{Lm}\p{Sk} ' ’] (soft hyphen is Cf) on
+#      BOTH sides — so "ΟΔΥΣΣΕΑΣ'Σ" and combining-mark shapes now
+#      match the JVM (ADVICE r10 #2; previously the ignorable clause
+#      was skipped). Remaining documented approximation: the cased
+#      class omits Other_Uppercase/Other_Lowercase (circled letters,
+#      cased modifier letters) — verified vs Spark 4.1.2 on 28 probes
+#      (CJK/digit/medial/final/ΣΣ/apostrophe/combining/soft-hyphen,
+#      tests/test_oracle_parity.py::test_case_mapping_oracle_contract).
 # Every oracle lowers corpus text via _lower_sql(); token-level
 # lower(x) stopword membership needs no wrapper: no English stopword
 # contains a dotted I or sigma under either mapping.
 _DTOKS = "list_filter(string_split_regex({src}, '\\s+'), t -> t != '')"
+
+
+# RE2 character-class fragments for the Final_Sigma rewrite.
+# \x27 (apostrophe) is spelled as an RE2 hex escape so the pattern can
+# live inside a single-quoted SQL literal without doubling.
+_SIGMA_CASED = r"\p{Lu}\p{Ll}\p{Lt}"
+_SIGMA_IGN = r"\p{Mn}\p{Me}\p{Cf}\p{Lm}\p{Sk}\x27’"
 
 
 def _lower_sql(src: str = "text") -> str:
@@ -92,7 +102,9 @@ def _lower_sql(src: str = "text") -> str:
     see the case-mapping contract above."""
     return (
         f"regexp_replace(lower(replace({src}, 'İ', 'i̇')), "
-        r"'([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g')"
+        f"'([{_SIGMA_CASED}][{_SIGMA_IGN}]*)σ"
+        f"([{_SIGMA_IGN}]*(?:$|[^{_SIGMA_CASED}{_SIGMA_IGN}]))', "
+        r"'\1ς\2', 'g')"
     )
 
 

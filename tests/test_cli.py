@@ -70,7 +70,10 @@ def test_wheel_builds_and_installs(tmp_path):
     whl = build_wheel_from_sdist(sdist, dist)
 
     names = set(zipfile.ZipFile(whl).namelist())
-    di = f"{NAME}-0.9.0.dist-info"
+    # derive the version from the wheel filename (name-version-tags.whl)
+    # so a pyproject version bump doesn't break this test (ADVICE r10 #3)
+    version = os.path.basename(whl).split("-")[1]
+    di = f"{NAME}-{version}.dist-info"
     assert {f"{di}/METADATA", f"{di}/WHEEL", f"{di}/RECORD",
             f"{di}/entry_points.txt"} <= names
     assert f"{NAME}/__main__.py" in names
@@ -86,17 +89,15 @@ def test_wheel_builds_and_installs(tmp_path):
          "install", "--no-deps", "--no-index", "--quiet", whl],
         check=True,
     )
-    # deps (pyspark/numpy/...) resolve from the parent env via
-    # PYTHONPATH; the package itself must come from the venv
-    parent_sp = subprocess.run(
-        [sys.executable, "-c",
-         "import sysconfig; print(sysconfig.get_paths()['purelib'])"],
-        check=True, capture_output=True, text=True,
-    ).stdout.strip()
-    env = dict(os.environ, PYTHONPATH=parent_sp)
+    # provenance with the venv python ALONE — no PYTHONPATH, which
+    # would precede site-packages and could shadow the venv copy with
+    # a parent-env install (ADVICE r10 #1); find_spec locates without
+    # executing __init__ (which needs pyspark, absent in the venv)
     loc = subprocess.run(
-        [vpy, "-c", f"import {NAME}; print({NAME}.__file__)"],
-        check=True, capture_output=True, text=True, cwd=venv_dir, env=env,
+        [vpy, "-c",
+         "import importlib.util; "
+         f"print(importlib.util.find_spec('{NAME}').origin)"],
+        check=True, capture_output=True, text=True, cwd=venv_dir,
     ).stdout.strip()
     assert venv_dir in loc, f"import resolved outside the venv: {loc}"
     assert os.path.exists(os.path.join(venv_dir, "bin", "sbdp-query"))

@@ -126,6 +126,12 @@ def test_case_mapping_oracle_contract(spark):
         "ΟΔΟΣ", "ΟΔΟΣ ΑΛΛΟ", "Σ", "ΣΣ", "ΑΣ-Β", "İstanbul ΟΔΟΣ",
         "ΟΔΥΣΣΕΑΣ και ΟΔΟΣ.", "中Σ", "ΑΣ中", "1Σ", "ΑΣ1", "ΑΣΣΑ",
         "σ ς already", "straße STRASSE", "ﬁne ﬂat ß", "hello world",
+        # Final_Sigma case-ignorable clause (ADVICE r10 #2): apostrophe
+        # / right-quote / combining mark / soft hyphen between the
+        # sigma and the boundary, on both sides of the rule
+        "ΟΔΥΣΣΕΑΣ'Σ", "ΑΣ'Β", "ΑΣ''", "ΑΣ’", "Α'Σ", "Σ'Σ",
+        "ΑΣ́Β", "ΑΣ́ Β", "ΑΣ­Β", "ΑΣΣ'Β", "ΑΣ'Σ'Β",
+        "ΑΣ'1",
     ]
     df = spark.createDataFrame([(t,) for t in probes], "text string")
     rows = df.selectExpr(
