@@ -66,6 +66,25 @@ def frames_match(sdf: pd.DataFrame, odf: pd.DataFrame) -> tuple[bool, str]:
 
 
 def main() -> int:
+    # $VERIFY_ENGINE_PATH (VERDICT r10 next-#7): resolve the ENGINE
+    # package from an installed location (a wheel venv's
+    # site-packages) instead of the source tree. __spark_entry__.py
+    # inserts the repo at sys.path[0] when it executes, so path order
+    # alone can't win — import the package from the given path FIRST;
+    # the entry file's later imports then reuse the sys.modules entry.
+    engine_path = os.environ.get("VERIFY_ENGINE_PATH")
+    if engine_path:
+        sys.path.insert(0, engine_path)
+        import sports_betting_data_pipeline_spark as _eng
+
+        if not os.path.abspath(_eng.__file__).startswith(
+            os.path.abspath(engine_path)
+        ):
+            print(f"ENGINE PROVENANCE FAIL: {_eng.__file__} "
+                  f"not under {engine_path}")
+            return 2
+        print(f"ENGINE: {_eng.__file__}")
+
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
     )
