@@ -405,6 +405,83 @@ def v_badjson(dfs, rng):
     return dfs
 
 
+# longdoc shapes (index → builder): every pathological LENGTH regime a
+# real web corpus contains and the short (48-553 char) fixtures never
+# probe. Sizes are big enough to stress shingle/token/packing paths
+# (20-170 KB) but bounded so the full-catalog differential sweep stays
+# tractable on both engines.
+_LONGDOC_SHAPES = [
+    # one token repeated: 30k tokens, ONE distinct shingle — dup-block
+    # collapse, MinHash on a single-element set, repetition scores
+    lambda: ("spam " * 30000).strip(),
+    # 25k DISTINCT tokens — per-doc vocabulary explosion (TF-IDF/BM25
+    # term dictionaries, distinct-shingle counts, packing budgets:
+    # a single doc larger than l25/l33's sequence budget)
+    lambda: " ".join(f"tok{i}" for i in range(25000)),
+    # a single 120k-char token, no whitespace — tokenizer must emit
+    # ONE giant token; substring/prefix fingerprints on it
+    lambda: "x" * 120000,
+    # short period, long text: 4-token cycle × 8000 — few distinct
+    # shingles with huge multiplicity (winnowing, bigram repetition)
+    lambda: "alpha beta gamma delta " * 8000,
+    # maximal token-per-char density: 60k 1-char tokens
+    lambda: ("a " * 60000).strip(),
+    # case-mapping traps at length: the Final_Sigma/İ/ß contract
+    # exercised 3000× in one document, not once in a snippet
+    lambda: "ΟΔΥΣΣΕΑΣ'Σ İstanbul straße ΑΣ'Β σ ς " * 3000,
+    # punctuation flood — quality-score punct ratio ≈ 1, tokenizer
+    # boundary behavior on punctuation-only "words"
+    lambda: "!?.,;: " * 15000,
+    # whitespace flood: 40k chars of mixed runs, almost no tokens
+    lambda: ("  \t " * 8000) + "lone" + ("   " * 2000),
+]
+
+# events.props at length: valid JSON whose VALUES are huge — the
+# extraction/variant paths must stream past them, not choke
+_LONGJSON_SHAPES = [
+    lambda: json.dumps({"k": 7, "pad": "y" * 60000}),
+    lambda: json.dumps({f"f{i}": i for i in range(2000)} | {"k": 3}),
+]
+
+
+def v_longdoc(dfs, rng):
+    """Very long / pathologically shaped documents — the 100 TB corpus
+    hazard class no other variant touches (fixture docs are 48-553
+    chars). ~4% of documents.text is replaced by one of the
+    _LONGDOC_SHAPES regimes (repeated token, distinct-vocab explosion,
+    single giant token, periodic text, 1-char token flood, cased-trap
+    repetition, punctuation flood, whitespace flood) with n_chars kept
+    consistent; ~2% of events.props becomes valid JSON with a 60 KB
+    value / 2000 keys. Probes: shingle explosion + dup-block collapse,
+    MinHash fold cost, packing when one doc exceeds the sequence
+    budget, per-doc vocab bigger than the corpus vocab, tokenizer and
+    regex behavior on degenerate boundaries, JSON extraction past huge
+    payloads."""
+    d = dfs["documents"]
+    if len(d):
+        n_mut = max(len(_LONGDOC_SHAPES), int(0.04 * len(d)))
+        n_mut = min(n_mut, len(d))
+        idx = rng.choice(len(d), size=n_mut, replace=False)
+        text = d["text"].astype(object)
+        n_chars = d["n_chars"].astype("int64").copy()
+        for pos, j in enumerate(idx):
+            t = _LONGDOC_SHAPES[pos % len(_LONGDOC_SHAPES)]()
+            text.iloc[j] = t
+            n_chars.iloc[j] = len(t)
+        d["text"] = text
+        d["n_chars"] = n_chars
+    e = dfs["events"]
+    if len(e):
+        col = e["props"].astype(object)
+        idx = np.flatnonzero(rng.random(len(e)) < 0.02)
+        for j in idx:
+            col.iloc[j] = _LONGJSON_SHAPES[
+                int(rng.integers(0, len(_LONGJSON_SHAPES)))
+            ]()
+        e["props"] = col
+    return dfs
+
+
 VARIANTS = {
     "nulls": v_nulls,
     "empty_facts": v_empty_facts,
@@ -417,6 +494,7 @@ VARIANTS = {
     "timewarp": v_timewarp,
     "unicode": v_unicode,
     "badjson": v_badjson,
+    "longdoc": v_longdoc,
 }
 
 # CI mini-sweep (tests/test_fuzz_harness.py): the nulls-variant queries
@@ -457,6 +535,26 @@ BADJSON_SMOKE = [
     "c12_variant_json",
     "st05_pusher_decode",
     "dq01_expectations_report",
+]
+# CI mini-sweep, longdoc variant: the broadest per-regime surfaces —
+# token/char stats and quality scoring (every shape), shingle + LSH
+# dedup (repeated-token and periodic shapes), packing and budgets
+# (the doc that exceeds the sequence budget), term dictionaries
+# (distinct-vocab explosion), winnowing (periodic), containment
+# (giant single token), and the long-JSON events shapes.
+LONGDOC_SMOKE = [
+    "l01_text_stats",
+    "l04_quality_score",
+    "l08_minhash_lsh",
+    "l15_token_chunking",
+    "l18_bigram_repetition",
+    "l25_sequence_packing",
+    "l33_token_budget",
+    "l35_bm25_topk",
+    "l39_winnowing_fingerprints",
+    "l57_containment_prefix_join",
+    "c07_json_typed_extract",
+    "c10_map_functions",
 ]
 NULLS_SMOKE = [
     "a05_statistical_aggregates",

@@ -112,10 +112,17 @@ _LOWER_TEXT = _lower_sql("text")
 
 # DuckDB fragment equal to text.shingles(lower(text), 3): distinct
 # 3-word sliding windows; <3-token docs yield their full-token join.
+# ELEMENT indexing ({toks}[i], O(1); out-of-bounds → NULL, filtered),
+# never a slice inside the lambda: DuckDB evaluates a list slice in
+# O(list length), so the old {toks}[i:i+2] spelling made every
+# shingle-bearing oracle O(n²) in document length — the longdoc fuzz
+# variant (r11) hung it on 60k-token documents while the engine side
+# stayed linear.
 _DSH3 = (
     "list_distinct(list_transform("
     "range(1, greatest(len({toks}) - 2, 1) + 1), "
-    "i -> array_to_string({toks}[i:i+2], ' ')))"
+    "i -> array_to_string(list_filter("
+    "[{toks}[i], {toks}[i+1], {toks}[i+2]], x -> x IS NOT NULL), ' ')))"
 )
 
 
@@ -840,7 +847,7 @@ def l23_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH n AS (
         SELECT doc_id,
-               trim(regexp_replace(regexp_replace(lower(replace(text, 'İ', 'i̇')), '([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g'), '\s+', ' ', 'g')) AS norm
+               trim(regexp_replace(""" + _lower_sql("text") + r""", '\s+', ' ', 'g')) AS norm
         FROM documents
     )
     SELECT doc_id,
@@ -1016,7 +1023,7 @@ def l17_scrub_urls_emails(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(regexp_replace(lower(replace(text, 'İ', 'i̇')), '([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g'), '\s+'), x -> x != '')
+               list_filter(string_split_regex(""" + _lower_sql("text") + r""", '\s+'), x -> x != '')
                    AS toks
         FROM documents
     ), g AS (
@@ -1383,12 +1390,17 @@ def l22_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # DuckDB k-shingle fragment (generalizes _DSH3; parity with
-# text.shingles: <k-token docs yield their full-token join).
+# text.shingles: <k-token docs yield their full-token join). Element
+# indexing, not lambda slices — see the _DSH3 O(n²) note.
 def _dshk(toks: str, k: int) -> str:
+    elems = ", ".join(
+        f"{toks}[i+{d}]" if d else f"{toks}[i]" for d in range(k)
+    )
     return (
         "list_distinct(list_transform("
         f"range(1, greatest(len({toks}) - {k - 1}, 1) + 1), "
-        f"i -> array_to_string({toks}[i:i+{k - 1}], ' ')))"
+        f"i -> array_to_string(list_filter([{elems}], "
+        "x -> x IS NOT NULL), ' ')))"
     )
 
 
@@ -1538,7 +1550,7 @@ def l27_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH n AS (
         SELECT doc_id,
-               md5(trim(regexp_replace(regexp_replace(lower(replace(text, 'İ', 'i̇')), '([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g'), '\s+', ' ', 'g'))) AS fp
+               md5(trim(regexp_replace(""" + _lower_sql("text") + r""", '\s+', ' ', 'g'))) AS fp
         FROM documents
     ), hist AS (
         SELECT DISTINCT fp FROM n WHERE doc_id % 10 != 9
@@ -1580,7 +1592,7 @@ def l28_incremental_exact_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT source,
                len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))
                    AS ntok,
-               md5(trim(regexp_replace(regexp_replace(lower(replace(text, 'İ', 'i̇')), '([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g'), '\s+', ' ', 'g'))) AS fp
+               md5(trim(regexp_replace(""" + _lower_sql("text") + r""", '\s+', ' ', 'g'))) AS fp
         FROM documents
     ), g AS (
         SELECT source,
@@ -2460,15 +2472,17 @@ _WINNOW_ORACLE = f"""
         FROM documents
     ),
     g AS (
+        -- element indexing, not lambda slices (see the _DSH3 O(n²)
+        -- note); len(toks) >= 6 keeps every kgram fully in-bounds
         SELECT doc_id, toks,
                list_transform(range(1, len(toks) - 1),
-                              i -> md5(array_to_string(toks[i:i+2], ' '))) AS h
+                              i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS h
         FROM t WHERE len(toks) >= 6
     ),
     w AS (
         SELECT doc_id, len(h) AS m,
                list_distinct(list_transform(range(1, len(h) - 2),
-                                            j -> list_min(h[j:j+3]))) AS fps
+                                            j -> least(h[j], h[j+1], h[j+2], h[j+3]))) AS fps
         FROM g
     )
     SELECT doc_id,
@@ -2615,7 +2629,7 @@ def l40_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH t AS (
         SELECT doc_id, source,
-               list_filter(string_split_regex(regexp_replace(lower(replace(text, 'İ', 'i̇')), '([\p{Lu}\p{Ll}\p{Lt}])σ($|[^\p{Lu}\p{Ll}\p{Lt}])', '\1ς\2', 'g'), '\s+'), x -> x != '')
+               list_filter(string_split_regex(""" + _lower_sql("text") + r""", '\s+'), x -> x != '')
                    AS toks
         FROM documents
     ), g AS (

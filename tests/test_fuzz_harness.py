@@ -223,3 +223,31 @@ def test_verify_sf1_cc_duckdb_oracle_on_known_graph(tmp_path):
             20: (20, 3), 21: (20, 3), 22: (20, 3),
             30: (30, 2), 31: (30, 2)}
     assert got == want
+
+def test_fuzz_longdoc_mini_sweep(spark, tmp_path):
+    """Seeded longdoc mini-sweep (r11): pathological document LENGTH
+    regimes (30k repeated tokens, 25k distinct tokens, a single
+    120k-char token, periodic text, 1-char token flood, cased-trap
+    repetition, punctuation/whitespace floods) plus 60KB-value /
+    2000-key events.props JSON. Pins the r11 finding class: DuckDB
+    list slices inside list_transform lambdas are O(list length) per
+    element, so slice-built shingle/winnowing oracles were O(n²) in
+    doc length and HUNG on these shapes while the engine stayed
+    linear (q_llm._DSH3/_dshk/_WINNOW_ORACLE now use element
+    indexing). A timeout here means the quadratic came back."""
+    for name in fuzz_oracle.LONGDOC_SMOKE:
+        assert name in QUERIES and name in ORACLES, name
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(REPO, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    base = fuzz_oracle.load_base("/root/testdata/sf0.001")
+    vdir = str(tmp_path / "fz_mini_longdoc")
+    fuzz_oracle.write_variant(base, fuzz_oracle.v_longdoc, 20260816, vdir)
+    res = fuzz_oracle.run_variant(
+        spark, mod, "longdoc", vdir, list(fuzz_oracle.LONGDOC_SMOKE)
+    )
+    bad = {k: v for k, v in res.items() if v["status"] != "match"}
+    assert len(res) == len(fuzz_oracle.LONGDOC_SMOKE)
+    assert not bad, bad

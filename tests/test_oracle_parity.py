@@ -110,6 +110,24 @@ def test_pinned_values_sf001_version_sensitive_oracles(spark, name, cols, digest
         assert got == digest, f"{engine}: {got}"
 
 
+def test_sigma_rewrite_single_source_of_truth():
+    """r11 finding: five oracles carried a stale INLINE copy of the
+    pre-ignorable-clause Final_Sigma regex (l14/l18/l28/l29/l41) —
+    the new apostrophe-sigma fuzz snippet caught l14 mismatching while
+    every _lower_sql() route matched. Pin the fix: no registered
+    oracle may spell the old cased-boundary-only rewrite, and any
+    oracle that rewrites to ς must carry the case-ignorable class,
+    i.e. the _lower_sql() spelling."""
+    from sports_betting_data_pipeline_spark.plans import ORACLES
+
+    for name, sql in ORACLES.items():
+        assert "Lt}])σ" not in sql, f"{name}: stale inline sigma regex"
+        if "ς" in sql:
+            assert r"\p{Mn}\p{Me}\p{Cf}" in sql, (
+                f"{name}: sigma rewrite without the case-ignorable "
+                "class — route it through q_llm._lower_sql()")
+
+
 def test_case_mapping_oracle_contract(spark):
     """Pin the case-mapping oracle contract (README, SCALE.md r10):
     q_llm._lower_sql() must equal the engine's (JVM full+conditional)
