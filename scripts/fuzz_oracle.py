@@ -543,6 +543,8 @@ BADJSON_SMOKE = [
 # (distinct-vocab explosion), winnowing (periodic), containment
 # (giant single token), and the long-JSON events shapes.
 LONGDOC_SMOKE = [
+    "l17_scrub_urls_emails",      # r11 finding: O(n²) Java regex backtracking
+    "l41_gopher_rule_accounting", # r11 finding: struct re-expansion blowup
     "l01_text_stats",
     "l04_quality_score",
     "l08_minhash_lsh",

@@ -418,33 +418,58 @@ def gopher_rules(text: Column) -> Column:
     over one tokenization — map-only, JVM-side, no shuffle; a 100 TB
     corpus filter runs at scan bandwidth.
     """
-    toks = ws_tokens(F.lower(text))
-    n = F.size(toks)
-    mwl = F.aggregate(
-        toks, F.lit(0.0), lambda a, t: a + F.length(t)
-    ) / F.greatest(n, F.lit(1))
-    n_stop = F.size(
-        F.array_distinct(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    )
-    grams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    dup_ratio = F.when(
-        F.size(grams) > 0,
-        1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
-    ).otherwise(F.lit(0.0))
-    ok_wc = (n >= 30) & (n <= 100000)
-    ok_mwl = (mwl >= 3.0) & (mwl <= 10.0)
-    ok_stop = n_stop >= 2
-    ok_rep = dup_ratio <= 0.2
-    return F.struct(
-        ok_wc.alias("ok_word_count"),
-        ok_mwl.alias("ok_mean_word_len"),
-        ok_stop.alias("ok_stopwords"),
-        ok_rep.alias("ok_repetition"),
-        (ok_wc & ok_mwl & ok_stop & ok_rep).alias("keep"),
-    )
+    # Let-binding discipline (SCALE.md "Expression-level lessons" #2,
+    # r11 longdoc finding): the original flat spelling captured `toks`
+    # in four rule expressions and `grams` twice, and `keep` repeated
+    # all four rules — Catalyst's struct-field extraction then inlines
+    # each reference, so the tokenization re-ran MULTIPLICATIVELY
+    # (keep → rep → grams ×2 → toks ...). On 60k-token longdoc shapes
+    # the query never finished; with toks and grams bound once through
+    # single-element transform() lambdas it is one linear pass per row.
+    def from_scalars(s: Column) -> Column:
+        ok_wc = (s["n"] >= 30) & (s["n"] <= 100000)
+        ok_mwl = (s["mwl"] >= 3.0) & (s["mwl"] <= 10.0)
+        ok_stop = s["n_stop"] >= 2
+        ok_rep = s["dup_ratio"] <= 0.2
+        return F.struct(
+            ok_wc.alias("ok_word_count"),
+            ok_mwl.alias("ok_mean_word_len"),
+            ok_stop.alias("ok_stopwords"),
+            ok_rep.alias("ok_repetition"),
+            (ok_wc & ok_mwl & ok_stop & ok_rep).alias("keep"),
+        )
+
+    def over_grams(toks: Column, n: Column, grams: Column) -> Column:
+        # the O(n) scalars are themselves let-bound: mwl alone is
+        # referenced 4× through ok_mwl+keep, and each reference would
+        # re-run the interpreted aggregate() over the token array
+        scalars = F.struct(
+            n.alias("n"),
+            (
+                F.aggregate(toks, F.lit(0.0), lambda a, t: a + F.length(t))
+                / F.greatest(n, F.lit(1))
+            ).alias("mwl"),
+            F.size(
+                F.array_distinct(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+            ).alias("n_stop"),
+            F.when(
+                F.size(grams) > 0,
+                1.0 - F.size(F.array_distinct(grams)) / F.size(grams),
+            ).otherwise(F.lit(0.0)).alias("dup_ratio"),
+        )
+        return F.transform(F.array(scalars), from_scalars)[0]
+
+    def over_tokens(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.when(
+            n >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.transform(
+            F.array(grams), lambda g: over_grams(toks, n, g)
+        )[0]
+
+    return F.transform(F.array(ws_tokens(F.lower(text))), over_tokens)[0]

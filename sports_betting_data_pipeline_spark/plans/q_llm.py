@@ -973,9 +973,21 @@ def l16_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Regex patterns restricted to syntax Java (Spark) and RE2 (DuckDB)
-# evaluate identically: no backreferences, no lookaround.
-_URL_RE = r"https?://[^\s]+"
-_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# evaluate identically: no backreferences, no lookaround — and with
+# BOUNDED quantifiers on every run that precedes a required literal.
+# r11 longdoc finding: the unbounded `[class]+@` spelling is O(n²) in
+# Java's backtracking engine (every start position re-scans the run
+# looking for the '@' that never comes — a single adversarial
+# 120k-char token stalled an executor core for minutes) while RE2
+# stays linear, so the ENGINE hung where the oracle finished. The
+# RFC-shaped bounds (local ≤64, domain ≤255, TLD ≤24) cap the
+# per-position work at a constant in both engines without changing
+# what matches on real-world emails; both dialects resolve the
+# bounded-greedy + literal shape to the identical leftmost match.
+# RE2 rejects repetition sizes above 1000, so the URL-run bound is
+# 1000 (still far past every real-world URL this pipeline scrubs).
+_URL_RE = r"https?://[^\s]{1,1000}"
+_EMAIL_RE = r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9.-]{1,255}\.[A-Za-z]{2,24}"
 
 
 @register(
@@ -2693,9 +2705,18 @@ def l41_gopher_rule_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explode(array(...)) let-binding boundary too, which was SLOWER —
     # 18.6 s — the generator adds per-row overhead without saving the
     # struct re-expansion). No-op at real scale where splits abound.
+    #
+    # repartition barrier (SCALE.md lesson #1, r11 longdoc finding):
+    # the aggregate references r SEVEN times, and struct-field inlining
+    # re-expands the whole rule pipeline per reference — 19.5 s vs
+    # 3.4 s on the longdoc variant (and 7× the tokenize cost on any
+    # data). Materializing r through an exchange makes it compute once;
+    # the shuffled rows are (source, 5 booleans) — bytes per doc — and
+    # hash-partitioning on the group key lets the final aggregate reuse
+    # the exchange instead of adding one.
     r = widen_for_compute(docs).select(
         "source", gopher_rules(F.col("text")).alias("r")
-    )
+    ).repartition(F.col("source"))
     return r.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.when(F.col("r.keep"), 1).otherwise(0)).alias("n_kept"),
@@ -2934,17 +2955,31 @@ _PL03_QUERY_IDS = (0, 101, 202)
 @register(
     "pl03_hybrid_retrieval",
     oracle=f"""
-    WITH corpus AS (
+    WITH tokd AS (
+        -- toks BOUND AS A COLUMN before the shingle lambda touches it
+        -- (r11 longdoc finding): formatting the whole tokenizer
+        -- expression into _DSH3's {{toks}} placeholder re-inlined it at
+        -- each of the lambda's four references, re-tokenizing the
+        -- document per shingle INDEX — O(n²) with a tokenizer-sized
+        -- constant; 60k-token docs hung the oracle. Through a
+        -- projection boundary the lambda indexes a materialized list.
+        SELECT d.doc_id AS id,
+               d.text IS NULL AS no_text,
+               {_DTOKS.format(src=_lower_sql("d.text"))} AS toks,
+               e.embedding::DOUBLE[] AS v
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    corpus AS MATERIALIZED (
         -- NULL text -> NULL shingles -> NULL lex score (no lexical
         -- evidence; the vector leg still ranks). The raw fragment
         -- would yield [] here (lex 0), silently reordering the
         -- zero-lex tie region (fuzz_oracle nulls variant).
-        SELECT d.doc_id AS id,
-               CASE WHEN d.text IS NULL THEN NULL
-                    ELSE {_DSH3.format(toks=_DTOKS.format(src=_lower_sql("d.text")))}
+        SELECT id,
+               CASE WHEN no_text THEN NULL
+                    ELSE {_DSH3.format(toks='toks')}
                END AS sh,
-               e.embedding::DOUBLE[] AS v
-        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+               v
+        FROM tokd
     ),
     q AS (
         SELECT id AS query_id, sh AS qsh, v AS qv FROM corpus
@@ -3827,15 +3862,23 @@ def l51_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, string_split(text, ' ') AS a
         FROM documents
     ),
-    bg AS (
-        SELECT doc_id, s.w1 AS w1, s.w2 AS w2
-        FROM (
-            SELECT doc_id,
-                   unnest([{'w1': a[i], 'w2': a[i + 1]}
-                           FOR i IN range(1, len(a))]) AS s
-            FROM t
-            WHERE len(a) >= 2
-        )
+    tok AS (
+        -- parallel unnest + window lead, and bg MATERIALIZED: the old
+        -- [{'w1': a[i], ...} FOR i IN range(...)] comprehension paid
+        -- per-element list indexing AND was re-inlined at every one
+        -- of bg's four references (DuckDB inlines CTEs), which hung
+        -- the oracle on the longdoc variant's 60k-token docs (r11)
+        SELECT doc_id,
+               unnest(a) AS w,
+               unnest(range(1, len(a) + 1)) AS i
+        FROM t WHERE len(a) >= 2
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, w1, w2 FROM (
+            SELECT doc_id, w AS w1,
+                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+            FROM tok
+        ) WHERE w2 IS NOT NULL
     ),
     c2 AS (SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY 1, 2),
     c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY 1),
