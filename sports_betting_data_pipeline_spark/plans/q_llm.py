@@ -3867,16 +3867,25 @@ def l51_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- [{'w1': a[i], ...} FOR i IN range(...)] comprehension paid
         -- per-element list indexing AND was re-inlined at every one
         -- of bg's four references (DuckDB inlines CTEs), which hung
-        -- the oracle on the longdoc variant's 60k-token docs (r11)
-        SELECT doc_id,
+        -- the oracle on the longdoc variant's 60k-token docs (r11).
+        -- The window partitions on a per-ROW id, not doc_id: the dup
+        -- fuzz variant duplicates PKs, and two copies of one doc in a
+        -- doc_id partition would let lead() stitch bigrams ACROSS the
+        -- copies (caught as a dup/l52 n_bigrams mismatch in the r11
+        -- delta sweep — per-row semantics is what the comprehension
+        -- and the engine's explode both compute).
+        SELECT doc_id, rid,
                unnest(a) AS w,
                unnest(range(1, len(a) + 1)) AS i
-        FROM t WHERE len(a) >= 2
+        FROM (
+            SELECT doc_id, row_number() OVER () AS rid, a
+            FROM t WHERE len(a) >= 2
+        )
     ),
     bg AS MATERIALIZED (
         SELECT doc_id, w1, w2 FROM (
             SELECT doc_id, w AS w1,
-                   lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+                   lead(w) OVER (PARTITION BY rid ORDER BY i) AS w2
             FROM tok
         ) WHERE w2 IS NOT NULL
     ),
