@@ -136,11 +136,24 @@ def pack_sequences(
         if n_tokens_col
         else F.size(ws_tokens(F.col(text_col))).cast("long")
     )
-    toks = docs.select(
-        id_col,
-        shard_col,
-        count_expr.alias("n_tokens"),
-    ).filter(F.col("n_tokens") > 0)
+    # Text path: the cheap rlike(\S) predicate replaces
+    # n_tokens > 0 on the derived count (the _minhash_base r11
+    # lesson — pushdown substitutes the tokenizer into the scan
+    # filter, tokenizing every doc twice). Exactly equivalent:
+    # >= 1 ws-token iff one non-\s char. A caller-provided
+    # n_tokens_col is a stored column; size on it is cheap.
+    if n_tokens_col:
+        toks = docs.select(
+            id_col,
+            shard_col,
+            count_expr.alias("n_tokens"),
+        ).filter(F.col("n_tokens") > 0)
+    else:
+        toks = docs.filter(F.col(text_col).rlike(r"\S")).select(
+            id_col,
+            shard_col,
+            count_expr.alias("n_tokens"),
+        )
     cum = toks.withColumn("_cum", F.sum("n_tokens").over(w)).withColumn(
         "_start", F.col("_cum") - F.col("n_tokens")
     )
@@ -187,9 +200,21 @@ def chunk_dedup_stats(
     toks = (
         F.col(tokens_col) if tokens_col is not None else ws_tokens(F.col(text_col))
     )
-    base = docs.select(
-        F.col(id_col).alias("_id"), toks.alias("_toks")
-    ).filter(F.size("_toks") > 0)
+    # With the default text tokenizer, drop token-less docs with the
+    # cheap rlike(\S) text predicate instead of size(_toks) > 0 — the
+    # derived-column filter is substituted through the projection by
+    # predicate pushdown and re-tokenizes every doc at the scan (the
+    # _minhash_base r11 lesson; exactly equivalent: >= 1 ws-token iff
+    # one non-\s char). A caller-precomputed tokens_col is a stored
+    # column, so size() on it is already cheap.
+    if tokens_col is None:
+        base = docs.filter(F.col(text_col).rlike(r"\S")).select(
+            F.col(id_col).alias("_id"), toks.alias("_toks")
+        )
+    else:
+        base = docs.select(
+            F.col(id_col).alias("_id"), toks.alias("_toks")
+        ).filter(F.size("_toks") > 0)
     n_chunks = F.ceil(F.size("_toks") / F.lit(chunk_tokens)).cast("long")
     inst = base.select(
         "_id",

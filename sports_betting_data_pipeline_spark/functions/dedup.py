@@ -298,8 +298,24 @@ def _minhash_base(
     cannot duplicate it past an exchange)."""
     from sports_betting_data_pipeline_spark.io import widen_for_compute
 
+    # Token-less docs are dropped with a CHEAP text-level predicate,
+    # not size(_sh) > 0 on the derived column (r11): predicate
+    # pushdown substitutes a derived-column filter through the
+    # projection and below the widen exchange, so the ENTIRE
+    # tokenize+shingle+xxhash64 fold ran twice per doc — once at the
+    # scan (pre-widen, serialized on the fixture's single row group)
+    # and again in the projection (plan audit: the r11-before l08 plan
+    # carries the full fold in BOTH Filter(4) and Project(6)).
+    # rlike(\S) is exactly equivalent: a doc has >= 1 token under
+    # split(\s+) iff it contains one non-\s char (NULL text -> NULL
+    # -> dropped, whitespace-only -> no match -> dropped; trim() would
+    # NOT be equivalent — it strips ASCII spaces only, so a tab-only
+    # doc would slip through). The regex early-exits on the first
+    # non-whitespace byte, so the pushed-down scan filter is O(1) per
+    # doc instead of a second full fold.
     plan = (
         widen_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        .filter(F.col(text_col).rlike(r"\S"))
         .select(
             F.col(id_col).alias("_id"),
             F.expr(
@@ -307,7 +323,6 @@ def _minhash_base(
                 "s -> xxhash64(s))"
             ).alias("_sh"),
         )
-        .filter(F.size("_sh") > 0)
         .withColumn(
             "_sig",
             minhash_signature_from_shingles(
@@ -858,6 +873,7 @@ def containment_prefix_pairs(
 
     base = (
         widen_for_compute(df.select(id_col, block_col, text_col))
+        .filter(F.col(text_col).rlike(r"\S"))
         .select(
             F.col(id_col).alias("_id"),
             F.col(block_col).alias("_blk"),
@@ -877,7 +893,10 @@ def containment_prefix_pairs(
                 )
             ).alias("_sh"),
         )
-        .filter(F.size("_sh") > 0)
+        # rlike(\S) replaces size(_sh) > 0 (the _minhash_base r11
+        # lesson): the derived-column filter pushed the whole
+        # tokenize+distinct below the widen exchange, running it twice
+        # per doc. Exactly equivalent (>=1 token iff one non-\s char).
         .withColumn("_n", F.size("_sh"))
         # One evaluation for five consumers: tok feeds the probe
         # ranking, the df-counts, and the inverted index, and the

@@ -896,9 +896,12 @@ def l15_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes the oracle byte-exact. The token array is let-bound through
     the explode so tokenization runs once per doc, not per chunk."""
     docs = load_table(spark, sf_dir, "documents")
-    toks_df = docs.select(
+    # rlike(\S) == "has >= 1 ws-token", evaluated on the raw text so
+    # predicate pushdown cannot substitute the tokenizer into the scan
+    # filter (the _minhash_base r11 lesson; tokenize once, not twice)
+    toks_df = docs.filter(F.col("text").rlike(r"\S")).select(
         "doc_id", ws_tokens(F.col("text")).alias("_toks")
-    ).filter(F.size("_toks") > 0)
+    )
     st = toks_df.select(
         "doc_id",
         "_toks",
@@ -1144,9 +1147,14 @@ def pl01_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     window and nothing else."""
     docs = load_table(spark, sf_dir, "documents")
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    normed = docs.select("doc_id", norm.alias("norm"))
+    # the tokenizer-emptiness clause runs as rlike(\S) on the RAW
+    # text (equivalent: lower/ws-collapse/trim preserve exactly the
+    # non-\s chars), so pushdown doesn't re-tokenize at the scan
+    normed = docs.filter(F.col("text").rlike(r"\S")).select(
+        "doc_id", norm.alias("norm")
+    )
     scored = normed.withColumn("q", quality_score(F.col("norm"))).filter(
-        (F.col("q") >= 0.75) & (F.size(ws_tokens(F.col("norm"))) > 0)
+        F.col("q") >= 0.75
     )
     deduped = exact_dedupe_canonical(
         scored.withColumn("fp", F.md5("norm")), key="doc_id", subset=["fp"]
@@ -4251,7 +4259,10 @@ def l56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod("doc_id", F.lit(4)) == 0
     )
     toks = (
-        docs.select(
+        # pushdown-cheap equivalent of size(sh) > 0, applied on the
+        # raw text BEFORE the projection (_minhash_base r11)
+        docs.filter(F.col("text").rlike(r"\S"))
+        .select(
             "doc_id",
             "lang",
             F.array_distinct(
@@ -4260,7 +4271,6 @@ def l56_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sh"),
         )
-        .filter(F.size("sh") > 0)
         # tokenize once for both self-join sides (catalog runner
         # clearCache()s after every query — bench.py / g01 pattern)
         .cache()

@@ -958,6 +958,32 @@ def test_minhash_uncached_base_no_fold_duplication(spark):
     assert fold_count(consumer) == fold_count(base)
 
 
+def test_minhash_base_single_fold_and_cheap_scan_filter(spark):
+    """The tokenize+shingle+xxhash64 fold appears EXACTLY ONCE in the
+    optimized base plan (r11): the old size(_sh) > 0 filter on the
+    derived column was substituted through the projection by predicate
+    pushdown, so the whole fold ran twice per doc — once in the
+    pushed-down scan filter (pre-widen, i.e. serialized on a
+    single-row-group fixture scan) and once in the projection. The
+    token-less-doc drop now runs as the equivalent rlike(\\S) on the
+    raw text (>= 1 ws-token iff one non-\\s char), which pushes down
+    as an O(1)-per-doc predicate instead of a second fold."""
+    from sports_betting_data_pipeline_spark.functions.dedup import (
+        _minhash_base,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, None), (3, " \t ")], ["doc_id", "text"]
+    )
+    base = _minhash_base(df, "doc_id", "text", 3, 32, materialize=False)
+    plan = base._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
+    # and the cheap predicate is still present (token-less docs drop)
+    assert "RLIKE" in plan or "rlike" in plan.lower(), plan
+    ids = {r["_id"] for r in base.select("_id").collect()}
+    assert ids == {1}
+
+
 def test_minhash_tokenless_docs_excluded(spark):
     """TOKEN-LESS docs never enter near-dup candidate generation:
     NULL text shingles to NULL ('content unknown'), empty/whitespace
