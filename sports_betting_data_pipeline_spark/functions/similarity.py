@@ -271,51 +271,44 @@ def embedding_neardup_pairs(
         )
     )
     all_planes = [_projection_literals(dim, bits, seed + t) for t in range(tables)]
-    # All tables*bits projections in ONE pass (V @ P^T): posexplode the
-    # vector, broadcast-join the plane matrix, and reduce with plain
-    # SUM multiply-adds — whole-stage codegen'd. The plane matrix
-    # travels as ONE array column and the reduction is keyed NARROW on
-    # (_id, plane j) instead of 64 wide SUM columns: mathematically the
-    # same sums, but the logical tree is ~64x smaller, which cuts
-    # Catalyst analysis from ~1.8 s to ~0.2 s per query construction
-    # (the r4 planning-cost lesson; the interpreted `aggregate`-fold
-    # and per-row-array-literal forms measured ~10x slower still).
-    flat_planes = [p for planes in all_planes for p in planes]
-    n_planes = len(flat_planes)
-    planes_df = df.sparkSession.createDataFrame(
-        [
-            (i, [float(flat_planes[j][i]) for j in range(n_planes)])
-            for i in range(dim)
-        ],
-        ["_pos", "_ws"],
+    # All tables*bits projections as SCAN-SIDE expressions (r11): one
+    # server-parsed lsh_bucket string per table (the l11 shape), then
+    # explode to narrow (table_id, bucket, id) rows. This replaces the
+    # r4 posexplode + broadcast-plane-join + two-hash-aggregate
+    # pipeline, which pushed rows x dim x planes (16M at sf0.1)
+    # intermediate rows through two aggregations to compute the same 8
+    # longs per row — interleaved A/B on the bucket stage: 1.26 ->
+    # 0.45 s min at sf0.1 with EXACT bucket parity (16160 rows). The
+    # parity argument: the old per-(id, j) SUM accumulated the
+    # posexploded products in pos order within one map-side partial —
+    # the same left-fold as lsh_bucket's zip_with/aggregate over the
+    # plane literal. Construction stays one parse call per table.
+    proj_structs = ", ".join(
+        f"named_struct('table_id', {t}, 'bucket', _b{t})"
+        for t in range(tables)
     )
-    pos = base.select("_id", F.posexplode("_vec").alias("_pos", "_val"))
-    projs = (
-        pos.join(F.broadcast(planes_df), on="_pos")
-        .select("_id", "_val", F.posexplode("_ws").alias("_j", "_w"))
-        .select(
-            "_id", "_j", (F.col("_val").cast("double") * F.col("_w")).alias("_c")
-        )
-        .groupBy("_id", "_j")
-        .agg(F.sum("_c").alias("_p"))
-    )
-    # pack sign bits per table: plane j belongs to table j div bits at
-    # bit j mod bits (shift amount is a column, so the SQL surface)
     buckets = (
-        projs.groupBy(
-            "_id", (F.col("_j") / F.lit(bits)).cast("int").alias("table_id")
+        base.select(
+            "_id",
+            *[
+                lsh_bucket("_vec", planes).alias(f"_b{t}")
+                for t, planes in enumerate(all_planes)
+            ],
         )
-        .agg(
-            F.sum(
-                F.expr(f"IF(_p > 0, shiftleft(1L, CAST(_j % {bits} AS INT)), 0L)")
-            ).alias("bucket")
+        .select(
+            "_id",
+            F.expr(f"explode(array({proj_structs}))").alias("_tb"),
+        )
+        .select(
+            "_id",
+            F.col("_tb.table_id").cast("int").alias("table_id"),
+            F.col("_tb.bucket").alias("bucket"),
         )
         # anti-projection-collapse barrier (same as _minhash_base),
         # partitioned on the CANDIDATE-JOIN key: both sides of the
         # self-join hang off this one exchange already in join layout,
         # so the engine reuses it at runtime instead of re-running the
-        # projection aggregation per side and re-shuffling (the l09
-        # lesson, r4).
+        # projection per side and re-shuffling (the l09 lesson, r4).
         .repartition("table_id", "bucket")
     )
 

@@ -1385,6 +1385,20 @@ def l22_lsh_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=3, num_hashes=32, bands=8, verify_threshold=0.35,
         collapse_exact=True,
     ).select("id_a", "id_b")
+    # r11: truncate the LSH candidate pipeline out of the CC loop's
+    # logical plan. Classic-mode PySpark re-analyzes the full plan on
+    # every DataFrame transition, and each fused superstep builds ~7
+    # ops over the edge table — whose plan embedded the ENTIRE banded
+    # LSH join, so every level re-walked hundreds of nodes driver-side.
+    # localCheckpoint(eager) collapses it to an RDD leaf; CC's own
+    # repartition+persist below still provides the partitioned cache
+    # its level joins reuse. Interleaved A/B: 4.07 -> 3.33 s min at
+    # sf0.1, identical components. Applied HERE and not inside
+    # connected_components: for edge pipelines with small logical
+    # trees (l21/l55's single blocked self-join) the same flip
+    # measured flat-to-negative — the extra edge materialization only
+    # pays where the truncated subtree is large.
+    pairs = pairs.localCheckpoint(eager=True)
     # size_hint: corpus row count from the scan's parquet footer
     # metadata (io.size_hint — catalog statistics, no job), ×32 as a
     # generous near-dup-edges-per-doc bound. CC sizes its label loop
@@ -2102,14 +2116,19 @@ def pl02_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = clean.join(dupok.select("doc_id"), on="doc_id")
     # good feeds three consumers (mixture fit, selection join, packing)
-    # and mixed two — cache both so the decontam/chunk-dedup upstream
-    # (the expensive shingle and chunk joins) evaluates once, not per
-    # branch. The cached survivor set is projected down to
-    # (doc_id, lang, n_tokens) BEFORE caching — the token count is the
-    # only thing packing needs from the text, so materializing the
-    # text column would violate the cache-narrow-reductions rule
-    # (SCALE.md r6); pack_sequences consumes the precomputed count via
-    # n_tokens_col.
+    # and mixed two. r11: localCheckpoint(eager) instead of cache() —
+    # same narrow (doc_id, lang, n_tokens) materialization (the
+    # cache-narrow-reductions rule, SCALE.md r6), but the downstream
+    # plan now hangs off an RDD-scan LEAF instead of re-embedding the
+    # whole decontam/chunk-dedup logical tree. Classic-mode PySpark
+    # re-analyzes the FULL logical plan on every DataFrame transition,
+    # so the five stage-4/5 ops each re-walked the 1300-node pl02 tree:
+    # construction alone was 1.0-1.5 s of pl02's ~4 s wall
+    # (cProfile: Dataset.join 0.32 s, select 0.29 s, mixture 0.28 s).
+    # Truncating at the two materialization points cut an interleaved
+    # A/B from 4.46 to 2.88 s min at sf0.1 with identical rows; the
+    # recompute-on-failure durability tradeoff matches the CC loop's
+    # documented localCheckpoint use.
     good = (
         deduped.filter(F.round(quality_score(F.col("text")), 6) >= 0.5)
         .select(
@@ -2117,14 +2136,23 @@ def pl02_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.size(ws_tokens("text")).cast("long").alias("n_tokens"),
         )
-        .cache()
+        .localCheckpoint(eager=True)
     )
-    mixed = temperature_mixture(good, group_col="lang", n_target=300).cache()
-    sel = good.join(mixed.select("doc_id", "rk"), on="doc_id")
+    mixed = temperature_mixture(
+        good, group_col="lang", n_target=300
+    ).localCheckpoint(eager=True)
+    # mixed is <= n_target rows BY CONSTRUCTION (the per-lang quotas
+    # sum to <= 300 at any corpus size), so broadcasting it is
+    # scale-safe and removes the SortMergeJoin exchanges+sorts the
+    # planner picked for the two tiny joins (guide §3.1; A/B 2.88 ->
+    # 2.53 s min on top of the checkpoint truncation).
+    sel = good.join(F.broadcast(mixed.select("doc_id", "rk")), on="doc_id")
     packed = pack_sequences(
         sel, budget=512, shard_col="lang", n_tokens_col="n_tokens"
     )
-    return packed.join(mixed.select("doc_id", "rk"), on="doc_id").select(
+    return packed.join(
+        F.broadcast(mixed.select("doc_id", "rk")), on="doc_id"
+    ).select(
         "doc_id", "lang", "rk", "n_tokens", "start_bin", "end_bin", "start_off"
     )
 
