@@ -81,6 +81,11 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+# (appId, semanticHash, columns) -> scan partition count; see
+# widen_for_compute. Bounded by the catalog's distinct widen inputs.
+_WIDEN_MEMO: dict[tuple, int] = {}
+
+
 def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Guarantee a CPU-heavy per-row stage (signature hashing,
     projections, codec work) runs with at least core-count parallelism.
@@ -102,7 +107,27 @@ def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
     try:
-        n = df.rdd.getNumPartitions()
+        # The partition-count probe (df.rdd.getNumPartitions) runs full
+        # physical planning plus an RDD conversion — measured 77 ms per
+        # call vs 11 ms for semanticHash (r11), and the engine calls
+        # this helper at 14 sites, twice per query for the self-join
+        # bases, on EVERY plan construction (bench runs construct
+        # fresh per timed run). Memoize the count per (application,
+        # semantic plan, columns): the probe is pure scan metadata, so
+        # a memo hit can at worst make a stale widen DECISION (perf,
+        # never results) — and only if the same fixture path is
+        # rewritten with a different row-group layout inside one
+        # application, which only the fuzz harness does (it uses fresh
+        # per-variant paths, which change the semantic hash).
+        key = (
+            spark.sparkContext.applicationId,
+            df.semanticHash(),
+            tuple(df.columns),
+        )
+        n = _WIDEN_MEMO.get(key)
+        if n is None:
+            n = df.rdd.getNumPartitions()
+            _WIDEN_MEMO[key] = n
     except Exception:
         return df.repartition(target)  # streaming: no partition metadata
     return df if n >= target else df.repartition(target)
