@@ -770,3 +770,61 @@ def test_bench_audit_twins_exist_and_have_production_siblings():
         assert "audit" in doc or "small" in doc, (
             f"{twin} docstring no longer declares its audit contract"
         )
+
+
+def test_pl02_tail_truncated_and_broadcast(spark, sf_dir):
+    """r11 plan pins for pl02's stage-4/5 tail: the good/mixed
+    intermediates are localCheckpoint leaves (so the returned plan no
+    longer embeds — or re-analyzes — the decontam/chunk-dedup tree),
+    and the two tiny mixture joins are broadcast, not sort-merge
+    (mixed is <= n_target rows by construction)."""
+    plan = plan_text(QUERIES["pl02_corpus_assembly"](spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_l12_buckets_are_scan_side(spark, sf_dir):
+    """r11: l12's multi-table LSH buckets are scan-side projection
+    expressions (the l11 lsh_bucket shape), not the retired
+    posexplode + plane-matrix-join + double-aggregate pipeline. The
+    retired pipeline's signature was a join on the exploded vector
+    position (_pos) against the broadcast plane matrix (_ws)."""
+    plan = plan_text(QUERIES["l12_embedding_neardup"](spark, sf_dir))
+    assert "_pos" not in plan and "_ws" not in plan
+
+
+def test_widen_partition_probe_memoized(spark, sf_dir):
+    """r11: widen_for_compute memoizes its partition-count probe per
+    (application, semantic plan, columns) — the probe runs full
+    physical planning (77 ms/call), re-paid on every construction.
+    The memo must fill on first use, serve the identical plan without
+    changing the decision, and leave streaming inputs on the
+    exception -> repartition path."""
+    from sports_betting_data_pipeline_spark.io import (
+        _WIDEN_MEMO,
+        widen_for_compute,
+    )
+
+    def build():
+        return load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+
+    df = build()
+    key = (
+        spark.sparkContext.applicationId,
+        df.semanticHash(),
+        tuple(df.columns),
+    )
+    a = widen_for_compute(df)
+    assert key in _WIDEN_MEMO  # probe result recorded
+    n_after_first = len(_WIDEN_MEMO)
+    b = widen_for_compute(build())  # identical plan: memo hit
+    assert len(_WIDEN_MEMO) == n_after_first  # no growth re-probing
+    assert a.rdd.getNumPartitions() == b.rdd.getNumPartitions()
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    widened = widen_for_compute(stream)
+    assert widened.isStreaming
