@@ -266,12 +266,16 @@ def main() -> None:
     except Exception:
         pass
 
-    # Full payload first, compact line LAST: the driver keeps the
-    # stdout TAIL, so the final short line is the one guaranteed to
-    # survive truncation and parse (r3 printed compact-first and the
-    # driver's tail cut it — BENCH_r03.json "parsed": null;
-    # VERDICT r3 next-#3).
-    print(payload)
+    # Compact line first, FULL payload (with the per-query table) LAST:
+    # the driver parses the final stdout line, so printing the compact
+    # line last (r4–r11 behaviour) starved PERF_rXX.json of per-query
+    # ground truth two rounds running (`per_query: {}`, `n_common: 0`)
+    # — VERDICT r11 next-#1 mandates the full payload as the last line.
+    # The r3 failure that motivated compact-last (a 2000-char tail
+    # snippet truncating the long line) is covered by the artifact file
+    # written above, which always persists the full table; the compact
+    # line stays as the second-to-last stdout line as a human-readable
+    # summary.
     print(
         json.dumps(
             {
@@ -284,6 +288,7 @@ def main() -> None:
             }
         )
     )
+    print(payload)
     sys.stdout.flush()
 
 

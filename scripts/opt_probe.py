@@ -6,7 +6,7 @@ Usage:
   python scripts/opt_probe.py --label after q01_pricing_summary l12_embedding_neardup
   python scripts/opt_probe.py --ab qname   # interleaved A/B vs a module override
 
-For each selected query this writes plans/r11/<name>_<label>.txt with
+For each selected query this writes plans/r12/<name>_<label>.txt with
 the .explain("formatted") output and times the query with the noop sink
 (best-of-N, cold cache per run — same methodology as bench.py). The
 timing table goes to /tmp/probe_<label>.json and stdout.
@@ -34,7 +34,7 @@ if _REPO_DIR not in sys.path:
 from sports_betting_data_pipeline_spark.plans import QUERIES  # noqa: E402
 from sports_betting_data_pipeline_spark.session import get_spark  # noqa: E402
 
-PLANS_DIR = os.path.join(_REPO_DIR, "plans", "r11")
+PLANS_DIR = os.path.join(_REPO_DIR, "plans", "r12")
 
 
 def _consume(df) -> None:
@@ -60,10 +60,15 @@ def main() -> int:
     if args.top:
         with open(os.path.join(_REPO_DIR, "BENCH_FULL.json")) as fh:
             ref = json.load(fh)["queries"]
+        # count actual top-N ADDITIONS, not list length: an explicitly
+        # named query inside the top-N slice must not eat the budget
+        # (ADVICE r11 #4)
+        added = 0
         for name, _ in sorted(ref.items(), key=lambda kv: -kv[1]):
             if name not in selected:
                 selected.append(name)
-            if len(selected) >= args.top + len(args.names):
+                added += 1
+            if added >= args.top:
                 break
     unknown = [n for n in selected if n not in QUERIES]
     if unknown:

@@ -288,7 +288,18 @@ def embedding_neardup_pairs(
         for t in range(tables)
     )
     buckets = (
-        base.select(
+        # NULL-vector guard (ADVICE r11 #1): lsh_bucket folds NULL to
+        # bucket 0 in EVERY table, so without this filter a corpus with
+        # many NULL embeddings floods one bucket and bloats the
+        # candidate self-join quadratically. The retired posexplode
+        # pipeline excluded NULL vectors from candidate generation by
+        # construction (posexplode(NULL) emits no rows); the final
+        # output is identical either way because the exact-cosine
+        # verify yields NULL for them and the threshold filter drops
+        # the pair — this guard only restores the candidate-side
+        # exclusion.
+        base.filter(F.col("_vec").isNotNull())
+        .select(
             "_id",
             *[
                 lsh_bucket("_vec", planes).alias(f"_b{t}")

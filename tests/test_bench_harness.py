@@ -127,8 +127,9 @@ def test_bench_source_stops_spark_before_metric_print():
     assert loglevel_at < stop_at < print_at, (
         "bench.py must silence log4j and stop Spark BEFORE printing the "
         "metric lines (VERDICT r10 next-#1)")
-    # and the compact line must still be last (the r3 lesson)
-    assert src.index("n_queries") > print_at
+    # and the FULL payload must be last — the driver parses the final
+    # stdout line and needs the per-query table (VERDICT r11 next-#1)
+    assert src.index("n_queries") < print_at
 
 
 # ------------------------------------------------------ subprocess smoke
@@ -163,13 +164,14 @@ def test_bench_smoke_last_stdout_line_parses(tmp_path):
         assert proc.returncode == 0, proc.stderr[-2000:]
         lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
         assert lines, "bench.py printed nothing to stdout"
-        compact = json.loads(lines[-1])  # the driver's parse, verbatim
-        assert compact["metric"] == "total_query_seconds"
+        # the driver's parse, verbatim: the LAST line must be the FULL
+        # payload including the per-query table (VERDICT r11 next-#1)
+        full = json.loads(lines[-1])
+        assert full["metric"] == "total_query_seconds"
+        assert full["value"] > 0 and full["sf"] == 0.001
+        # the compact human-readable line (second-to-last) parses too
+        compact = json.loads(lines[-2])
         assert compact["n_queries"] == 3
-        assert compact["value"] > 0 and compact["sf"] == 0.001
-        # the full payload (second-to-last line) parses too and the
-        # persisted artifact matches it
-        full = json.loads(lines[-2])
         assert set(full["queries"]) == {
             "q01_pricing_summary", "f01_whitelist_filter",
             "a01_global_counts"}

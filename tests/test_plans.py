@@ -828,3 +828,38 @@ def test_widen_partition_probe_memoized(spark, sf_dir):
     )
     widened = widen_for_compute(stream)
     assert widened.isStreaming
+
+
+def test_widen_memo_bounded(spark, sf_dir):
+    """r12 (VERDICT r11 next-#8): _WIDEN_MEMO evicts on overflow —
+    dead-application entries first, then everything — so a long-lived
+    process cycling applications cannot grow it without bound. A miss
+    only re-pays the probe; the widen decision for the live entry is
+    re-derived identically."""
+    import sports_betting_data_pipeline_spark.io as io_mod
+    from sports_betting_data_pipeline_spark.io import widen_for_compute
+
+    df = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    saved = dict(io_mod._WIDEN_MEMO)
+    saved_max = io_mod._WIDEN_MEMO_MAX
+    try:
+        io_mod._WIDEN_MEMO_MAX = 8
+        # fill with dead-app keys beyond the cap
+        io_mod._WIDEN_MEMO.clear()
+        for i in range(8):
+            io_mod._WIDEN_MEMO[(f"dead-app-{i}", i, ("c",))] = 1
+        widen_for_compute(df)  # insert triggers dead-app eviction
+        apps = {k[0] for k in io_mod._WIDEN_MEMO}
+        assert apps == {spark.sparkContext.applicationId}
+        assert len(io_mod._WIDEN_MEMO) == 1
+        # same-app overflow: full clear, then the fresh entry lands
+        io_mod._WIDEN_MEMO.clear()
+        app = spark.sparkContext.applicationId
+        for i in range(8):
+            io_mod._WIDEN_MEMO[(app, i, ("c",))] = 1
+        widen_for_compute(df.select("doc_id"))
+        assert len(io_mod._WIDEN_MEMO) == 1
+    finally:
+        io_mod._WIDEN_MEMO_MAX = saved_max
+        io_mod._WIDEN_MEMO.clear()
+        io_mod._WIDEN_MEMO.update(saved)

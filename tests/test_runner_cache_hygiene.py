@@ -33,13 +33,20 @@ def _cached_rdd_blocks(spark) -> int:
 
 
 def test_clear_cache_between_queries_leaves_no_blocks(spark, sf_dir):
+    # Delta-based: the session-scoped spark fixture may carry
+    # localCheckpoint blocks from EARLIER tests (clearCache does not
+    # drop checkpoint blocks; they free via GC/ContextCleaner on their
+    # own schedule), so assert that running these queries adds nothing
+    # that survives clearCache, not that the absolute count is zero.
+    spark.catalog.clearCache()
+    baseline = _cached_rdd_blocks(spark)
     for name in CACHE_HEAVY:
         assert name in QUERIES, f"{name} left the catalog; update CACHE_HEAVY"
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         # at least one query must actually materialize a cache, or this
         # test is vacuous — checked over the whole loop below
         spark.catalog.clearCache()
-        assert _cached_rdd_blocks(spark) == 0, (
+        assert _cached_rdd_blocks(spark) <= baseline, (
             f"cached blocks survived clearCache() after {name}"
         )
 
