@@ -249,6 +249,7 @@ def _minhash_base(
     k: int,
     num_hashes: int,
     materialize: bool = True,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(_id, _sh, _sig) per doc. TOKEN-LESS docs are EXCLUDED from
     candidate generation by the size() filter below, in both flavors
@@ -295,7 +296,11 @@ def _minhash_base(
     exchange + an extra full-width InMemoryRelation fill — the fold
     still runs once because it is computed below the consumer's first
     exchange and its RESULT rides that shuffle (projection collapse
-    cannot duplicate it past an exchange)."""
+    cannot duplicate it past an exchange).
+
+    ``extra_cols`` are carried verbatim alongside (_id, _sh, _sig) —
+    r12: lets :func:`incremental_neardup_novel` fold batch+store into
+    ONE base pipeline tagged with a side flag instead of two."""
     from sports_betting_data_pipeline_spark.io import widen_for_compute
 
     # Token-less docs are dropped with a CHEAP text-level predicate,
@@ -314,7 +319,13 @@ def _minhash_base(
     # non-whitespace byte, so the pushed-down scan filter is O(1) per
     # doc instead of a second full fold.
     plan = (
-        widen_for_compute(df.select(F.col(id_col), F.col(text_col)))
+        widen_for_compute(
+            df.select(
+                F.col(id_col),
+                F.col(text_col),
+                *[F.col(c) for c in extra_cols],
+            )
+        )
         .filter(F.col(text_col).rlike(r"\S"))
         .select(
             F.col(id_col).alias("_id"),
@@ -322,6 +333,7 @@ def _minhash_base(
                 f"transform({shingles_sql(_sql_qname(text_col), k)}, "
                 "s -> xxhash64(s))"
             ).alias("_sh"),
+            *[F.col(c) for c in extra_cols],
         )
         .withColumn(
             "_sig",
@@ -345,7 +357,10 @@ def _minhash_base(
 
 
 def minhash_band_buckets(
-    base: DataFrame, num_hashes: int = 32, bands: int = 8
+    base: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """LSH bucket table (_id, band_id, band_hash) from a
     :func:`_minhash_base` frame — ``bands`` narrow rows per doc.
@@ -378,8 +393,9 @@ def minhash_band_buckets(
     )
     return base.select(
         "_id",
+        *extra_cols,
         F.expr(f"explode(array({structs}))").alias("_band"),
-    ).select("_id", "_band.band_id", "_band.band_hash")
+    ).select("_id", *extra_cols, "_band.band_id", "_band.band_hash")
 
 
 def minhash_lsh_candidates(
@@ -548,36 +564,49 @@ def incremental_neardup_novel(
     the candidate ids (point lookups), never scanned. Nothing here is
     O(|store|²) or O(|batch|·|store|).
     """
-    b = _minhash_base(batch, id_col, text_col, k, num_hashes)
-    h = _minhash_base(store, id_col, text_col, k, num_hashes)
-    bb = minhash_band_buckets(b, num_hashes, bands)
-    hb = minhash_band_buckets(h, num_hashes, bands)
-
-    cross = (
-        bb.select("band_id", "band_hash", F.col("_id").alias("id_n"))
-        .join(
-            hb.select("band_id", "band_hash", F.col("_id").alias("id_o")),
-            on=["band_id", "band_hash"],
+    # r12: ONE merged base pipeline over batch ∪ store tagged with a
+    # side flag, instead of two disjoint _minhash_base pipelines (two
+    # widen exchanges, two signature-fold caches) — the fold work is
+    # identical (each doc folds once either way) but the fixed
+    # machinery halves, and candidate generation becomes ONE
+    # batch-buckets × all-buckets join instead of cross (batch×store)
+    # + within (batch×batch) + union: the all-buckets side reuses the
+    # single bucket exchange (guide §2.4) and the side rule moves into
+    # the join filter — a store collision survives unconditionally, a
+    # batch collision only when the earlier (smaller-id) doc wins.
+    # Store×store pairs are never generated: the left side is
+    # pre-filtered to batch buckets, exactly as before.
+    merged = batch.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_store")
+    ).unionByName(
+        store.select(
+            F.col(id_col), F.col(text_col), F.lit(True).alias("_store")
         )
-        .select("id_n", "id_o")
     )
-    within = (
-        bb.select("band_id", "band_hash", F.col("_id").alias("id_n"))
-        .join(
-            bb.select("band_id", "band_hash", F.col("_id").alias("id_o")),
-            on=["band_id", "band_hash"],
-        )
-        .filter(F.col("id_o") < F.col("id_n"))  # earlier batch doc wins
-        .select("id_n", "id_o")
+    base = _minhash_base(
+        merged, id_col, text_col, k, num_hashes, extra_cols=("_store",)
     )
-    cands = cross.unionByName(within).dropDuplicates(["id_n", "id_o"])
+    ab = minhash_band_buckets(base, num_hashes, bands, extra_cols=("_store",))
+    bb = ab.filter(~F.col("_store")).select(
+        "band_id", "band_hash", F.col("_id").alias("id_n")
+    )
+    ob = ab.select(
+        "band_id",
+        "band_hash",
+        F.col("_id").alias("id_o"),
+        F.col("_store").alias("_store_o"),
+    )
+    cands = (
+        bb.join(ob, on=["band_id", "band_hash"])
+        .filter(F.col("_store_o") | (F.col("id_o") < F.col("id_n")))
+        .select("id_n", "id_o")
+        .dropDuplicates(["id_n", "id_o"])
+    )
 
-    sh_n = b.select(F.col("_id").alias("id_n"), F.col("_sh").alias("sh_n"))
-    sh_o = (
-        b.select("_id", "_sh")
-        .unionByName(h.select("_id", "_sh"))
-        .select(F.col("_id").alias("id_o"), F.col("_sh").alias("sh_o"))
+    sh_n = base.filter(~F.col("_store")).select(
+        F.col("_id").alias("id_n"), F.col("_sh").alias("sh_n")
     )
+    sh_o = base.select(F.col("_id").alias("id_o"), F.col("_sh").alias("sh_o"))
     dropped = (
         cands.join(sh_n, on="id_n")
         .join(sh_o, on="id_o")

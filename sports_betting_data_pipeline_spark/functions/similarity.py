@@ -466,11 +466,26 @@ def _nearest_cells(
     from sports_betting_data_pipeline_spark.io import widen_for_compute
 
     src = widen_for_compute(df) if widen_input else df
-    sims = src.crossJoin(F.broadcast(cents)).select(
+    # r12: norms hoisted OUT of the per-(row, centroid) cosine — the
+    # row norm folds once per row and the centroid norm once per
+    # centroid (on the broadcast side), instead of both folding per
+    # PAIR: at C centroids that removes ~2C of the 3C interpreted
+    # array folds per row in every assignment/probe stage (ivf_topk,
+    # ivfpq_topk, semdedup, l43's union form). Bit-identical to
+    # cosine(): same dot fold, same row-norm × cent-norm operand
+    # order, same greatest(..., 1e-12) guard.
+    src = src.withColumn("_nc_rnorm", l2_norm(df_vec))
+    cents_n = cents.withColumn("_nc_cnorm", l2_norm("cv"))
+    sims = src.crossJoin(F.broadcast(cents_n)).select(
         F.col(df_id),
         *([F.col(df_vec)] if keep_vec else []),
         F.col("cent_id"),
-        cosine(df_vec, "cv").alias("_csim"),
+        (
+            dot(df_vec, "cv")
+            / F.greatest(
+                F.col("_nc_rnorm") * F.col("_nc_cnorm"), F.lit(1e-12)
+            )
+        ).alias("_csim"),
     )
     if n == 1:
         payload = [F.col(df_vec).alias("_v")] if keep_vec else []
@@ -672,10 +687,33 @@ def ivf_mutual_nn(
             )
         )
     ).withColumn("_norm", l2_norm("_vec"))
-    cents = cents_a.select(
-        F.lit(0).alias("_cside"), "cent_id", "cv"
-    ).unionByName(cents_b.select(F.lit(1).alias("_cside"), "cent_id", "cv"))
+    # centroid norms fold once per centroid on the broadcast side
+    # (same hoist as _nearest_cells — see there for the parity
+    # argument); sides._norm already folds once per row.
+    cents = (
+        cents_a.select(F.lit(0).alias("_cside"), "cent_id", "cv")
+        .unionByName(
+            cents_b.select(F.lit(1).alias("_cside"), "cent_id", "cv")
+        )
+        .withColumn("_cnorm", l2_norm("cv"))
+    )
 
+    # r12: norms hoisted out of the per-(row, centroid) assignment
+    # cosine — dot + precomputed _norm × _cnorm replaces cosine()'s
+    # per-pair norm folds (bit-identical: same dot fold, same operand
+    # order, same greatest guard). Interleaved A/B on l43: 1.51 ->
+    # 1.18 s min at sf0.1, identical 174 rows.
+    #
+    # Measured and REJECTED here (r12): ranking a NARROW projection
+    # (no _vec/_norm through the window exchange) and re-attaching
+    # vectors afterwards via broadcast joins on the ranked ids — the
+    # §2.3-ideal shape. At fixture scale it LOSES (interleaved minima:
+    # narrow 1.56 s, narrow+sides.cache 1.46 s vs hoist-only 1.18 s):
+    # the two re-attach broadcasts each serialize an extra build job
+    # and `sides` evaluates once per consumer. The wide window's C×
+    # vector duplication through one exchange is the documented
+    # tradeoff that a 10^9-row deployment revisits by persisting the
+    # ranked table and re-attaching with a shuffled join instead.
     sims = sides.crossJoin(F.broadcast(cents)).select(
         "_side",
         "_id",
@@ -683,7 +721,10 @@ def ivf_mutual_nn(
         "_norm",
         "_cside",
         "cent_id",
-        cosine("_vec", "cv").alias("_csim"),
+        (
+            dot("_vec", "cv")
+            / F.greatest(F.col("_norm") * F.col("_cnorm"), F.lit(1e-12))
+        ).alias("_csim"),
     )
     w_cell = Window.partitionBy("_side", "_id", "_cside").orderBy(
         F.col("_csim").desc(), F.col("cent_id")

@@ -120,6 +120,16 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # PySpark 4's DataFrame-debugging wrapper (_with_origin) adds
+        # ~3 py4j round trips (conf.get + PySparkCurrentOrigin
+        # set/clear) plus a Python stack walk to EVERY DataFrame /
+        # Column API call, purely to enrich error messages with user
+        # call sites. Measured r12: catalog-wide plan construction
+        # 17.1 -> 12.0 s min (203 builders, interleaved in-process
+        # A/B) with it off. Driver-side overhead like this scales with
+        # plan complexity, not data, so it is pure loss at any scale;
+        # results are unaffected (error-context metadata only).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
